@@ -1,13 +1,38 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops._
+import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
+import graft.streaming.WindowedAggs
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the engine's declared data-plane surface (SURVEY §2.B plus
+  * the north-star LLM-pipeline extensions); `oracleSql` carries the DuckDB
+  * equivalent for every SQL-expressible query. Engine-specific operators
+  * (sketches, LSH, typed pipelines) are declared without an oracle and are
+  * validated in the ScalaTest suites instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** All declared queries, grouped by operator family. */
+  val allEntries: Seq[QueryDef] =
+    Scans.entries ++ Projections.entries ++ Joins.entries ++
+      Aggregations.entries ++ Windows.entries ++ SetOps.entries ++
+      ScalarFns.entries ++ Dedup.entries ++ Similarity.entries ++
+      TextStats.entries ++ Multimodal.entries ++ WindowedAggs.entries
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The star join exercises scan + broadcast joins + shuffle agg end-to-end. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("j3_star_join")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allEntries.map(q => q.name -> q.build).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    allEntries.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

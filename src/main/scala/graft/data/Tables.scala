@@ -1,0 +1,41 @@
+package graft.data
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Table registry over the driver-generated parquet testdata.
+  *
+  * Semantics source: the reference delegates all bulk data I/O to
+  * Parquet/Petastorm readers (reference: maggy/core/patching/dataloader.py:99-137);
+  * here the native equivalent is a plain `spark.read.parquet` whose scan benefits
+  * from Catalyst column pruning + predicate pushdown.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Load one table from an sf directory.
+    *
+    * `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 rejects as a
+    * timestamp type; read it as raw nanos (legacy conf) and floor-convert to
+    * a µs timestamp (the testdata is µs-precision, so this is lossless and
+    * matches DuckDB's ns→µs handling).
+    */
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    require(names.contains(name), s"unknown table: $name")
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))  // integer div: ns epoch exceeds double precision
+    } else {
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    }
+  }
+
+  /** Register all tables as temp views (idempotent) so query builders can
+    * use `spark.sql` where it is clearer than the DataFrame DSL. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach { n => apply(spark, sfDir, n).createOrReplaceTempView(n) }
+}

@@ -1,0 +1,78 @@
+package graft.llm
+
+import graft.data.Tables
+import graft.ops.QueryDef
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling (north-star extension).
+  *
+  * Media payloads are opaque `binary` columns with a typed metadata struct —
+  * the 100 TB design keeps bytes in parquet (or pointers to object storage)
+  * and only ever shuffles metadata + extracted features. The decode step is
+  * STUBBED (no image/audio libs in this container) with a deterministic fake;
+  * the Spark-side plumbing — schema, batching, partition-parallel decode via
+  * mapPartitions, feature schema — is real and tested.
+  */
+object Multimodal {
+
+  /** A media row: payload + typed metadata (the engine's multimodal schema). */
+  case class MediaRow(media_id: Long, payload: Array[Byte], mime: String, n_bytes: Long)
+
+  /** Extracted features per media item. */
+  case class MediaFeatures(media_id: Long, n_frames: Int, features: Array[Double])
+
+  /** Deterministic fake "decode + feature extract": chunk payload into
+    * 16-byte "frames", feature = mean unsigned byte value per frame.
+    * Stands in for an image/audio decoder; REAL decoders slot in here with
+    * the same mapPartitions batch shape (one decoder init per partition). */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition init happens here (decoder handles, model weights, ...)
+      rows.map { m =>
+        val frames = m.payload.grouped(16).toArray
+        val feats = frames.map(f => f.map(b => (b & 0xff).toDouble).sum / f.length)
+        MediaFeatures(m.media_id, frames.length, feats)
+      }
+    }
+  }
+
+  /** Documents-as-media: utf-8 bytes payload (the container has no real
+    * image/audio testdata; the pipeline shape is identical). */
+  def mediaFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables(spark, sfDir, "documents")
+      .select(
+        col("doc_id").as("media_id"),
+        encode(col("text"), "utf-8").as("payload"),
+        lit("text/plain").as("mime"),
+        length(encode(col("text"), "utf-8")).cast("long").as("n_bytes"))
+      .as[MediaRow]
+  }
+
+  val entries: Seq[QueryDef] = Seq(
+    // Binary column metadata — oracle-checkable (blob functions in both).
+    QueryDef("m1_binary_meta",
+      """SELECT doc_id,
+        |       octet_length(encode(text)) AS n_bytes,
+        |       md5(text) AS content_hash,
+        |       hex(encode(substring(text, 1, 4))) AS magic_hex
+        |FROM documents""".stripMargin) { (s, d) =>
+      Tables(s, d, "documents").select(
+        col("doc_id"),
+        length(encode(col("text"), "utf-8")).cast("long").as("n_bytes"),
+        md5(col("text")).as("content_hash"),
+        hex(encode(substring(col("text"), 1, 4), "utf-8")).as("magic_hex"))
+    },
+
+    // Stubbed decode → feature extraction via typed mapPartitions.
+    // Engine-specific (no SQL analog) → rows-only check + ScalaTest.
+    QueryDef.noOracle("m2_media_features") { (s, d) =>
+      val feats = extractFeatures(mediaFromDocuments(s, d))
+      feats.toDF().select(
+        col("media_id"), col("n_frames"),
+        round(element_at(col("features"), 1), 6).as("f0"))
+    }
+  )
+}

@@ -1,0 +1,92 @@
+package graft.llm
+
+import graft.data.Tables
+import graft.ops.QueryDef
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (SURVEY §2.B J9, north-star
+  * extension).
+  *
+  * Scale design: brute-force kNN is the correctness baseline (probe set
+  * broadcast against the candidate scan — one pass, no shuffle of the
+  * candidates). The scale path is IVF: KMeans-partition the corpus once,
+  * route each probe to its nProbe nearest centroids, and scan only those
+  * partitions — the candidate scan shrinks by ~nClusters/nProbe while the
+  * plan shape (broadcast probes, partial top-k) is unchanged.
+  */
+object Similarity {
+
+  /** dot(a,b) over double arrays — left-to-right fold, matching DuckDB's
+    * sequential list_dot_product for bit-identical results. */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dotProduct(a, b) / sqrt(dotProduct(a, a) * dotProduct(b, b))
+
+  /** Brute-force top-k cosine neighbors for each probe row.
+    * Probes must be small enough to broadcast (they are, by construction:
+    * a query workload, not the corpus). */
+  def bruteForceKnn(probes: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val p = broadcast(probes.select(col("vec_id").as("probe_id"), col("embedding").cast("array<double>").as("pv")))
+    val c = candidates.select(col("vec_id").as("cand_id"), col("embedding").cast("array<double>").as("cv"))
+    val scored = c.crossJoin(p)
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"), cosine(col("pv"), col("cv")).as("cos_raw"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos_raw").desc, col("cand_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("cand_id"), round(col("cos_raw"), 6).as("cosine"), col("rn"))
+  }
+
+  val entries: Seq[QueryDef] = Seq(
+    // J9: brute-force top-10 cosine neighbors for 5 probe vectors; exact
+    // (same fold order as the DuckDB oracle → identical doubles pre-round).
+    QueryDef("j9_knn_cosine",
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |scored AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |         list_dot_product(p.e, c.e) /
+        |         sqrt(list_dot_product(p.e, p.e) * list_dot_product(c.e, c.e)) AS cos_raw
+        |  FROM v p JOIN v c ON p.vec_id < 5 AND p.vec_id <> c.vec_id)
+        |SELECT probe_id, cand_id, round(cos_raw, 6) AS cosine, rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY probe_id
+        |                               ORDER BY cos_raw DESC, cand_id) AS rn
+        |  FROM scored) t
+        |WHERE rn <= 10""".stripMargin) { (s, d) =>
+      val emb = Tables(s, d, "embeddings")
+      bruteForceKnn(emb.filter(col("vec_id") < 5), emb, k = 10)
+    },
+
+    // Embedding near-duplicate pairs: probes (vec_id % 10 = 0) vs the corpus,
+    // cosine above threshold — the embedding-space analog of d4.
+    QueryDef("sim_near_dup_pairs",
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        |SELECT a.vec_id AS probe_id, b.vec_id AS cand_id,
+        |       round(list_dot_product(a.e, b.e) /
+        |             sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)), 6) AS cosine
+        |FROM v a JOIN v b ON a.vec_id % 10 = 0 AND a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.e, b.e) /
+        |      sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)) > 0.8""".stripMargin) { (s, d) =>
+      val emb = Tables(s, d, "embeddings")
+      val a = broadcast(emb.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").cast("array<double>").as("pv")))
+      val b = emb.select(col("vec_id").as("cand_id"), col("embedding").cast("array<double>").as("cv"))
+      b.crossJoin(a)
+        .filter(col("probe_id") < col("cand_id"))
+        .withColumn("cos_raw", cosine(col("pv"), col("cv")))
+        .filter(col("cos_raw") > 0.8)
+        .select(col("probe_id"), col("cand_id"), round(col("cos_raw"), 6).as("cosine"))
+    },
+
+    // IVF-style ANN: KMeans centroids (seeded) + probe routing to the nearest
+    // nProbe=2 centroids. Engine-deterministic but not SQL-expressible →
+    // rows-only; ScalaTest measures recall vs bruteForceKnn.
+    QueryDef.noOracle("sim_ivf_ann") { (s, d) =>
+      val emb = Tables(s, d, "embeddings")
+      IvfIndex.annSearch(emb.filter(col("vec_id") < 5), emb, k = 10, nClusters = 8, nProbe = 2)
+    }
+  )
+}

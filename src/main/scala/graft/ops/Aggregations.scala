@@ -1,0 +1,153 @@
+package graft.ops
+
+import graft.data.Tables
+import graft.ops.Exact._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Aggregation surface (SURVEY §2.B A1–A9).
+  *
+  * Provenance: streaming best/worst/avg result updates (reference:
+  * maggy/core/experiment_driver/optimization_driver.py:344-406), dedup of
+  * configs (maggy/optimizer/abstractoptimizer.py:254-295), TPE γ-quantile
+  * split (maggy/optimizer/bayes/tpe.py:206-216), metric-history assembly
+  * (maggy/trial.py:93-108). All are hash aggregations with map-side partials.
+  */
+object Aggregations {
+  val entries: Seq[QueryDef] = Seq(
+    // A1: TPC-H Q1 — the canonical multi-aggregate hash groupBy.
+    QueryDef("a1_groupby_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(22,8))) AS DOUBLE), 2) AS sum_qty,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(22,8))) AS DOUBLE), 2) AS sum_base_price,
+        |       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,8))) AS DOUBLE), 2) AS sum_disc_price,
+        |       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(22,8))) AS DOUBLE), 2) AS sum_charge,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(22,8))) AS DOUBLE) / count(*), 6) AS avg_qty,
+        |       round(CAST(sum(CAST(l_discount AS DECIMAL(22,8))) AS DOUBLE) / count(*), 6) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      val discPrice = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      Tables(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          moneySum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_base_price"),
+          moneySum(discPrice).as("sum_disc_price"),
+          moneySum(discPrice * (lit(1) + col("l_tax"))).as("sum_charge"),
+          moneyAvg(col("l_quantity")).as("avg_qty"),
+          moneyAvg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // A2: global (grand) aggregate, TPC-H Q6-shaped
+    // (reference: ybest/yworst/ymean, maggy/optimizer/abstractoptimizer.py:402-442).
+    QueryDef("a2_global_agg",
+      """SELECT round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(22,8))) AS DOUBLE), 2) AS revenue,
+        |       min(l_quantity) AS min_qty,
+        |       max(l_quantity) AS max_qty,
+        |       count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07""".stripMargin) { (s, d) =>
+      Tables(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp")
+          && col("l_discount").between(0.05, 0.07))
+        .agg(
+          moneySum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          count(lit(1)).as("n"))
+    },
+
+    // A3: exact count-distinct (dedup semantics,
+    // reference: maggy/optimizer/abstractoptimizer.py:254-295).
+    QueryDef("a3_count_distinct",
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_suppkey) AS n_supps,
+        |       count(DISTINCT l_returnflag) AS n_flags
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      Tables(s, d, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_returnflag")).as("n_flags"))
+    },
+
+    // A3b: approximate count-distinct (HLL). Engine-specific sketch → no SQL
+    // oracle; ScalaTest bounds it against the exact count.
+    QueryDef.noOracle("a3_approx_count_distinct") { (s, d) =>
+      Tables(s, d, "lineitem").agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+    },
+
+    // A4: argmax per group — best order per customer (deterministic tiebreak)
+    // (reference: best/worst update, optimization_driver.py:379-396).
+    QueryDef("a4_argmax",
+      """SELECT o_custkey, o_orderkey AS best_order, o_totalprice AS best_price
+        |FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) = 1""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey").as("best_order"), col("o_totalprice").as("best_price"))
+    },
+
+    // A6: distinct projection (dropDuplicates on the projected key set).
+    QueryDef("a6_distinct",
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem") { (s, d) =>
+      Tables(s, d, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+    },
+
+    // A7: exact quantiles per group (TPE γ-split / median stopping rule,
+    // reference: maggy/optimizer/bayes/tpe.py:206-216, earlystop/medianrule.py:44-46).
+    QueryDef("a7_percentile",
+      """SELECT c_nationkey,
+        |       round(quantile_cont(c_acctbal, 0.5), 6) AS median_bal,
+        |       round(quantile_cont(c_acctbal, 0.9), 6) AS p90_bal,
+        |       count(*) AS n
+        |FROM customer GROUP BY c_nationkey""".stripMargin) { (s, d) =>
+      Tables(s, d, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+          round(expr("percentile(c_acctbal, 0.5)"), 6).as("median_bal"),
+          round(expr("percentile(c_acctbal, 0.9)"), 6).as("p90_bal"),
+          count(lit(1)).as("n"))
+    },
+
+    // A8: rollup nation → region (engine built-in; no reference analog).
+    QueryDef("a8_rollup",
+      """SELECT r_name, n_name,
+        |       round(CAST(sum(CAST(c_acctbal AS DECIMAL(22,8))) AS DOUBLE), 2) AS total_bal,
+        |       count(*) AS n_cust
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)""".stripMargin) { (s, d) =>
+      Tables(s, d, "customer").as("c")
+        .join(broadcast(Tables(s, d, "nation")).as("n"), col("c.c_nationkey") === col("n.n_nationkey"))
+        .join(broadcast(Tables(s, d, "region")).as("r"), col("n.n_regionkey") === col("r.r_regionkey"))
+        .rollup(col("r.r_name").as("r_name"), col("n.n_name").as("n_name"))
+        .agg(moneySum(col("c_acctbal")).as("total_bal"), count(lit(1)).as("n_cust"))
+    },
+
+    // A9: ordered history assembly per key
+    // (reference: metric_history append, maggy/trial.py:93-108).
+    QueryDef("a9_collect_sorted",
+      """SELECT user_id,
+        |       string_agg(event_type, '|' ORDER BY event_type) AS type_seq,
+        |       count(*) AS n
+        |FROM events GROUP BY user_id""".stripMargin) { (s, d) =>
+      Tables(s, d, "events")
+        .groupBy("user_id")
+        .agg(
+          array_join(array_sort(collect_list(col("event_type"))), "|").as("type_seq"),
+          count(lit(1)).as("n"))
+    }
+  )
+}

@@ -1,0 +1,146 @@
+package graft.ops
+
+import graft.data.Tables
+import graft.ops.Exact._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join surface (SURVEY §2.B J1–J8; J9 lives in graft.llm.Similarity).
+  *
+  * The reference only has dict-lookup joins (reference:
+  * maggy/core/experiment_driver/optimization_driver.py:219-226); the engine
+  * declares the full Spark join surface. Scale notes per query inline:
+  * broadcast small dims, shuffle-hash/sort-merge the large-large joins, and
+  * keep the join keys as the shuffle partitioning so AQE can reuse it.
+  */
+object Joins {
+  val entries: Seq[QueryDef] = Seq(
+    // J1: equi inner with an explicitly broadcast dimension. At 100 TB the
+    // customer dim at one row per customer stays far under the broadcast
+    // threshold relative to orders; the hint removes the shuffle entirely.
+    QueryDef("j1_join_broadcast",
+      """SELECT c_mktsegment,
+        |       count(*) AS n_orders,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(22,8))) AS DOUBLE), 2) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin) { (s, d) =>
+      Tables(s, d, "orders")
+        .join(broadcast(Tables(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("total_price"))
+    },
+
+    // J2: large-large equi join → shuffle on the join key; partial aggregation
+    // happens map-side before the groupBy shuffle.
+    QueryDef("j2_join_shuffle",
+      """SELECT o_orderpriority,
+        |       count(*) AS n_items,
+        |       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,8))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables(s, d, "lineitem")
+        .join(Tables(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_items"),
+          moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+    },
+
+    // J3: multi-way star join — fact (lineitem) joined to orders, then the
+    // small dims broadcast. One shuffle (l_orderkey = o_orderkey); dims free.
+    QueryDef("j3_star_join",
+      """SELECT r_name, n_name,
+        |       count(*) AS n_items,
+        |       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,8))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey  = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin) { (s, d) =>
+      Tables(s, d, "lineitem")
+        .join(Tables(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          count(lit(1)).as("n_items"),
+          moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+    },
+
+    // J4: left outer — customers with zero orders kept (count of NULL key = 0).
+    QueryDef("j4_outer_join",
+      """SELECT c_custkey,
+        |       count(o_orderkey) AS n_orders,
+        |       round(CAST(sum(CAST(coalesce(o_totalprice, 0) AS DECIMAL(22,8))) AS DOUBLE), 2) AS total_price
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey""".stripMargin) { (s, d) =>
+      Tables(s, d, "customer")
+        .join(Tables(s, d, "orders"), col("o_custkey") === col("c_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          moneySum(coalesce(col("o_totalprice"), lit(0))).as("total_price"))
+    },
+
+    // J5a: left semi (EXISTS) — membership without duplication
+    // (reference: promoted-set membership, maggy/optimizer/asha.py:119-121).
+    QueryDef("j5_semi_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 100000)""".stripMargin) { (s, d) =>
+      val bigOrders = Tables(s, d, "orders").filter(col("o_totalprice") > 100000)
+      Tables(s, d, "customer")
+        .join(bigOrders, col("o_custkey") === col("c_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    },
+
+    // J5b: left anti (NOT EXISTS) — duplicate-config exclusion semantics
+    // (reference: maggy/optimizer/abstractoptimizer.py:274-295).
+    QueryDef("j5_anti_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin) { (s, d) =>
+      Tables(s, d, "customer")
+        .join(Tables(s, d, "orders"), col("o_custkey") === col("c_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    },
+
+    // J6: cross join — grid-search cartesian product
+    // (reference: maggy/optimizer/gridsearch.py:74-81). Small dims only.
+    QueryDef("j6_cross_join",
+      "SELECT r_name, n_name FROM region CROSS JOIN nation") { (s, d) =>
+      Tables(s, d, "region").crossJoin(Tables(s, d, "nation")).select("r_name", "n_name")
+    },
+
+    // J7: theta/range join (non-equi). Broadcast-nested-loop on the small
+    // side; at scale this is the classic banded-join candidate (bucketize
+    // the band to turn it into an equi join — see RangeJoins helper below).
+    QueryDef("j7_range_join",
+      """SELECT c_custkey, count(*) AS n_close
+        |FROM customer JOIN supplier
+        |  ON s_acctbal BETWEEN c_acctbal - 100 AND c_acctbal + 100
+        |GROUP BY c_custkey""".stripMargin) { (s, d) =>
+      val c = Tables(s, d, "customer")
+      val su = broadcast(Tables(s, d, "supplier"))
+      c.join(su, col("s_acctbal").between(col("c_acctbal") - 100, col("c_acctbal") + 100))
+        .groupBy("c_custkey")
+        .agg(count(lit(1)).as("n_close"))
+    },
+
+    // J8: as-of (latest event at-or-before a cutoff, per key)
+    // (reference: latest-metric-at-step lookups, maggy/trial.py:98-106).
+    QueryDef("j8_asof_latest",
+      """SELECT user_id, ts AS last_ts, event_type AS last_type
+        |FROM events
+        |WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      Tables(s, d, "events")
+        .filter(col("ts") <= lit("2024-01-15 00:00:00").cast("timestamp"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("ts").as("last_ts"), col("event_type").as("last_type"))
+    }
+  )
+}

@@ -1,0 +1,104 @@
+package graft.ops
+
+import graft.data.Tables
+import org.apache.spark.sql.functions._
+
+/** Scalar-function surface (SURVEY §2.B "Scalar functions").
+  *
+  * Provenance: prefix-group matching (reference: maggy/ablation/ablator/
+  * loco.py:123-126 — startswith), duration math (maggy/util.py:256-272),
+  * uniform sampling + clip (maggy/searchspace.py:195-205,384-399), Hyperband
+  * budget log/pow (maggy/pruner/hyperband.py:115-124), trial-id md5
+  * (maggy/trial.py:110-136). All codegen'd built-ins — no UDFs.
+  */
+object ScalarFns {
+  val entries: Seq[QueryDef] = Seq(
+    // String functions.
+    QueryDef("f_string",
+      """SELECT p_partkey,
+        |       lower(p_name) AS name_lo,
+        |       upper(p_brand) AS brand_up,
+        |       length(p_name) AS name_len,
+        |       concat(p_brand, '#', p_type) AS brand_type,
+        |       substr(p_name, 1, 5) AS name_pfx,
+        |       (p_type LIKE 'STANDARD%') AS is_standard,
+        |       levenshtein(p_brand, 'Brand#13') AS lev,
+        |       regexp_extract(p_type, '([A-Z]+)', 1) AS first_word,
+        |       md5(p_name) AS name_hash
+        |FROM part""".stripMargin) { (s, d) =>
+      Tables(s, d, "part").select(
+        col("p_partkey"),
+        lower(col("p_name")).as("name_lo"),
+        upper(col("p_brand")).as("brand_up"),
+        length(col("p_name")).as("name_len"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+        substring(col("p_name"), 1, 5).as("name_pfx"),
+        col("p_type").like("STANDARD%").as("is_standard"),
+        levenshtein(col("p_brand"), lit("Brand#13")).as("lev"),
+        regexp_extract(col("p_type"), "([A-Z]+)", 1).as("first_word"),
+        md5(col("p_name")).as("name_hash"))
+    },
+
+    // Date/time functions (durations: reference maggy/util.py:256-272).
+    QueryDef("f_datetime",
+      """SELECT o_orderkey,
+        |       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+        |       year(o_orderdate) AS order_year,
+        |       month(o_orderdate) AS order_mon,
+        |       datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since,
+        |       epoch_us(o_orderdate) // 1000000 AS unix_sec
+        |FROM orders""".stripMargin) { (s, d) =>
+      Tables(s, d, "orders").select(
+        col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).as("order_month"),
+        year(col("o_orderdate")).as("order_year"),
+        month(col("o_orderdate")).as("order_mon"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 1000000").as("unix_sec"))
+    },
+
+    // Math functions (log/pow from Hyperband budgets; clip from searchspace).
+    QueryDef("f_math",
+      """SELECT l_orderkey, l_linenumber,
+        |       round(ln(l_extendedprice), 6) AS log_price,
+        |       round(sqrt(l_quantity), 6) AS sqrt_qty,
+        |       round(pow(l_discount, 2), 9) AS disc_sq,
+        |       round(exp(l_discount), 6) AS exp_disc,
+        |       greatest(l_tax, l_discount) AS hi,
+        |       least(l_tax, l_discount) AS lo,
+        |       abs(l_quantity - 25) AS qty_dev,
+        |       CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+        |       CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        |       l_orderkey % 7 AS key_mod
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      Tables(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(log(col("l_extendedprice")), 6).as("log_price"),
+        round(sqrt(col("l_quantity")), 6).as("sqrt_qty"),
+        round(pow(col("l_discount"), 2), 9).as("disc_sq"),
+        round(exp(col("l_discount")), 6).as("exp_disc"),
+        greatest(col("l_tax"), col("l_discount")).as("hi"),
+        least(col("l_tax"), col("l_discount")).as("lo"),
+        abs(col("l_quantity") - 25).as("qty_dev"),
+        ceil(col("l_extendedprice")).as("price_ceil"),
+        floor(col("l_extendedprice")).as("price_floor"),
+        (col("l_orderkey") % 7).as("key_mod"))
+    },
+
+    // Array functions over the embedding column (J9 building blocks).
+    QueryDef("f_array",
+      """SELECT vec_id,
+        |       len(embedding) AS dim,
+        |       round(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
+        |       round(CAST(embedding[64] AS DOUBLE), 6) AS last_elem,
+        |       label
+        |FROM embeddings""".stripMargin) { (s, d) =>
+      Tables(s, d, "embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 6).as("first_elem"),
+        round(element_at(col("embedding"), 64).cast("double"), 6).as("last_elem"),
+        col("label"))
+    }
+  )
+}

@@ -1,0 +1,101 @@
+package graft.ops
+
+import graft.data.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function surface (SURVEY §2.B W1–W6).
+  *
+  * Provenance: ASHA top-k promotion (reference: maggy/optimizer/asha.py:161-169),
+  * acquisition argmax (maggy/optimizer/bayes/gp.py:214-215), TPE γ-split
+  * (tpe.py:206-216), median-rule prefix averages (earlystop/medianrule.py:38-42),
+  * monotone-step checks (core/reporter.py:95-96).
+  */
+object Windows {
+  val entries: Seq[QueryDef] = Seq(
+    // W1: ranking top-k per group (ASHA rung promotion shape).
+    QueryDef("w1_topk_per_group",
+      """SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY c_mktsegment
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders JOIN customer ON o_custkey = c_custkey) t
+        |WHERE rn <= 3""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("c_mktsegment").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(s, d, "orders")
+        .join(broadcast(Tables(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+    },
+
+    // W2: global top-k / ORDER BY LIMIT (acquisition argmax shape). A global
+    // sort-limit is a TakeOrderedAndProject — no full sort at scale.
+    QueryDef("w2_global_topk",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      Tables(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    },
+
+    // W3: percent_rank + ntile (TPE good/bad split shape).
+    QueryDef("w3_percent_rank",
+      """SELECT o_orderkey,
+        |       round(percent_rank() OVER w, 9) AS pct_rank,
+        |       ntile(4) OVER w AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables(s, d, "orders").select(
+        col("o_orderkey"),
+        round(percent_rank().over(w), 9).as("pct_rank"),
+        ntile(4).over(w).as("quartile"))
+    },
+
+    // W4: running prefix average (median-stopping-rule prefix averages).
+    QueryDef("w4_running_avg",
+      """SELECT user_id, event_id,
+        |       round(CAST(sum(CAST(value AS DECIMAL(22,8))) OVER w AS DOUBLE) /
+        |             count(*) OVER w, 6) AS running_avg
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, d, "events").select(
+        col("user_id"), col("event_id"),
+        round(sum(Exact.dec4(col("value"))).over(w).cast("double") / count(lit(1)).over(w), 6)
+          .as("running_avg"))
+    },
+
+    // W5: lag — inter-event deltas + monotone-step validation
+    // (reference: reporter.py:95-96 rejects non-monotone steps).
+    QueryDef("w5_lag_delta",
+      """SELECT user_id, event_id,
+        |       epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta_us
+        |FROM events""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val us = unix_micros(col("ts"))
+      Tables(s, d, "events").select(
+        col("user_id"), col("event_id"),
+        (us - lag(us, 1).over(w)).as("delta_us"))
+    },
+
+    // W6: range frame — trailing 1-hour sum per user (nth-epoch sampling shape,
+    // reference: maggy/optimizer/bayes/base.py:643-668). Ordered by exact µs.
+    QueryDef("w6_range_frame",
+      """SELECT user_id, event_id,
+        |       round(CAST(sum(CAST(value AS DECIMAL(22,8)))
+        |             OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS trailing_1h
+        |FROM events""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, Window.currentRow)
+      Tables(s, d, "events").select(
+        col("user_id"), col("event_id"),
+        round(sum(Exact.dec4(col("value"))).over(w).cast("double"), 6).as("trailing_1h"))
+    }
+  )
+}
