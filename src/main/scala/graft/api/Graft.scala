@@ -1,0 +1,155 @@
+package graft.api
+
+import graft.core._
+import graft.exec._
+import graft.optimize._
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Flat trial row for data-plane analytics over experiment results
+  * (SURVEY §1.1: finished trials are a Dataset so result aggregation is
+  * Spark SQL — best/worst/avg via max_by/min_by/avg). */
+final case class TrialRow(
+    trial_id: String,
+    params_json: String,
+    metric: Option[Double],
+    budget: Option[Double],
+    sample_type: String,
+    early_stopped: Boolean,
+    duration_ms: Long,
+    metric_history: Seq[(Long, Double)])
+
+/** Experiment summary (reference result dict,
+  * maggy/core/experiment_driver/optimization_driver.py:360-376). */
+final case class ExperimentResult(
+    bestId: String,
+    bestConfig: Map[String, HV],
+    bestMetric: Double,
+    worstId: String,
+    worstMetric: Double,
+    avgMetric: Double,
+    numTrials: Int,
+    earlyStopped: Int,
+    durationMs: Long,
+    trials: Seq[TrialRow])
+
+/** The `lagom` facade (reference: maggy/experiment/experiment.py:21-45 —
+  * "lagom" dispatches a config + train fn onto Spark executors and runs the
+  * experiment asynchronously).
+  *
+  * Execution model preserved from the reference (spark_driver.py:136-145):
+  * one RDD partition per executor slot, long-running tasks that pull trials
+  * over the RPC channel until GSTOP — executors never idle between trials
+  * (async scheduling, no BSP barrier).
+  */
+object Graft {
+
+  def lagom(spark: SparkSession, config: LagomConfig)(trainFn: TrainFn): ExperimentResult =
+    config match {
+      case c: HyperparameterOptConfig => runHpo(spark, c, trainFn)
+      case c: SingleRunConfig =>
+        runExperiment(spark, new SingleRun(),
+          Searchspace(Seq.empty), c.numTrials, Direction.Max, NoStoppingRule,
+          1, Int.MaxValue, c.hbIntervalMs, 42L, parallelism(spark, c.numTrials))(trainFn)
+      case c: AblationConfig => runAblation(spark, c, trainFn)
+    }
+
+  private def runHpo(spark: SparkSession, c: HyperparameterOptConfig, trainFn: TrainFn): ExperimentResult = {
+    val optimizer = Optimizer.forName(c.optimizer, c.optimizerArgs)
+    val esRule = c.esPolicy match {
+      case "median" => MedianStoppingRule
+      case _ => NoStoppingRule
+    }
+    runExperiment(spark, optimizer, c.searchspace, c.numTrials, c.direction, esRule,
+      c.esIntervalSteps, c.esMin, c.hbIntervalMs, c.seed, parallelism(spark, c.numTrials))(trainFn)
+  }
+
+  private def runAblation(spark: SparkSession, c: AblationConfig, trainFn: TrainFn): ExperimentResult = {
+    val trials = graft.ablate.Loco.trials(c.study)
+    val optimizer = new Optimizer {
+      private val queue = scala.collection.mutable.Queue(trials: _*)
+      def getSuggestion(completed: Option[Trial]): Suggestion =
+        if (queue.nonEmpty) NewTrial(queue.dequeue())
+        else if (trialStore.nonEmpty) Idle
+        else Done
+    }
+    // early stop disabled for ablation (reference ablation_driver.py:52)
+    runExperiment(spark, optimizer, Searchspace(Seq.empty), trials.size, Direction.Max,
+      NoStoppingRule, 1, Int.MaxValue, c.hbIntervalMs, 42L,
+      parallelism(spark, trials.size))(trainFn)
+  }
+
+  /** num_executors = min(slots, num_trials) (reference
+    * optimization_driver.py:81-83); numTrials <= 0 means "sized by the
+    * optimizer" (grid search) → use all slots. */
+  private def parallelism(spark: SparkSession, numTrials: Int): Int = {
+    val slots = spark.sparkContext.defaultParallelism
+    if (numTrials <= 0) slots else math.max(1, math.min(slots, numTrials))
+  }
+
+  private def runExperiment(
+      spark: SparkSession,
+      optimizer: Optimizer,
+      searchspace: Searchspace,
+      numTrials: Int,
+      direction: Direction.Value,
+      esRule: EarlyStopRule,
+      esIntervalSteps: Long,
+      esMin: Int,
+      hbIntervalMs: Long,
+      seed: Long,
+      numExecutors: Int)(trainFn: TrainFn): ExperimentResult = {
+
+    val t0 = System.currentTimeMillis()
+    optimizer.initialize(searchspace, numTrials, direction, seed)
+    val server = new DriverServer(optimizer, direction, esRule, esIntervalSteps, esMin)
+    server.start()
+    try {
+      val (host, port, secret) = (server.host, server.port, server.authSecret)
+      val hb = hbIntervalMs
+      val sc = spark.sparkContext
+      sc.setJobGroup(s"graft-lagom", s"experiment numTrials=$numTrials", interruptOnCancel = true)
+      // one long-running task per executor slot (reference spark_driver.py:136-145)
+      sc.parallelize(0 until numExecutors, numExecutors).foreachPartition { it =>
+        val pid = it.next()
+        TrialExecutor.run(pid, host, port, secret, hb, pollIntervalMs = 50, trainFn)
+      }
+      sc.clearJobGroup()
+
+      val finals = optimizer.finalStore.toSeq
+      require(finals.nonEmpty, "experiment produced no finalized trials")
+      val better: (Double, Double) => Boolean =
+        if (direction == Direction.Max) _ > _ else _ < _
+      val best = finals.maxBy(t => if (direction == Direction.Max) t.finalMetric.get else -t.finalMetric.get)
+      val worst = finals.minBy(t => if (direction == Direction.Max) t.finalMetric.get else -t.finalMetric.get)
+      val avg = finals.flatMap(_.finalMetric).sum / finals.size
+      ExperimentResult(
+        bestId = best.trialId,
+        bestConfig = best.paramsSansBudget,
+        bestMetric = best.finalMetric.get,
+        worstId = worst.trialId,
+        worstMetric = worst.finalMetric.get,
+        avgMetric = avg,
+        numTrials = finals.size,
+        earlyStopped = server.earlyStoppedCount,
+        durationMs = System.currentTimeMillis() - t0,
+        trials = finals.map(toRow))
+    } finally server.stop()
+  }
+
+  private def toRow(t: Trial): TrialRow = TrialRow(
+    trial_id = t.trialId,
+    params_json = Trial.canonicalJson(t.paramsSansBudget),
+    metric = t.finalMetric,
+    budget = t.budget,
+    sample_type = t.sampleType,
+    early_stopped = t.earlyStop,
+    duration_ms = t.durationMs,
+    metric_history = t.metricHistory.map(p => (p.step, p.value)))
+
+  /** Finished trials as a Dataset for data-plane analytics (A1/A4/W1 shapes
+    * over experiment results). */
+  def trialsDataset(spark: SparkSession, result: ExperimentResult): Dataset[TrialRow] = {
+    import spark.implicits._
+    spark.createDataset(result.trials)
+  }
+}

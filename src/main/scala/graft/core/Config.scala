@@ -1,0 +1,38 @@
+package graft.core
+
+/** Experiment configs (reference: the maggy/config package). Sealed hierarchy
+  * replaces the reference's singledispatch on config class
+  * (maggy/experiment/experiment_pyspark.py:82-146). */
+sealed trait LagomConfig {
+  def name: String
+  def hbIntervalMs: Long
+}
+
+/** Optimization direction (reference: 'min'/'max' strings). */
+object Direction extends Enumeration { val Min, Max = Value }
+
+final case class HyperparameterOptConfig(
+    numTrials: Int,
+    optimizer: String, // randomsearch | gridsearch | asha | tpe | gp | none
+    searchspace: Searchspace,
+    direction: Direction.Value = Direction.Max,
+    optimizationKey: String = "metric",
+    esPolicy: String = "median", // median | none
+    esIntervalSteps: Long = 1, // check cadence in steps (reference es_interval=1)
+    esMin: Int = 10, // min finalized trials before early stop kicks in
+    name: String = "hpo",
+    hbIntervalMs: Long = 200,
+    seed: Long = 42L,
+    optimizerArgs: Map[String, Double] = Map.empty) extends LagomConfig
+
+final case class AblationConfig(
+    study: graft.ablate.AblationStudy,
+    ablator: String = "loco",
+    name: String = "ablation",
+    hbIntervalMs: Long = 200) extends LagomConfig
+
+/** Plain parallel runs with no search (reference: maggy/optimizer/singlerun.py). */
+final case class SingleRunConfig(
+    numTrials: Int,
+    name: String = "single",
+    hbIntervalMs: Long = 200) extends LagomConfig

@@ -1,0 +1,187 @@
+package graft.optimize
+
+import breeze.linalg.{cholesky, DenseMatrix, DenseVector}
+
+import graft.core._
+
+/** Async Gaussian-process Bayesian optimization (reference:
+  * maggy/optimizer/bayes/gp.py + bayes/base.py).
+  *
+  * Preserved semantics (SURVEY §4.1, BASELINE.md): 15 warm-up random trials;
+  * ε-greedy random_fraction = 0.33; surrogate not fit until #obs ≥ #dims;
+  * busy-location imputation with the constant liar (cl_min) so parallel
+  * proposals decorrelate; acquisition = EI (floor 1e-32 analog via σ guard),
+  * argmax over n_points random candidates (reference n_points=10k,
+  * gp.py:156-164).
+  *
+  * The regressor itself is re-derived on Breeze rather than ported from
+  * skopt: Matern ν=2.5 kernel, y-normalization, Gaussian noise jitter,
+  * Cholesky solve; length-scale picked by log-marginal-likelihood over a
+  * small grid (stands in for skopt's 2-restart MLE — acceptance is
+  * fixed-seed regression tests, not bit parity; SURVEY §7.4.3).
+  */
+final class Gp(
+    numWarmup: Int = 15,
+    randomFraction: Double = 0.33,
+    nPoints: Int = 10000) extends Optimizer {
+
+  private var issued = 0
+
+  override protected def validate(): Unit = {
+    require(searchspace.containsContinuous, "GP requires at least one continuous param")
+    require(!searchspace.containsDiscrete, "GP forbids DISCRETE numeric params")
+  }
+
+  private def dims: Int = searchspace.params.size
+
+  def getSuggestion(completed: Option[Trial]): Suggestion = {
+    if (issued >= numTrials) return if (trialStore.nonEmpty) Idle else Done
+    issued += 1
+    val t = suggestConfig()
+    if (hparamsExist(t)) {
+      val re = (1 to 3).iterator.map(_ => new Trial(searchspace.sample(rng)))
+        .find(c => !hparamsExist(c))
+      NewTrial(re.getOrElse(t))
+    } else NewTrial(t)
+  }
+
+  private def suggestConfig(): Trial = {
+    val finished = finalStore.filter(_.finalMetric.isDefined).toSeq
+    val warmupOrRandom =
+      finished.size < math.max(numWarmup, dims) || rng.nextDouble() < randomFraction
+    if (warmupOrRandom) return new Trial(searchspace.sample(rng), sampleType = "random")
+
+    // observed + imputed busy locations (constant liar cl_min, gp.py:329-373)
+    val obsX = finished.map(t => searchspace.transform(t.paramsSansBudget))
+    val obsY = finished.map(minMetric)
+    val liar = obsY.min
+    val busyX = trialStore.valuesIterator.map(t => searchspace.transform(t.paramsSansBudget)).toSeq
+    val x = (obsX ++ busyX).toArray
+    val y = (obsY ++ Seq.fill(busyX.size)(liar)).toArray
+
+    val gp = GpRegressor.fit(x, y)
+    val yBest = y.min
+
+    var bestX: Array[Double] = null
+    var bestEi = Double.NegativeInfinity
+    for (_ <- 0 until nPoints) {
+      val cand = searchspace.transform(searchspace.sample(rng))
+      val (mu, sigma) = gp.predict(cand)
+      val ei = expectedImprovement(mu, sigma, yBest)
+      if (ei > bestEi) { bestEi = ei; bestX = cand }
+    }
+    new Trial(searchspace.inverseTransform(bestX), sampleType = "model")
+  }
+
+  /** EI for minimization. */
+  private def expectedImprovement(mu: Double, sigma: Double, yBest: Double): Double = {
+    if (sigma < 1e-12) return 0.0
+    val z = (yBest - mu) / sigma
+    (yBest - mu) * normCdf(z) + sigma * normPdf(z)
+  }
+  private def normPdf(z: Double): Double = math.exp(-0.5 * z * z) / math.sqrt(2 * math.Pi)
+  private def normCdf(z: Double): Double = 0.5 * (1 + erf(z / math.sqrt(2)))
+  // Abramowitz–Stegun 7.1.26 erf approximation (|err| < 1.5e-7)
+  private def erf(x: Double): Double = {
+    val t = 1.0 / (1.0 + 0.3275911 * math.abs(x))
+    val poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    val v = 1.0 - poly * math.exp(-x * x)
+    if (x >= 0) v else -v
+  }
+}
+
+/** Matern-2.5 GP regressor on Breeze with y-normalization and a small
+  * length-scale grid picked by log marginal likelihood. */
+final class GpRegressor private (
+    x: Array[Array[Double]],
+    alpha: DenseVector[Double],
+    chol: DenseMatrix[Double],
+    lengthScale: Double,
+    signalVar: Double,
+    yMean: Double,
+    yStd: Double) {
+
+  def predict(cand: Array[Double]): (Double, Double) = {
+    val n = x.length
+    val ks = DenseVector.tabulate(n)(i => GpRegressor.matern25(GpRegressor.dist(x(i), cand), lengthScale, signalVar))
+    val mu = (ks dot alpha) * yStd + yMean
+    // solve L v = ks
+    val v = GpRegressor.forwardSolve(chol, ks)
+    val varRaw = signalVar - (v dot v)
+    val sigma = math.sqrt(math.max(varRaw, 1e-12)) * yStd
+    (mu, sigma)
+  }
+}
+
+object GpRegressor {
+  def dist(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    math.sqrt(s)
+  }
+
+  /** Matern ν=2.5: σf²·(1 + √5 r/l + 5r²/(3l²))·exp(−√5 r/l). */
+  def matern25(r: Double, l: Double, sf2: Double): Double = {
+    val a = math.sqrt(5) * r / l
+    sf2 * (1 + a + a * a / 3) * math.exp(-a)
+  }
+
+  def forwardSolve(lo: DenseMatrix[Double], b: DenseVector[Double]): DenseVector[Double] = {
+    val n = b.length
+    val v = DenseVector.zeros[Double](n)
+    var i = 0
+    while (i < n) {
+      var s = b(i)
+      var j = 0
+      while (j < i) { s -= lo(i, j) * v(j); j += 1 }
+      v(i) = s / lo(i, i)
+      i += 1
+    }
+    v
+  }
+
+  def fit(xs: Array[Array[Double]], ys: Array[Double], noise: Double = 1e-6): GpRegressor = {
+    val n = xs.length
+    val yMean = ys.sum / n
+    val yStd = {
+      val v = ys.map(v0 => (v0 - yMean) * (v0 - yMean)).sum / math.max(n - 1, 1)
+      math.max(math.sqrt(v), 1e-12)
+    }
+    val yn = DenseVector(ys.map(v => (v - yMean) / yStd))
+
+    def build(l: Double): (DenseMatrix[Double], DenseVector[Double], Double) = {
+      val k = DenseMatrix.tabulate(n, n) { (i, j) =>
+        matern25(dist(xs(i), xs(j)), l, 1.0) + (if (i == j) noise else 0.0)
+      }
+      val lo = cholesky(k)
+      val v = forwardSolve(lo, yn)
+      // alpha = L^-T v
+      val alpha = backSolve(lo, v)
+      // log marginal likelihood = -0.5 yᵀα − Σ log L_ii − n/2 log 2π
+      var logDet = 0.0
+      var i = 0
+      while (i < n) { logDet += math.log(lo(i, i)); i += 1 }
+      val lml = -0.5 * (yn dot alpha) - logDet - 0.5 * n * math.log(2 * math.Pi)
+      (lo, alpha, lml)
+    }
+
+    val grid = Seq(0.1, 0.2, 0.5, 1.0, 2.0)
+    val (bestL, (lo, alpha, _)) = grid.map(l => l -> build(l)).maxBy(_._2._3)
+    new GpRegressor(xs, alpha, lo, bestL, 1.0, yMean, yStd)
+  }
+
+  private def backSolve(lo: DenseMatrix[Double], b: DenseVector[Double]): DenseVector[Double] = {
+    val n = b.length
+    val v = DenseVector.zeros[Double](n)
+    var i = n - 1
+    while (i >= 0) {
+      var s = b(i)
+      var j = i + 1
+      while (j < n) { s -= lo(j, i) * v(j); j += 1 }
+      v(i) = s / lo(i, i)
+      i -= 1
+    }
+    v
+  }
+}

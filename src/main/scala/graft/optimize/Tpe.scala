@@ -1,0 +1,126 @@
+package graft.optimize
+
+import graft.core._
+
+import scala.collection.mutable
+
+/** Tree-structured Parzen Estimator, BOHB-flavored (reference:
+  * maggy/optimizer/bayes/tpe.py).
+  *
+  * Constants preserved from the reference (tpe.py:38-73,266; SURVEY §4.3.7):
+  * γ=0.15 quantile split with n_good = max(d+1, ⌈γ·N⌉); 24 candidate samples
+  * from the good KDE; bandwidth floor 1e-3; sampling bandwidth factor 3;
+  * EI floor 1e-32. KDE: product of per-dim Gaussians over [0,1]-transformed
+  * configs with normal-reference bandwidth bw_j = 1.06·σ_j·n^(-1/(4+d)).
+  * Warm-up: random until both KDEs would have > d points.
+  */
+final class Tpe(
+    gamma: Double = 0.15,
+    numSamples: Int = 24,
+    bwFloor: Double = 1e-3,
+    bwFactor: Double = 3.0,
+    numWarmup: Int = 15,
+    randomFraction: Double = 0.33) extends Optimizer {
+
+  private var issued = 0
+
+  override protected def validate(): Unit = {
+    require(searchspace.containsContinuous, "TPE requires at least one continuous param")
+    require(!searchspace.containsDiscrete, "TPE forbids DISCRETE numeric params (reference bayes/base.py:149-165)")
+  }
+
+  private def dims: Int = searchspace.params.size
+
+  def getSuggestion(completed: Option[Trial]): Suggestion = {
+    if (issued >= numTrials) {
+      return if (trialStore.nonEmpty) Idle else Done
+    }
+    issued += 1
+    val t = suggestConfig()
+    if (hparamsExist(t)) {
+      // resample ≤3 attempts then random (reference base.py:288-301)
+      val re = (1 to 3).iterator.map(_ => new Trial(searchspace.sample(rng)))
+        .find(c => !hparamsExist(c))
+      NewTrial(re.getOrElse(t))
+    } else NewTrial(t)
+  }
+
+  private def suggestConfig(): Trial = {
+    val finished = finalStore.filter(_.finalMetric.isDefined).toSeq
+    // ε-greedy exploration shared by all BO optimizers (reference
+    // bayes/base.py:232-248, random_fraction=0.33)
+    if (finished.size <= math.max(numWarmup, 2 * (dims + 1)) ||
+        finished.size < 2 * (dims + 1) ||
+        rng.nextDouble() < randomFraction) {
+      return new Trial(searchspace.sample(rng), sampleType = "random")
+    }
+    // γ-split into good/bad by min-convention metric (tpe.py:191-221)
+    val sorted = finished.sortBy(minMetric)
+    val nGood = math.max(dims + 1, math.ceil(gamma * sorted.size).toInt)
+    if (sorted.size - nGood <= dims) {
+      return new Trial(searchspace.sample(rng), sampleType = "random")
+    }
+    val good = sorted.take(nGood).map(t => searchspace.transform(t.paramsSansBudget)).toArray
+    val bad = sorted.drop(nGood).map(t => searchspace.transform(t.paramsSansBudget)).toArray
+
+    val goodKde = Kde.fit(good)
+    val badKde = Kde.fit(bad)
+
+    // sample candidates from the good KDE with widened bandwidth (tpe.py:75-132)
+    var bestX: Array[Double] = null
+    var bestEi = Double.NegativeInfinity
+    for (_ <- 0 until numSamples) {
+      val center = good(rng.nextInt(good.length))
+      val x = Array.tabulate(dims) { j =>
+        val bw = math.max(goodKde.bw(j), bwFloor) * bwFactor
+        // truncated normal on [0,1] via clamped gaussian draw
+        val v = center(j) + rng.nextGaussian() * bw
+        math.min(1.0, math.max(0.0, v))
+      }
+      val ei = math.max(goodKde.pdf(x), 1e-32) / math.max(badKde.pdf(x), 1e-32)
+      if (ei > bestEi) { bestEi = ei; bestX = x }
+    }
+    new Trial(searchspace.inverseTransform(bestX), sampleType = "model")
+  }
+}
+
+/** Product-of-Gaussians multivariate KDE with normal-reference bandwidth
+  * (stands in for statsmodels KDEMultivariate 'normal_reference',
+  * reference tpe.py:137-189). */
+final class Kde(data: Array[Array[Double]], val bw: Array[Double]) {
+  private val d = bw.length
+  private val invTwoPiSqrt = 1.0 / math.sqrt(2 * math.Pi)
+
+  def pdf(x: Array[Double]): Double = {
+    var total = 0.0
+    var i = 0
+    while (i < data.length) {
+      var prod = 1.0
+      var j = 0
+      while (j < d) {
+        val b = bw(j)
+        val z = (x(j) - data(i)(j)) / b
+        prod *= invTwoPiSqrt / b * math.exp(-0.5 * z * z)
+        j += 1
+      }
+      total += prod
+      i += 1
+    }
+    total / data.length
+  }
+}
+
+object Kde {
+  def fit(data: Array[Array[Double]]): Kde = {
+    val n = data.length
+    val d = data(0).length
+    val bw = Array.tabulate(d) { j =>
+      val col = data.map(_(j))
+      val mean = col.sum / n
+      val varr = col.map(v => (v - mean) * (v - mean)).sum / math.max(n - 1, 1)
+      val sigma = math.sqrt(varr)
+      math.max(1.06 * sigma * math.pow(n, -1.0 / (4 + d)), 1e-3)
+    }
+    new Kde(data, bw)
+  }
+}

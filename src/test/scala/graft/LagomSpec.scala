@@ -1,0 +1,168 @@
+package graft
+
+import graft.api.{Graft, TrialRow}
+import graft.ablate.AblationStudy
+import graft.core._
+import graft.core.HParam._
+import graft.exec.{TrainFn, TrialContext}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end lagom experiments on local[2] (SURVEY §5.2.4): deterministic
+  * train fns with analytically known optima; assertions are set-level
+  * (async assignment is timing-dependent — SURVEY §7.4.4). */
+class LagomSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("lagom-spec")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val space = Searchspace(Seq(DoubleParam("x", 0, 5), DoubleParam("y", 0, 5)))
+
+  /** Pure objective: argmax at (3.2, 2). */
+  private object Objective extends TrainFn {
+    def apply(ctx: TrialContext): Double = {
+      val x = ctx.double("x"); val y = ctx.double("y")
+      val v = -(x - 3.2) * (x - 3.2) - (y - 2) * (y - 2)
+      ctx.reporter.broadcast(v, 0)
+      v
+    }
+  }
+
+  test("random search e2e: exact trial count, best near optimum, distinct configs") {
+    val res = Graft.lagom(spark, HyperparameterOptConfig(
+      numTrials = 20, optimizer = "randomsearch", searchspace = space,
+      direction = Direction.Max, esPolicy = "none"))(Objective)
+    assert(res.numTrials == 20)
+    assert(res.trials.map(_.trial_id).distinct.size == 20)
+    assert(res.bestMetric > -3.0, s"best ${res.bestMetric}")
+    assert(res.bestMetric >= res.worstMetric)
+    assert(res.avgMetric <= res.bestMetric && res.avgMetric >= res.worstMetric)
+  }
+
+  test("grid search e2e enumerates the product") {
+    val gridSpace = Searchspace(Seq(
+      DiscreteParam("x", Seq(1, 2, 3)), CategoricalParam("mode", Seq("a", "b"))))
+    object GridFn extends TrainFn {
+      def apply(ctx: TrialContext): Double =
+        ctx.double("x") + (if (ctx.string("mode") == "a") 10 else 0)
+    }
+    val res = Graft.lagom(spark, HyperparameterOptConfig(
+      numTrials = 0, optimizer = "gridsearch", searchspace = gridSpace,
+      direction = Direction.Max, esPolicy = "none"))(GridFn)
+    assert(res.numTrials == 6)
+    assert(res.bestMetric == 13.0) // x=3, mode=a
+    assert(res.bestConfig("x").asDouble == 3.0)
+  }
+
+  test("ASHA e2e: multi-fidelity promotion completes and finds good configs") {
+    object BudgetedFn extends TrainFn {
+      def apply(ctx: TrialContext): Double = {
+        val budget = ctx.budget.getOrElse(1.0)
+        // more budget → less noise around the true objective
+        val x = ctx.double("x")
+        -(x - 3.2) * (x - 3.2) / budget
+      }
+    }
+    val res = Graft.lagom(spark, HyperparameterOptConfig(
+      numTrials = 9, optimizer = "asha", searchspace = space,
+      direction = Direction.Max, esPolicy = "none",
+      optimizerArgs = Map("reduction_factor" -> 3.0, "resource_min" -> 1.0, "resource_max" -> 3.0)))(BudgetedFn)
+    // 9 rung-0 trials plus promotions into rung 1 (budget 3)
+    assert(res.numTrials >= 9)
+    val budgets = res.trials.flatMap(_.budget).distinct.sorted
+    assert(budgets.head == 1.0)
+  }
+
+  test("median early stopping stops weak trials") {
+    // weak trials (even run_index) report low metrics over many steps; strong
+    // report high. After esMin finalize, weak ones get stopped mid-run.
+    object SteppedFn extends TrainFn {
+      def apply(ctx: TrialContext): Double = {
+        val x = ctx.double("x")
+        val strong = x > 2.5
+        var last = 0.0
+        try {
+          (0 until 50).foreach { step =>
+            last = if (strong) 10.0 + x + step * 0.01 else x - 10.0 + step * 0.01
+            ctx.reporter.broadcast(last, step.toLong)
+            Thread.sleep(20)
+          }
+        } catch { case e: graft.exec.EarlyStopException => throw e }
+        last
+      }
+    }
+    val res = Graft.lagom(spark, HyperparameterOptConfig(
+      numTrials = 12, optimizer = "randomsearch", searchspace = space,
+      direction = Direction.Max, esPolicy = "median", esIntervalSteps = 1, esMin = 4,
+      hbIntervalMs = 50))(SteppedFn)
+    assert(res.numTrials == 12)
+    // at least one weak trial should have been early-stopped
+    assert(res.earlyStopped >= 1, s"expected early stops, got ${res.earlyStopped}")
+    // early-stopped trials still carry their last metric
+    assert(res.trials.filter(_.early_stopped).forall(_.metric.isDefined))
+  }
+
+  test("ablation (LOCO) e2e: base + one trial per feature") {
+    object AblFn extends TrainFn {
+      def apply(ctx: TrialContext): Double = {
+        val ablated = ctx.string("ablated_feature")
+        if (ablated == graft.ablate.Loco.BaseMarker) 1.0 else 0.5
+      }
+    }
+    val res = Graft.lagom(spark, AblationConfig(
+      AblationStudy(features = Set("f1", "f2", "f3"))))(AblFn)
+    assert(res.numTrials == 4)
+    assert(res.bestMetric == 1.0)
+    assert(res.trials.count(_.metric.contains(0.5)) == 3)
+  }
+
+  test("trials dataset supports data-plane analytics (argmax over trials)") {
+    val res = Graft.lagom(spark, HyperparameterOptConfig(
+      numTrials = 8, optimizer = "randomsearch", searchspace = space,
+      direction = Direction.Max, esPolicy = "none"))(Objective)
+    val ds = Graft.trialsDataset(spark, res)
+    import org.apache.spark.sql.functions._
+    val row = ds.agg(
+      max_by(col("trial_id"), col("metric")).as("best_id"),
+      round(avg(col("metric")), 9).as("avg_metric")).head()
+    assert(row.getString(0) == res.bestId)
+    assert(math.abs(row.getDouble(1) - res.avgMetric) < 1e-6)
+  }
+
+  test("async scheduling beats synchronized batches on variable-duration trials") {
+    // workload shape from maggy/tests/test_randomsearch.py:83-87 (variable
+    // trial durations, 2 executors), made deterministic: half long (500 ms),
+    // half short (100 ms). BSP pairs one long + one short per batch and pays
+    // the max; async work-steals.
+    val durations = Seq(501.0, 101.0, 502.0, 102.0, 503.0, 103.0, 504.0, 104.0)
+    object SleepFn extends TrainFn {
+      def apply(ctx: TrialContext): Double = {
+        Thread.sleep(ctx.double("d").toLong)
+        -ctx.double("d")
+      }
+    }
+    val sleepSpace = Searchspace(Seq(DiscreteParam("d", durations)))
+    // warm up the 2-partition job path so neither timing pays first-job cost
+    spark.sparkContext.parallelize(0 until 2, 2).foreach(_ => ())
+
+    val t0 = System.currentTimeMillis()
+    val res = Graft.lagom(spark, HyperparameterOptConfig(
+      numTrials = 0, optimizer = "gridsearch", searchspace = sleepSpace,
+      direction = Direction.Max, esPolicy = "none"))(SleepFn)
+    val asyncMs = System.currentTimeMillis() - t0
+    assert(res.numTrials == durations.size)
+
+    // synchronized-batch baseline: real Spark jobs, batches of 2 with a
+    // barrier between batches (the BSP strawman the reference compares to)
+    val t1 = System.currentTimeMillis()
+    durations.grouped(2).foreach { batch =>
+      spark.sparkContext.parallelize(batch, 2).foreach(d => Thread.sleep(d.toLong))
+    }
+    val batchMs = System.currentTimeMillis() - t1
+    assert(asyncMs < batchMs, s"async $asyncMs ms vs batch $batchMs ms")
+  }
+}
