@@ -1,0 +1,34 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Dev harness: run one declared query by name, print rows + wall time.
+  * Usage: sbt "runMain graft.Run <queryName> [sfDir] [--explain|--show]" */
+object Run {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1 && !args(1).startsWith("--")) args(1) else "/root/testdata/sf0.01"
+    val flags = args.filter(_.startsWith("--")).toSet
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    if (flags("--explain")) df.explain("formatted")
+    val t0 = System.nanoTime()
+    val n = df.count()
+    val dt = (System.nanoTime() - t0) / 1e9
+    println(f"[run] $name rows=$n time=$dt%.2fs sf=$sfDir")
+    if (flags("--twice")) {
+      val t1 = System.nanoTime()
+      val n2 = SparkEntry.queries(name)(spark, sfDir).count()
+      val dt2 = (System.nanoTime() - t1) / 1e9
+      println(f"[run] $name rows=$n2 warm=$dt2%.2fs sf=$sfDir")
+    }
+    if (flags("--show")) df.show(50, truncate = false)
+    spark.stop()
+  }
+}

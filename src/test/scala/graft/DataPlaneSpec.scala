@@ -1,0 +1,105 @@
+package graft
+
+import graft.data.Tables
+import graft.llm.{Dedup, IvfIndex, Multimodal, Similarity}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Validation for the declared queries that have no DuckDB oracle
+  * (probabilistic / sketch / engine-specific operators). Each test bounds
+  * the approximation against an exact computation on the same testdata —
+  * these are the suites the operator files point at.
+  */
+class DataPlaneSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("dataplane-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Exact all-pairs Jaccard ≥ threshold over the 3-shingle sets — the
+    * ground truth the LSH/SimHash approximations are measured against.
+    * (Shingle extraction itself is oracle-checked via d4_ngram_jaccard.) */
+  private def exactPairs(threshold: Double): Set[(Long, Long)] = {
+    val sh = Dedup.shingleSets(Tables(spark, sf, "documents"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .withColumn("j", inter / (size(col("sh_a")) + size(col("sh_b")) - inter))
+      .filter(col("j") >= threshold)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("d3 banded MinHash LSH: recall >= 0.9 vs exact Jaccard pairs at 0.8, no false positives") {
+    val truth = exactPairs(0.8)
+    assert(truth.nonEmpty, "testdata must contain planted near-dup pairs")
+    val lsh = Dedup.bandedLshPairs(Tables(spark, sf, "documents"), jaccardThreshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & lsh).size.toDouble / truth.size
+    assert(recall >= 0.9, s"LSH recall $recall < 0.9 (found ${lsh.size}, truth ${truth.size})")
+    // candidates are verified with exact Jaccard, so precision must be perfect
+    assert((lsh -- truth).isEmpty, s"false positives: ${(lsh -- truth).take(5)}")
+  }
+
+  test("d5 SimHash: near-dup pairs land within hamming distance 8") {
+    val truth = exactPairs(0.8)
+    val sig = Dedup.simhash(Tables(spark, sf, "documents"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val dists = truth.toSeq.map { case (a, b) => hamming(sig(a), sig(b)) }
+    assert(dists.forall(_ <= 8),
+      s"near-dup hamming distances exceed 8: ${dists.filter(_ > 8)}")
+    // sanity: unrelated docs are far apart — expected hamming 32 for random
+    val far = sig.keys.toSeq.sorted.sliding(2).collect {
+      case Seq(a, b) if !truth((a, b)) && !truth((b, a)) => hamming(sig(a), sig(b))
+    }.toSeq
+    assert(far.count(_ > 8).toDouble / far.size > 0.95,
+      "unrelated docs should rarely collide under hamming 8")
+  }
+
+  test("sim_ivf_ann: recall >= 0.8 vs brute-force top-10") {
+    val emb = Tables(spark, sf, "embeddings")
+    val probes = emb.filter(col("vec_id") < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("probe_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceKnn(probes, emb, k = 10))
+    val ivf = pairs(IvfIndex.annSearch(probes, emb, k = 10, nClusters = 8, nProbe = 4))
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF recall $recall < 0.8")
+  }
+
+  test("a3 approx_count_distinct within 2% of exact") {
+    val li = Tables(spark, sf, "lineitem")
+    val exact = li.agg(
+      countDistinct(col("l_partkey")).as("p"),
+      countDistinct(col("l_orderkey")).as("o")).head()
+    val approx = li.agg(
+      approx_count_distinct(col("l_partkey"), 0.02).as("p"),
+      approx_count_distinct(col("l_orderkey"), 0.02).as("o")).head()
+    def relErr(a: Long, e: Long): Double = math.abs(a - e).toDouble / e
+    assert(relErr(approx.getLong(0), exact.getLong(0)) <= 0.02)
+    assert(relErr(approx.getLong(1), exact.getLong(1)) <= 0.02)
+  }
+
+  test("m2 media features: stub decoder output matches a locally computed golden row") {
+    val doc = Tables(spark, sf, "documents")
+      .filter(col("doc_id") === 0).select("text").head().getString(0)
+    val bytes = doc.getBytes("UTF-8")
+    val frames = bytes.grouped(16).toArray
+    val expectedF0 = frames.head.map(b => (b & 0xff).toDouble).sum / frames.head.length
+    val row = SparkEntry.queries("m2_media_features")(spark, sf)
+      .filter(col("media_id") === 0).head()
+    assert(row.getInt(1) == frames.length, "n_frames mismatch")
+    assert(math.abs(row.getDouble(2) - math.rint(expectedF0 * 1e6) / 1e6) < 1e-9, "f0 mismatch")
+  }
+}
