@@ -26,7 +26,11 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     require(names.contains(name), s"unknown table: $name")
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // idempotent guard: session builders set this once; only touch the
+      // session conf if a caller forgot (a per-read set is a global side
+      // effect on every query build)
+      if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$sfDir/$name.parquet")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))  // integer div: ns epoch exceeds double precision
     } else {

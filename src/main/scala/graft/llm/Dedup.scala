@@ -57,10 +57,13 @@ object Dedup {
         |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
         |WHERE a.doc_id % 50 = 0""".stripMargin) { (s, d) =>
       val docs = Tables(s, d, "documents")
+      // size>=3 guard: sequence(1, n) with n<1 steps DOWNWARD in Spark,
+      // while DuckDB's range(1, n) yields empty — guard to match.
       val sh = docs.select(
         col("doc_id"), col("source"),
         array_distinct(transform(
-          sequence(lit(1), size(tokens) - 2),
+          when(size(tokens) >= 3, sequence(lit(1), size(tokens) - 2))
+            .otherwise(array().cast("array<int>")),
           i => array_join(slice(tokens, i, lit(3)), " "))).as("shingles"))
       val a = sh.filter(col("doc_id") % 50 === 0)
         .select(col("doc_id").as("probe_id"), col("source"), col("shingles").as("sh_a"))
@@ -80,6 +83,11 @@ object Dedup {
 
     // MinHash + banded AND/OR LSH near-dup pairs (probabilistic recall →
     // rows-only; DataPlaneSpec proves recall vs d4's exact Jaccard).
+    // NOTE (schema change vs round 1): output column is `jaccard`
+    // (similarity, kept when >= 0.8) — round 1 emitted `jaccard_dist`
+    // (distance, kept when <= 0.6); and docs under 3 tokens are excluded by
+    // the empty-shingle filter in shingleSets. Old and new d3 outputs are
+    // NOT comparable.
     QueryDef.noOracle("d3_minhash_pairs") { (s, d) =>
       bandedLshPairs(Tables(s, d, "documents"), jaccardThreshold = 0.8)
     }
@@ -104,7 +112,7 @@ object Dedup {
 
   /** Banded AND/OR MinHash LSH parameters. 64 minhashes sliced into 16 bands
     * × 4 rows → P(candidate | jaccard s) = 1−(1−s⁴)¹⁶: 0.9998 at s=0.8,
-    * 0.40 at s=0.5, 0.006 at s=0.2 — high recall in the near-dup regime,
+    * 0.64 at s=0.5, 0.025 at s=0.2 — high recall in the near-dup regime,
     * sub-quadratic candidate volume below it. */
   val NumHashes = 64
   val Bands     = 16
@@ -139,13 +147,21 @@ object Dedup {
     *      all pairs and was quadratic);
     *   3. exact Jaccard runs only on surviving candidate pairs (two hash
     *      joins back to the shingle sets).
-    *   Residual scale risk: a hot bucket from boilerplate near-identical
-    *   docs; production would cap bucket size — kept exact here for
-    *   recall-test parity (DataPlaneSpec vs d4).
+    *   Hot-bucket guard: a boilerplate-heavy corpus can put m docs in one
+    *   bucket, whose m²/2 in-bucket pairs are generated inside ONE task —
+    *   `maxBucketSize` caps the ids considered per bucket (other bands still
+    *   catch capped docs' true near-dups, so recall degrades gracefully
+    *   rather than a task OOMing at 100 TB).
     * Dedup intent per reference: maggy/optimizer/abstractoptimizer.py:254-295.
     */
-  def bandedLshPairs(docs: DataFrame, jaccardThreshold: Double): DataFrame = {
-    val sh = shingleSets(docs)
+  def bandedLshPairs(
+      docs: DataFrame,
+      jaccardThreshold: Double,
+      maxBucketSize: Int = 1000): DataFrame = {
+    // sh is consumed three times (band keys + both sides of the candidate
+    // re-join); persist so shingling runs once. Size is bounded: doc_id +
+    // shingle hashes ≈ 8 bytes/token — far under the text it derives from.
+    val sh = shingleSets(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 64 minhash values per doc, computed per-row with higher-order
     // functions: sig[i] = min over shingles of xxhash64(i, shingle_hash).
     // ZERO shuffle — measured 2.3x faster than the explode + 64-column
@@ -166,6 +182,7 @@ object Dedup {
     val buckets = bands.groupBy("band", "bh")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
+      .withColumn("ids", slice(col("ids"), 1, maxBucketSize))
     val cands = buckets
       .select(explode(flatten(transform(col("ids"), (a, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))),

@@ -61,7 +61,9 @@ object Similarity {
     },
 
     // Embedding near-duplicate pairs: probes (vec_id % 10 = 0) vs the corpus,
-    // cosine above threshold — the embedding-space analog of d4.
+    // cosine above threshold — the embedding-space analog of d4. Threshold
+    // 0.3 lands ~100 pairs on testdata (0.8 returned 0 rows, a vacuous
+    // oracle match; the testdata embeddings are only weakly clustered).
     QueryDef("sim_near_dup_pairs",
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
         |SELECT a.vec_id AS probe_id, b.vec_id AS cand_id,
@@ -69,7 +71,7 @@ object Similarity {
         |             sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)), 6) AS cosine
         |FROM v a JOIN v b ON a.vec_id % 10 = 0 AND a.vec_id < b.vec_id
         |WHERE list_dot_product(a.e, b.e) /
-        |      sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)) > 0.8""".stripMargin) { (s, d) =>
+        |      sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)) > 0.3""".stripMargin) { (s, d) =>
       val emb = Tables(s, d, "embeddings")
       val a = broadcast(emb.filter(col("vec_id") % 10 === 0)
         .select(col("vec_id").as("probe_id"), col("embedding").cast("array<double>").as("pv")))
@@ -77,7 +79,7 @@ object Similarity {
       b.crossJoin(a)
         .filter(col("probe_id") < col("cand_id"))
         .withColumn("cos_raw", cosine(col("pv"), col("cv")))
-        .filter(col("cos_raw") > 0.8)
+        .filter(col("cos_raw") > 0.3)
         .select(col("probe_id"), col("cand_id"), round(col("cos_raw"), 6).as("cosine"))
     },
 

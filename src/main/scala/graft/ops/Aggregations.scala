@@ -2,7 +2,6 @@ package graft.ops
 
 import graft.data.Tables
 import graft.ops.Exact._
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Aggregation surface (SURVEY §2.B A1–A9).
@@ -87,15 +86,19 @@ object Aggregations {
 
     // A4: argmax per group — best order per customer (deterministic tiebreak)
     // (reference: best/worst update, optimization_driver.py:379-396).
+    // max_by over struct(price, -orderkey) = one hash aggregate with map-side
+    // partials — no window sort, no per-group shuffle of full rows. Ties on
+    // price resolve to the LOWEST orderkey (negation flips the struct order),
+    // matching the oracle's ORDER BY o_totalprice DESC, o_orderkey.
     QueryDef("a4_argmax",
       """SELECT o_custkey, o_orderkey AS best_order, o_totalprice AS best_price
         |FROM orders
         |QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) = 1""".stripMargin) { (s, d) =>
-      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
       Tables(s, d, "orders")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("o_custkey"), col("o_orderkey").as("best_order"), col("o_totalprice").as("best_price"))
+        .groupBy("o_custkey")
+        .agg(
+          max_by(col("o_orderkey"), struct(col("o_totalprice"), -col("o_orderkey"))).as("best_order"),
+          max(col("o_totalprice")).as("best_price"))
     },
 
     // A6: distinct projection (dropDuplicates on the projected key set).

@@ -97,12 +97,16 @@ object Joins {
     },
 
     // J5b: left anti (NOT EXISTS) — duplicate-config exclusion semantics
-    // (reference: maggy/optimizer/abstractoptimizer.py:274-295).
+    // (reference: maggy/optimizer/abstractoptimizer.py:274-295). Filtered to
+    // big orders so the anti set is non-empty on testdata (a 0-row result
+    // would make the oracle check vacuous).
     QueryDef("j5_anti_join",
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin) { (s, d) =>
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin) { (s, d) =>
+      val bigOrders = Tables(s, d, "orders").filter(col("o_totalprice") > 300000)
       Tables(s, d, "customer")
-        .join(Tables(s, d, "orders"), col("o_custkey") === col("c_custkey"), "left_anti")
+        .join(bigOrders, col("o_custkey") === col("c_custkey"), "left_anti")
         .select("c_custkey", "c_name")
     },
 

@@ -42,13 +42,16 @@ object SetOps {
         .intersect(Tables(s, d, "supplier").select(col("s_nationkey").as("nk")))
     },
 
-    // O4b: except — nations with customers but no suppliers.
+    // O4b: except — orders that have no lineitems (non-empty on testdata;
+    // the earlier nations-without-suppliers variant returned 0 rows, which
+    // made the oracle check vacuous). Large-large: both sides shuffle on the
+    // key, which is exactly the plan EXCEPT needs at scale.
     QueryDef("o4_except",
-      """SELECT c_nationkey AS nk FROM customer
+      """SELECT o_orderkey AS key FROM orders
         |EXCEPT
-        |SELECT s_nationkey AS nk FROM supplier""".stripMargin) { (s, d) =>
-      Tables(s, d, "customer").select(col("c_nationkey").as("nk"))
-        .except(Tables(s, d, "supplier").select(col("s_nationkey").as("nk")))
+        |SELECT l_orderkey AS key FROM lineitem""".stripMargin) { (s, d) =>
+      Tables(s, d, "orders").select(col("o_orderkey").as("key"))
+        .except(Tables(s, d, "lineitem").select(col("l_orderkey").as("key")))
     }
   )
 }

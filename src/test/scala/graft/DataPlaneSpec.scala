@@ -39,6 +39,34 @@ class DataPlaneSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
   }
 
+  test("shingleSets matches independent Scala-side 3-shingling (incl. <3-token guard)") {
+    import spark.implicits._
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    // independent derivation: plain Scala sliding-window shingling, so a bug
+    // in the Spark-side sequence/slice windowing or the <3-token guard shows
+    // up here (the hash fn itself is shared — it is not the suspect part)
+    val expectedStrings: Map[Long, Seq[String]] = docs.map { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val shingles =
+        if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSeq.distinct
+        else Seq.empty[String]
+      id -> shingles
+    }.toMap
+    val expected: Map[Long, Set[Long]] = expectedStrings.toSeq
+      .flatMap { case (id, ss) => ss.map(id -> _) }
+      .toDF("doc_id", "shingle")
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rows) => id -> rows.map(_.getLong(1)).toSet }
+    val actual: Map[Long, Set[Long]] = Dedup.shingleSets(Tables(spark, sf, "documents"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(actual == expected, "shingle extraction diverges from independent derivation")
+    // docs under 3 tokens (if any) must be absent, not descending-sequence junk
+    val shortIds = expectedStrings.collect { case (id, ss) if ss.isEmpty => id }.toSet
+    assert(shortIds.forall(id => !actual.contains(id)))
+  }
+
   test("d3 banded MinHash LSH: recall >= 0.9 vs exact Jaccard pairs at 0.8, no false positives") {
     val truth = exactPairs(0.8)
     assert(truth.nonEmpty, "testdata must contain planted near-dup pairs")
