@@ -85,6 +85,32 @@ object ScalarFns {
         (col("l_orderkey") % 7).as("key_mod"))
     },
 
+    // Map functions (params-dict semantics, reference: maggy/trial.py:68).
+    // The map is built from columns and immediately deconstructed with
+    // map_keys/map_values/element_at — the oracle computes the same values
+    // directly, so the map round-trip must be the identity. Spark map()
+    // preserves insertion order, making map_values deterministic.
+    QueryDef("f_map",
+      """SELECT p_partkey,
+        |       3 AS n_keys,
+        |       'brand,name,type' AS keys_sorted,
+        |       p_brand AS brand,
+        |       p_type  AS typ,
+        |       concat_ws('|', p_brand, p_type, p_name) AS vals
+        |FROM part""".stripMargin) { (s, d) =>
+      val m = map(
+        lit("brand"), col("p_brand"),
+        lit("type"), col("p_type"),
+        lit("name"), col("p_name"))
+      Tables(s, d, "part").select(
+        col("p_partkey"),
+        size(m).as("n_keys"),
+        array_join(array_sort(map_keys(m)), ",").as("keys_sorted"),
+        element_at(m, "brand").as("brand"),
+        element_at(m, "type").as("typ"),
+        array_join(map_values(m), "|").as("vals"))
+    },
+
     // Array functions over the embedding column (J9 building blocks).
     QueryDef("f_array",
       """SELECT vec_id,

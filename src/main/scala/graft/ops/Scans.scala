@@ -39,6 +39,45 @@ object Scans {
         md5(col("props")).as("props_hash"))
     },
 
+    // S4: text scan — engine lines written as a text file, read back with
+    // spark.read.text and parsed. The oracle aggregates the same facts from
+    // the source table directly, so the round-trip through the text format
+    // must be the identity (reference: log-file reads, maggy/core/
+    // reporter.py:103-135).
+    QueryDef("s4_text_scan",
+      """SELECT source, count(*) AS n, sum(doc_id) AS id_sum
+        |FROM documents GROUP BY source""".stripMargin) { (s, d) =>
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_s4_${math.abs(d.hashCode)}"
+      Tables(s, d, "documents")
+        .select(concat_ws("|", col("doc_id"), col("source")).as("value"))
+        .write.mode("overwrite").text(tmp)
+      s.read.text(tmp)
+        .select(split(col("value"), "\\|").as("f"))
+        .select(element_at(col("f"), 1).cast("long").as("doc_id"),
+          element_at(col("f"), 2).as("source"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+    },
+
+    // S5: sink round-trip — write a projected/filtered slice to parquet, read
+    // it back, aggregate; the oracle computes the same aggregate straight
+    // from the source table (reference: per-trial JSON result sinks,
+    // maggy/core/experiment_driver/optimization_driver.py:248-252).
+    QueryDef("s5_sink_roundtrip",
+      """SELECT count(*) AS n, count(DISTINCT l_orderkey) AS n_orders,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(22,8))) AS DOUBLE), 2) AS sum_qty
+        |FROM lineitem WHERE l_discount > 0.05""".stripMargin) { (s, d) =>
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_s5_${math.abs(d.hashCode)}"
+      Tables(s, d, "lineitem")
+        .filter(col("l_discount") > 0.05)
+        .select("l_orderkey", "l_quantity")
+        .write.mode("overwrite").parquet(tmp)
+      s.read.parquet(tmp).agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        graft.ops.Exact.moneySum(col("l_quantity")).as("sum_qty"))
+    },
+
     // S6: in-memory generated dataset (deterministic, seedless — id-derived),
     // standing in for sampled-config generation (reference: maggy/searchspace.py:180-208).
     QueryDef("s6_generated_configs",
