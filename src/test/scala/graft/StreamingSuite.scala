@@ -1,0 +1,107 @@
+package graft
+
+import graft.data.Tables
+import graft.streaming.Streams
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming validation: every streaming query must equal its
+  * batch analog on the same data (stream == batch is the invariant the
+  * declared T-queries rely on), and stateful operators must survive
+  * multi-micro-batch replay — a single AvailableNow batch would not
+  * exercise cross-trigger state at all.
+  */
+class StreamingSuite extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("streaming-suite")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def rows(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq.map {
+      case d: java.sql.Timestamp => d.getTime
+      case x => x
+    }.toSeq).toSet
+
+  test("st_stream_tumbling equals the batch tumbling window") {
+    val stream = SparkEntry.queries("st_stream_tumbling")(spark, sf)
+    val batch = SparkEntry.queries("st_tumbling_window")(spark, sf)
+    assert(rows(stream) == rows(batch))
+    assert(stream.count() > 0)
+  }
+
+  test("st_stream_dedup equals batch distinct-count") {
+    val stream = SparkEntry.queries("st_stream_dedup")(spark, sf)
+    val batch = SparkEntry.queries("st_dedup_late")(spark, sf)
+    assert(rows(stream) == rows(batch))
+  }
+
+  test("st_stream_static_join equals its batch join") {
+    val stream = SparkEntry.queries("st_stream_static_join")(spark, sf)
+    val batch = Tables(spark, sf, "events")
+      .join(broadcast(Tables(spark, sf, "customer")), col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), graft.ops.Exact.moneySum(col("value")).as("total"))
+    assert(rows(stream) == rows(batch))
+    assert(stream.count() > 0)
+  }
+
+  test("st_stream_fsm equals order-insensitive batch aggregate") {
+    val stream = SparkEntry.queries("st_stream_fsm")(spark, sf)
+    val batch = Tables(spark, sf, "events")
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        array_join(array_sort(collect_set(col("event_type"))), ",").as("types_seen"),
+        max(col("ts")).as("last_ts"))
+    assert(rows(stream) == rows(batch))
+  }
+
+  test("FSM state survives across micro-batches (4-file replay, maxFilesPerTrigger=1)") {
+    // split events into 4 parquet files; maxFilesPerTrigger=1 forces 4
+    // triggers, so per-user state MUST carry across micro-batches to get
+    // the right totals
+    val splitDir = s"${sys.props("java.io.tmpdir")}/graft_fsm_split_${System.nanoTime()}"
+    spark.read.parquet(s"$sf/events.parquet").repartition(4)
+      .write.mode("overwrite").parquet(splitDir)
+    val raw = spark.readStream
+      .schema(spark.read.parquet(splitDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(splitDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val result = Streams.fsmFinal(
+      Streams.runToTable(spark, Streams.fsm(spark, raw), "update"))
+    val batch = Tables(spark, sf, "events")
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        array_join(array_sort(collect_set(col("event_type"))), ",").as("types_seen"),
+        max(col("ts")).as("last_ts"))
+    assert(rows(result) == rows(batch))
+  }
+
+  test("watermark evicts dedup state but keeps in-order duplicates dropped") {
+    // duplicate every event (at-least-once replay); stream dedup must
+    // drop exactly the duplicates when replays arrive within the watermark
+    val dupDir = s"${sys.props("java.io.tmpdir")}/graft_dup_${System.nanoTime()}"
+    val base = spark.read.parquet(s"$sf/events.parquet")
+    base.unionAll(base).write.mode("overwrite").parquet(dupDir)
+    val stream = spark.readStream
+      .schema(base.schema)
+      .parquet(dupDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id", "event_id")
+      .select("user_id", "event_id")
+    val deduped = Streams.runToTable(spark, stream, "append")
+    assert(deduped.count() == base.count())
+  }
+}
