@@ -29,6 +29,7 @@ final case class ExperimentResult(
     avgMetric: Double,
     numTrials: Int,
     earlyStopped: Int,
+    errored: Int,
     durationMs: Long,
     trials: Seq[TrialRow])
 
@@ -131,6 +132,7 @@ object Graft {
         avgMetric = avg,
         numTrials = finals.size,
         earlyStopped = server.earlyStoppedCount,
+        errored = server.erroredCount,
         durationMs = System.currentTimeMillis() - t0,
         trials = finals.map(toRow))
     } finally server.stop()

@@ -46,6 +46,7 @@ final class DriverServer(
   private val trials = mutable.Map.empty[String, Trial]
   @volatile var experimentDone = false
   @volatile var earlyStoppedCount = 0
+  @volatile var erroredCount = 0
   private var stepsSinceCheck = 0L
 
   def host: String = InetAddress.getLoopbackAddress.getHostAddress
@@ -103,9 +104,25 @@ final class DriverServer(
   }
 
   private def handle(msg: Map[String, String]): Map[String, String] = msg("type") match {
-    case MsgType.Reg =>
-      reservations.put(msg("partition").toInt, System.currentTimeMillis())
+    case MsgType.Reg => lock.synchronized {
+      val p = msg("partition").toInt
+      val fresh = reservations.put(p, System.currentTimeMillis()) == null
+      if (!fresh) {
+        // re-registration = Spark retried the task after the executor died;
+        // any trial still assigned to this partition was lost mid-run —
+        // mark it ERROR and free the optimizer slot so the experiment
+        // completes instead of waiting on it forever
+        // (reference: maggy/core/rpc.py:415-437 lost-trial path)
+        trials.values
+          .filter(t => t.assignedPartition.contains(p) && t.status == TrialStatus.Running)
+          .foreach { t =>
+            t.status = TrialStatus.Error
+            erroredCount += 1
+            optimizer.noteErrored(t)
+          }
+      }
       Map("type" -> MsgType.Ok)
+    }
 
     case MsgType.Get => lock.synchronized {
       if (experimentDone) Map("type" -> MsgType.GStop)
@@ -136,12 +153,20 @@ final class DriverServer(
     case MsgType.Final => lock.synchronized {
       val id = msg("trial_id")
       trials.get(id).foreach { t =>
-        t.finalize_(msg("value").toDouble)
-        if (msg.getOrElse("early_stopped", "false") == "true") {
-          t.earlyStop = true
-          earlyStoppedCount += 1
+        if (msg.getOrElse("error", "false") == "true") {
+          // train fn threw: ERROR, not finalized — the metric is garbage
+          // (reference: failed-trial path, maggy/core/rpc.py:415-437)
+          t.status = TrialStatus.Error
+          erroredCount += 1
+          optimizer.noteErrored(t)
+        } else {
+          t.finalize_(msg("value").toDouble)
+          if (msg.getOrElse("early_stopped", "false") == "true") {
+            t.earlyStop = true
+            earlyStoppedCount += 1
+          }
+          optimizer.noteFinalized(t)
         }
-        optimizer.noteFinalized(t)
       }
       Map("type" -> MsgType.Ok)
     }

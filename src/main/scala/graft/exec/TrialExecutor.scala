@@ -143,9 +143,17 @@ object TrialExecutor {
 
             val ctx = TrialContext(trialId, params, budget, partitionId, reporter)
             var earlyStopped = false
+            var errored = false
             val metric =
               try trainFn(ctx)
-              catch { case es: EarlyStopException => earlyStopped = true; es.lastMetric }
+              catch {
+                case es: EarlyStopException => earlyStopped = true; es.lastMetric
+                case _: Throwable =>
+                  // a throwing train fn fails ONE trial, not the executor:
+                  // report ERROR and keep pulling (the driver drops the trial
+                  // from the busy store; reference maggy/core/rpc.py:415-437)
+                  errored = true; Double.NaN
+              }
             trialRunning = false
             hbThread.interrupt() // don't pay a heartbeat-interval latency per trial
             hbThread.join(2000)
@@ -157,7 +165,8 @@ object TrialExecutor {
             main.request(Map(
               "type" -> MsgType.Final, "trial_id" -> trialId,
               "value" -> metric.toString,
-              "early_stopped" -> earlyStopped.toString))
+              "early_stopped" -> earlyStopped.toString,
+              "error" -> errored.toString))
           case MsgType.Err =>
             throw new IllegalStateException(s"driver rejected message: $resp")
         }

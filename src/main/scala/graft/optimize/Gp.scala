@@ -26,6 +26,7 @@ final class Gp(
     nPoints: Int = 10000) extends Optimizer {
 
   private var issued = 0
+  private var exhausted = false
 
   override protected def validate(): Unit = {
     require(searchspace.containsContinuous, "GP requires at least one continuous param")
@@ -35,14 +36,19 @@ final class Gp(
   private def dims: Int = searchspace.params.size
 
   def getSuggestion(completed: Option[Trial]): Suggestion = {
-    if (issued >= numTrials) return if (trialStore.nonEmpty) Idle else Done
-    issued += 1
+    if (exhausted || issued >= numTrials) return if (trialStore.nonEmpty) Idle else Done
     val t = suggestConfig()
     if (hparamsExist(t)) {
-      val re = (1 to 3).iterator.map(_ => new Trial(searchspace.sample(rng)))
-        .find(c => !hparamsExist(c))
-      NewTrial(re.getOrElse(t))
-    } else NewTrial(t)
+      // exhausted resamples → STOP, never reissue a colliding trialId
+      // (reference bayes/base.py:288-301)
+      (1 to 3).iterator.map(_ => new Trial(searchspace.sample(rng)))
+        .find(c => !hparamsExist(c)) match {
+        case Some(c) => issued += 1; NewTrial(c)
+        case None =>
+          exhausted = true
+          if (trialStore.nonEmpty) Idle else Done
+      }
+    } else { issued += 1; NewTrial(t) }
   }
 
   private def suggestConfig(): Trial = {

@@ -44,6 +44,11 @@ trait Optimizer {
   def noteStarted(t: Trial): Unit = trialStore.put(t.trialId, t)
   def noteFinalized(t: Trial): Unit = { trialStore.remove(t.trialId); finalStore += t }
 
+  /** A trial died (train-fn exception or executor loss): drop it from the
+    * busy store WITHOUT finalizing, so Done-detection and surrogate fits
+    * never see it (reference: status ERROR, maggy/core/rpc.py:415-437). */
+  def noteErrored(t: Trial): Unit = trialStore.remove(t.trialId)
+
   /** Duplicate-config check against busy + finalized trials (reference:
     * maggy/optimizer/abstractoptimizer.py:254-295). */
   def hparamsExist(t: Trial): Boolean = {

@@ -23,6 +23,7 @@ final class Tpe(
     randomFraction: Double = 0.33) extends Optimizer {
 
   private var issued = 0
+  private var exhausted = false
 
   override protected def validate(): Unit = {
     require(searchspace.containsContinuous, "TPE requires at least one continuous param")
@@ -32,17 +33,23 @@ final class Tpe(
   private def dims: Int = searchspace.params.size
 
   def getSuggestion(completed: Option[Trial]): Suggestion = {
-    if (issued >= numTrials) {
+    if (exhausted || issued >= numTrials) {
       return if (trialStore.nonEmpty) Idle else Done
     }
-    issued += 1
     val t = suggestConfig()
     if (hparamsExist(t)) {
-      // resample ≤3 attempts then random (reference base.py:288-301)
-      val re = (1 to 3).iterator.map(_ => new Trial(searchspace.sample(rng)))
-        .find(c => !hparamsExist(c))
-      NewTrial(re.getOrElse(t))
-    } else NewTrial(t)
+      // resample ≤3 attempts; if every attempt collides, the searchspace is
+      // exhausted — STOP the experiment rather than reissue a duplicate
+      // trialId that would corrupt the driver's trial store (reference
+      // stops too: bayes/base.py:288-301)
+      (1 to 3).iterator.map(_ => new Trial(searchspace.sample(rng)))
+        .find(c => !hparamsExist(c)) match {
+        case Some(c) => issued += 1; NewTrial(c)
+        case None =>
+          exhausted = true
+          if (trialStore.nonEmpty) Idle else Done
+      }
+    } else { issued += 1; NewTrial(t) }
   }
 
   private def suggestConfig(): Trial = {

@@ -133,6 +133,58 @@ class LagomSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(1) - res.avgMetric) < 1e-6)
   }
 
+  test("throwing train fn marks its trial ERROR; experiment still completes") {
+    val gridSpace = Searchspace(Seq(
+      DiscreteParam("x", Seq(1, 2, 3)), CategoricalParam("mode", Seq("a", "b"))))
+    object FlakyFn extends TrainFn {
+      def apply(ctx: TrialContext): Double = {
+        if (ctx.double("x") == 2.0 && ctx.string("mode") == "b")
+          throw new IllegalStateException("injected train failure")
+        ctx.double("x")
+      }
+    }
+    val res = Graft.lagom(spark, HyperparameterOptConfig(
+      numTrials = 0, optimizer = "gridsearch", searchspace = gridSpace,
+      direction = Direction.Max, esPolicy = "none"))(FlakyFn)
+    assert(res.numTrials == 5, s"expected 5 finalized of 6 (1 errored), got ${res.numTrials}")
+    assert(res.errored == 1)
+    assert(res.bestMetric == 3.0)
+  }
+
+  test("executor re-registration marks its lost Running trial ERROR and frees the slot") {
+    import graft.exec.{DriverServer, MsgType, Wire}
+    import graft.optimize.RandomSearch
+    import java.io.{DataInputStream, DataOutputStream}
+    import java.net.Socket
+
+    val opt = new RandomSearch()
+    opt.initialize(space, numTrials = 3, Direction.Max, seed = 7L)
+    val server = new DriverServer(opt, Direction.Max, graft.optimize.NoStoppingRule)
+    server.start()
+    try {
+      val sock = new Socket(server.host, server.port)
+      val in = new DataInputStream(sock.getInputStream)
+      val out = new DataOutputStream(sock.getOutputStream)
+      def req(fields: Map[String, String]): Map[String, String] = {
+        Wire.send(out, fields + ("secret" -> server.authSecret))
+        Wire.recv(in)
+      }
+      req(Map("type" -> MsgType.Reg, "partition" -> "0"))
+      val t1 = req(Map("type" -> MsgType.Get, "partition" -> "0"))
+      assert(t1("type") == MsgType.Trial)
+      // executor "dies" without FINAL; Spark's task retry re-registers
+      req(Map("type" -> MsgType.Reg, "partition" -> "0"))
+      assert(server.erroredCount == 1)
+      val lost = server.allTrials.find(_.trialId == t1("trial_id")).get
+      assert(lost.status == TrialStatus.Error)
+      // the slot is free again: a new, different trial is assigned
+      val t2 = req(Map("type" -> MsgType.Get, "partition" -> "0"))
+      assert(t2("type") == MsgType.Trial)
+      assert(t2("trial_id") != t1("trial_id"))
+      sock.close()
+    } finally server.stop()
+  }
+
   test("async scheduling beats synchronized batches on variable-duration trials") {
     // workload shape from maggy/tests/test_randomsearch.py:83-87 (variable
     // trial durations, 2 executors), made deterministic: half long (500 ms),
