@@ -48,4 +48,24 @@ object Loco {
       case HV.S(f) => df.drop(f)
       case _ => df
     }
+
+  /** The ablated stage names a trial asks to drop — the engine analog of the
+    * reference rebuilding the Keras model JSON without the named layer(s)
+    * (maggy/ablation/ablator/loco.py:99-136). Rewiring adjacent stages is
+    * the pipeline builder's concern, same as layer ablation can rewire
+    * tensors. Empty set = base trial. */
+  def ablatedStages(trial: Trial): Set[String] =
+    trial.params.get("ablated_layer") match {
+      case Some(HV.S(BaseMarker)) | None => Set.empty
+      case Some(HV.S(spec)) => spec.split(",").toSet
+      case _ => Set.empty
+    }
+
+  /** The ablated feature name, if the trial ablates one. */
+  def ablatedFeature(trial: Trial): Option[String] =
+    trial.params.get("ablated_feature") match {
+      case Some(HV.S(BaseMarker)) | None => None
+      case Some(HV.S(f)) => Some(f)
+      case _ => None
+    }
 }

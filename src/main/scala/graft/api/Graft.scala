@@ -116,26 +116,35 @@ object Graft {
       }
       sc.clearJobGroup()
 
-      val finals = optimizer.finalStore.toSeq
-      require(finals.nonEmpty, "experiment produced no finalized trials")
-      val better: (Double, Double) => Boolean =
-        if (direction == Direction.Max) _ > _ else _ < _
-      val best = finals.maxBy(t => if (direction == Direction.Max) t.finalMetric.get else -t.finalMetric.get)
-      val worst = finals.minBy(t => if (direction == Direction.Max) t.finalMetric.get else -t.finalMetric.get)
-      val avg = finals.flatMap(_.finalMetric).sum / finals.size
-      ExperimentResult(
-        bestId = best.trialId,
-        bestConfig = best.paramsSansBudget,
-        bestMetric = best.finalMetric.get,
-        worstId = worst.trialId,
-        worstMetric = worst.finalMetric.get,
-        avgMetric = avg,
-        numTrials = finals.size,
-        earlyStopped = server.earlyStoppedCount,
-        errored = server.erroredCount,
-        durationMs = System.currentTimeMillis() - t0,
-        trials = finals.map(toRow))
+      summarize(optimizer.finalStore.toSeq, direction,
+        server.earlyStoppedCount, server.erroredCount, t0)
     } finally server.stop()
+  }
+
+  /** Streaming best/worst/avg result roll-up (reference:
+    * maggy/core/experiment_driver/optimization_driver.py:344-406). */
+  private[graft] def summarize(
+      finals: Seq[Trial],
+      direction: Direction.Value,
+      earlyStopped: Int,
+      errored: Int,
+      t0: Long): ExperimentResult = {
+    require(finals.nonEmpty, "experiment produced no finalized trials")
+    val best = finals.maxBy(t => if (direction == Direction.Max) t.finalMetric.get else -t.finalMetric.get)
+    val worst = finals.minBy(t => if (direction == Direction.Max) t.finalMetric.get else -t.finalMetric.get)
+    val avg = finals.flatMap(_.finalMetric).sum / finals.size
+    ExperimentResult(
+      bestId = best.trialId,
+      bestConfig = best.paramsSansBudget,
+      bestMetric = best.finalMetric.get,
+      worstId = worst.trialId,
+      worstMetric = worst.finalMetric.get,
+      avgMetric = avg,
+      numTrials = finals.size,
+      earlyStopped = earlyStopped,
+      errored = errored,
+      durationMs = System.currentTimeMillis() - t0,
+      trials = finals.map(toRow))
   }
 
   private def toRow(t: Trial): TrialRow = TrialRow(
