@@ -50,7 +50,8 @@ object Graft {
       case c: SingleRunConfig =>
         runExperiment(spark, new SingleRun(),
           Searchspace(Seq.empty), c.numTrials, Direction.Max, NoStoppingRule,
-          1, Int.MaxValue, c.hbIntervalMs, 42L, parallelism(spark, c.numTrials))(trainFn)
+          1, Int.MaxValue, c.hbIntervalMs, 42L, parallelism(spark, c.numTrials),
+          c.logDir)(trainFn)
       case c: AblationConfig => runAblation(spark, c, trainFn)
     }
 
@@ -61,7 +62,8 @@ object Graft {
       case _ => NoStoppingRule
     }
     runExperiment(spark, optimizer, c.searchspace, c.numTrials, c.direction, esRule,
-      c.esIntervalSteps, c.esMin, c.hbIntervalMs, c.seed, parallelism(spark, c.numTrials))(trainFn)
+      c.esIntervalSteps, c.esMin, c.hbIntervalMs, c.seed, parallelism(spark, c.numTrials),
+      c.logDir)(trainFn)
   }
 
   private def runAblation(spark: SparkSession, c: AblationConfig, trainFn: TrainFn): ExperimentResult = {
@@ -76,7 +78,7 @@ object Graft {
     // early stop disabled for ablation (reference ablation_driver.py:52)
     runExperiment(spark, optimizer, Searchspace(Seq.empty), trials.size, Direction.Max,
       NoStoppingRule, 1, Int.MaxValue, c.hbIntervalMs, 42L,
-      parallelism(spark, trials.size))(trainFn)
+      parallelism(spark, trials.size), c.logDir)(trainFn)
   }
 
   /** num_executors = min(slots, num_trials) (reference
@@ -98,11 +100,12 @@ object Graft {
       esMin: Int,
       hbIntervalMs: Long,
       seed: Long,
-      numExecutors: Int)(trainFn: TrainFn): ExperimentResult = {
+      numExecutors: Int,
+      logDir: Option[String] = None)(trainFn: TrainFn): ExperimentResult = {
 
     val t0 = System.currentTimeMillis()
     optimizer.initialize(searchspace, numTrials, direction, seed)
-    val server = new DriverServer(optimizer, direction, esRule, esIntervalSteps, esMin)
+    val server = new DriverServer(optimizer, direction, esRule, esIntervalSteps, esMin, logDir)
     server.start()
     try {
       val (host, port, secret) = (server.host, server.port, server.authSecret)
@@ -116,8 +119,10 @@ object Graft {
       }
       sc.clearJobGroup()
 
-      summarize(optimizer.finalStore.toSeq, direction,
+      val result = summarize(optimizer.finalStore.toSeq, direction,
         server.earlyStoppedCount, server.erroredCount, t0)
+      logDir.foreach(writeResultJson(_, result))
+      result
     } finally server.stop()
   }
 
@@ -145,6 +150,31 @@ object Graft {
       errored = errored,
       durationMs = System.currentTimeMillis() - t0,
       trials = finals.map(toRow))
+  }
+
+  /** Persist the experiment summary as `<logDir>/result.json` (reference:
+    * maggy writes result.json at experiment end,
+    * optimization_driver.py:248-252 via util.py:193-197). */
+  private[graft] def writeResultJson(logDir: String, r: ExperimentResult): Unit = {
+    def js(s: String): String = HV.S(s).jsonRender
+    val trials = r.trials.map { t =>
+      s"""{"trial_id": ${js(t.trial_id)}, "params": ${t.params_json}, """ +
+        s""""metric": ${t.metric.map(_.toString).getOrElse("null")}, """ +
+        s""""budget": ${t.budget.map(_.toString).getOrElse("null")}, """ +
+        s""""sample_type": ${js(t.sample_type)}, """ +
+        s""""early_stopped": ${t.early_stopped}, """ +
+        s""""duration_ms": ${t.duration_ms}}"""
+    }.mkString("[", ", ", "]")
+    val json =
+      s"""{"best_id": ${js(r.bestId)}, "best_config": ${Trial.canonicalJson(r.bestConfig)}, """ +
+        s""""best_metric": ${r.bestMetric}, "worst_id": ${js(r.worstId)}, """ +
+        s""""worst_metric": ${r.worstMetric}, "avg_metric": ${r.avgMetric}, """ +
+        s""""num_trials": ${r.numTrials}, "early_stopped": ${r.earlyStopped}, """ +
+        s""""errored": ${r.errored}, "duration_ms": ${r.durationMs}, """ +
+        s""""trials": $trials}"""
+    val dir = java.nio.file.Paths.get(logDir)
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.writeString(dir.resolve("result.json"), json)
   }
 
   private def toRow(t: Trial): TrialRow = TrialRow(

@@ -6,6 +6,11 @@ package graft.core
 sealed trait LagomConfig {
   def name: String
   def hbIntervalMs: Long
+  /** Experiment persistence root: when set, the driver writes
+    * `<logDir>/result.json` and per-trial logs under `<logDir>/trials/`
+    * (reference: maggy's result.json, optimization_driver.py:248-252, and
+    * per-trial log dirs, trial_executor.py:137-142). */
+  def logDir: Option[String]
 }
 
 /** Optimization direction (reference: 'min'/'max' strings). */
@@ -23,16 +28,19 @@ final case class HyperparameterOptConfig(
     name: String = "hpo",
     hbIntervalMs: Long = 200,
     seed: Long = 42L,
-    optimizerArgs: Map[String, Double] = Map.empty) extends LagomConfig
+    optimizerArgs: Map[String, Double] = Map.empty,
+    logDir: Option[String] = None) extends LagomConfig
 
 final case class AblationConfig(
     study: graft.ablate.AblationStudy,
     ablator: String = "loco",
     name: String = "ablation",
-    hbIntervalMs: Long = 200) extends LagomConfig
+    hbIntervalMs: Long = 200,
+    logDir: Option[String] = None) extends LagomConfig
 
 /** Plain parallel runs with no search (reference: maggy/optimizer/singlerun.py). */
 final case class SingleRunConfig(
     numTrials: Int,
     name: String = "single",
-    hbIntervalMs: Long = 200) extends LagomConfig
+    hbIntervalMs: Long = 200,
+    logDir: Option[String] = None) extends LagomConfig

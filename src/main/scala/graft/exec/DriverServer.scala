@@ -26,7 +26,8 @@ final class DriverServer(
     direction: Direction.Value,
     esRule: EarlyStopRule,
     esIntervalSteps: Long = 1,
-    esMin: Int = 10) {
+    esMin: Int = 10,
+    logDir: Option[String] = None) {
 
   private val secret: String = {
     val bytes = new Array[Byte](16)
@@ -172,6 +173,18 @@ final class DriverServer(
     }
 
     case MsgType.Log =>
+      // per-trial log files (reference: trial_executor.py:137-142 log dirs)
+      logDir.foreach { root =>
+        val dir = java.nio.file.Paths.get(root, "trials")
+        lock.synchronized {
+          java.nio.file.Files.createDirectories(dir)
+          java.nio.file.Files.writeString(
+            dir.resolve(s"${msg("trial_id")}.log"),
+            msg.getOrElse("text", "") + "\n",
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.APPEND)
+        }
+      }
       Map("type" -> MsgType.Ok)
 
     case other =>

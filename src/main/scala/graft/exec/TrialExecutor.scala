@@ -12,9 +12,12 @@ final class EarlyStopException(val lastMetric: Double) extends RuntimeException(
 
 /** Executor→driver metric reporter (reference: maggy/core/reporter.py).
   * Thread-safe buffer between the user train fn and the heartbeat thread;
-  * `broadcast` validates monotone steps and raises when stopped. */
+  * `broadcast` validates monotone steps and raises when stopped; `log`
+  * buffers lines the heartbeat thread ships to the driver's per-trial log
+  * files (reference: reporter.py:137-170). */
 final class Reporter(trialId: String) {
   private[exec] val latest = new AtomicReference[Option[(Long, Double)]](None)
+  private[exec] val logQueue = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   @volatile private[exec] var stopFlag = false
   @volatile private var lastStep = -1L
 
@@ -25,7 +28,7 @@ final class Reporter(trialId: String) {
     latest.set(Some((step, metric)))
     if (stopFlag) throw new EarlyStopException(metric)
   }
-  def log(msg: String): Unit = () // per-trial log files are a driver concern
+  def log(msg: String): Unit = logQueue.add(msg)
   def id: String = trialId
 }
 
@@ -123,6 +126,13 @@ object TrialExecutor {
             // heartbeat: stream latest (step, metric); honor STOP responses
             // (reference rpc.py:716-737 client heartbeat thread)
             @volatile var trialRunning = true
+            def drainLogs(): Unit = {
+              var line = reporter.logQueue.poll()
+              while (line != null) {
+                hb.request(Map("type" -> MsgType.Log, "trial_id" -> trialId, "text" -> line))
+                line = reporter.logQueue.poll()
+              }
+            }
             val hbThread = new Thread(() => {
               try {
                 while (trialRunning) {
@@ -134,6 +144,7 @@ object TrialExecutor {
                       if (r("type") == MsgType.Stop) reporter.stopFlag = true
                     case None =>
                   }
+                  drainLogs()
                   Thread.sleep(hbIntervalMs)
                 }
               } catch { case _: InterruptedException => } // trial done
@@ -157,11 +168,13 @@ object TrialExecutor {
             trialRunning = false
             hbThread.interrupt() // don't pay a heartbeat-interval latency per trial
             hbThread.join(2000)
-            // flush any final heartbeat value before FINAL so history is complete
+            // flush any final heartbeat value + buffered logs before FINAL so
+            // history and per-trial log files are complete
             reporter.latest.get().foreach { case (step, value) =>
               hb.request(Map("type" -> MsgType.Metric, "trial_id" -> trialId,
                 "step" -> step.toString, "value" -> value.toString))
             }
+            drainLogs()
             main.request(Map(
               "type" -> MsgType.Final, "trial_id" -> trialId,
               "value" -> metric.toString,

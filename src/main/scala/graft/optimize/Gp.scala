@@ -23,7 +23,9 @@ import graft.core._
 final class Gp(
     numWarmup: Int = 15,
     randomFraction: Double = 0.33,
-    nPoints: Int = 10000) extends Optimizer {
+    nPoints: Int = 10000,
+    acquisition: String = "ei",
+    lcbKappa: Double = 1.96) extends Optimizer {
 
   private var issued = 0
   private var exhausted = false
@@ -69,14 +71,24 @@ final class Gp(
     val yBest = y.min
 
     var bestX: Array[Double] = null
-    var bestEi = Double.NegativeInfinity
+    var bestAcq = Double.NegativeInfinity
     for (_ <- 0 until nPoints) {
       val cand = searchspace.transform(searchspace.sample(rng))
       val (mu, sigma) = gp.predict(cand)
-      val ei = expectedImprovement(mu, sigma, yBest)
-      if (ei > bestEi) { bestEi = ei; bestX = cand }
+      val a = acq(mu, sigma, yBest)
+      if (a > bestAcq) { bestAcq = a; bestX = cand }
     }
     new Trial(searchspace.inverseTransform(bestX), sampleType = "model")
+  }
+
+  /** Acquisition value to MAXIMIZE, all in min-convention (reference:
+    * maggy/optimizer/bayes/acquisitions.py — EI/PI/LCB; LCB's argmin of
+    * mu − κσ is negated so one argmax loop serves all three). */
+  private def acq(mu: Double, sigma: Double, yBest: Double): Double = acquisition match {
+    case "ei" => expectedImprovement(mu, sigma, yBest)
+    case "pi" => if (sigma < 1e-12) 0.0 else normCdf((yBest - mu) / sigma)
+    case "lcb" => -(mu - lcbKappa * sigma)
+    case other => throw new IllegalArgumentException(s"unknown acquisition: $other")
   }
 
   /** EI for minimization. */

@@ -236,6 +236,9 @@ object Optimizer {
       args.getOrElse("resource_max", 9.0))))
     case "tpe" => new Tpe()
     case "gp" => new Gp()
+    case "gp_lcb" | "gp-lcb" => new Gp(acquisition = "lcb",
+      lcbKappa = args.getOrElse("kappa", 1.96))
+    case "gp_pi" | "gp-pi" => new Gp(acquisition = "pi")
     case other => throw new IllegalArgumentException(s"unknown optimizer: $other")
   }
 }

@@ -1,8 +1,7 @@
 package graft.optimize
 
 import graft.core._
-
-import scala.collection.mutable
+import graft.core.HParam
 
 /** Tree-structured Parzen Estimator, BOHB-flavored (reference:
   * maggy/optimizer/bayes/tpe.py).
@@ -79,10 +78,23 @@ final class Tpe(
     for (_ <- 0 until numSamples) {
       val center = good(rng.nextInt(good.length))
       val x = Array.tabulate(dims) { j =>
-        val bw = math.max(goodKde.bw(j), bwFloor) * bwFactor
-        // truncated normal on [0,1] via clamped gaussian draw
-        val v = center(j) + rng.nextGaussian() * bw
-        math.min(1.0, math.max(0.0, v))
+        searchspace.params(j) match {
+          // categorical dim: keep the center's category with prob 1−bw,
+          // else resample uniformly (reference tpe.py:100-116 — the
+          // unordered-KDE analog of a gaussian perturbation)
+          case HParam.CategoricalParam(_, vs) =>
+            val bw = math.min(1.0, math.max(goodKde.bw(j), bwFloor))
+            if (rng.nextDouble() < 1.0 - bw) center(j)
+            else {
+              val idx = rng.nextInt(vs.size)
+              if (vs.size > 1) idx.toDouble / (vs.size - 1) else 0.0
+            }
+          case _ =>
+            val bw = math.max(goodKde.bw(j), bwFloor) * bwFactor
+            // truncated normal on [0,1] via clamped gaussian draw
+            val v = center(j) + rng.nextGaussian() * bw
+            math.min(1.0, math.max(0.0, v))
+        }
       }
       val ei = math.max(goodKde.pdf(x), 1e-32) / math.max(badKde.pdf(x), 1e-32)
       if (ei > bestEi) { bestEi = ei; bestX = x }

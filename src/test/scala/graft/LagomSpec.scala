@@ -133,6 +133,36 @@ class LagomSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(1) - res.avgMetric) < 1e-6)
   }
 
+  test("experiment persistence: result.json + per-trial logs land in logDir") {
+    val logDir = s"${sys.props("java.io.tmpdir")}/graft_logs_${System.nanoTime()}"
+    object LoggingFn extends TrainFn {
+      def apply(ctx: TrialContext): Double = {
+        ctx.reporter.log(s"starting trial ${ctx.trialId}")
+        val v = -(ctx.double("x") - 3.2) * (ctx.double("x") - 3.2)
+        ctx.reporter.broadcast(v, 0)
+        ctx.reporter.log("finished")
+        v
+      }
+    }
+    val res = Graft.lagom(spark, HyperparameterOptConfig(
+      numTrials = 4, optimizer = "randomsearch", searchspace = space,
+      direction = Direction.Max, esPolicy = "none", logDir = Some(logDir)))(LoggingFn)
+    val resultJson = java.nio.file.Paths.get(logDir, "result.json")
+    assert(java.nio.file.Files.exists(resultJson))
+    val txt = java.nio.file.Files.readString(resultJson)
+    assert(txt.contains("\"best_id\": \"" + res.bestId + "\""))
+    assert(txt.contains("\"num_trials\": 4"))
+    val trialsDir = java.nio.file.Paths.get(logDir, "trials")
+    val logFiles = java.nio.file.Files.list(trialsDir).toArray.map(_.toString)
+    assert(logFiles.length == 4, s"expected 4 trial logs, got ${logFiles.toSeq}")
+    res.trials.foreach { t =>
+      val content = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(logDir, "trials", s"${t.trial_id}.log"))
+      assert(content.contains(s"starting trial ${t.trial_id}"))
+      assert(content.contains("finished"))
+    }
+  }
+
   test("throwing train fn marks its trial ERROR; experiment still completes") {
     val gridSpace = Searchspace(Seq(
       DiscreteParam("x", Seq(1, 2, 3)), CategoricalParam("mode", Seq("a", "b"))))

@@ -165,6 +165,40 @@ class OptimizerSpec extends AnyFunSuite {
     assert(finals.count(_.sampleType == "model") > 0)
   }
 
+  test("GP LCB and PI acquisitions also converge on a smooth objective") {
+    for (acqName <- Seq("gp_lcb", "gp_pi")) {
+      val opt = Optimizer.forName(acqName).asInstanceOf[Gp]
+      opt.initialize(space2d, 40, Direction.Min, seed = 9L)
+      val finals = drive(opt, p => {
+        val x = p("x").asDouble; val y = p("y").asDouble
+        (x - 3.2) * (x - 3.2) + (y - 2) * (y - 2)
+      })
+      assert(finals.size == 40)
+      val best = finals.flatMap(_.finalMetric).min
+      assert(best < 0.5, s"$acqName best $best")
+      assert(finals.count(_.sampleType == "model") > 0, s"$acqName never used the model")
+    }
+  }
+
+  test("TPE samples categorical dims by resample-probability, not gaussian index walk") {
+    val catSpace = Searchspace(Seq(
+      HParam.DoubleParam("x", 0, 5),
+      HParam.CategoricalParam("mode", Seq("a", "b", "c"))))
+    val opt = new Tpe()
+    opt.initialize(catSpace, 60, Direction.Min, seed = 11L)
+    // mode=b is strictly better; TPE should concentrate there
+    val finals = drive(opt, p => {
+      val x = p("x").asDouble
+      val penalty = p("mode") match { case HV.S("b") => 0.0; case _ => 5.0 }
+      (x - 3.2) * (x - 3.2) + penalty
+    })
+    assert(finals.size == 60)
+    val model = finals.filter(_.sampleType == "model")
+    assert(model.nonEmpty)
+    val bRate = model.count(t => t.params("mode") == HV.S("b")).toDouble / model.size
+    assert(bRate > 0.5, s"model samples should concentrate on mode=b, got $bRate")
+  }
+
   test("duplicate-config detection ignores budget") {
     val opt = new RandomSearch()
     opt.initialize(space2d, 2, Direction.Max, 1L)
