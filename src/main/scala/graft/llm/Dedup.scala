@@ -41,38 +41,55 @@ object Dedup {
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
     },
 
-    // Exact n-gram (3-shingle) Jaccard between probe docs (doc_id % 50 = 0)
-    // and same-source candidates — the oracle-checkable ground truth that the
-    // MinHash/SimHash approximations are validated against in tests.
+    // Exact all-pairs n-gram (3-shingle) Jaccard ≥ 0.1 — the oracle-checked
+    // ground truth the MinHash/SimHash approximations are validated against.
+    //
+    // Plan: INVERTED SHINGLE INDEX. Round-1/2 d4 self-joined on `source`
+    // (few distinct values → one skewed shuffle key), shuffled full shingle
+    // arrays, and emitted every same-source pair including jaccard 0 — a
+    // plan AND a pair space that both collapse at scale. Now both sides
+    // explode to (doc_id, shingle-hash) longs; the join key is the shingle
+    // hash itself (high-cardinality — no skew), so only pairs that actually
+    // share a shingle are ever generated; |A∩B| = matched-row count per
+    // pair; set sizes re-join from a tiny per-doc table. The jaccard ≥ 0.1
+    // threshold is what makes the posting-list plan complete: zero-overlap
+    // pairs can't appear in it, and can't pass the threshold either.
+    // 100 TB note: a boilerplate shingle with document frequency k costs
+    // k²/2 join rows — production prunes stop-shingles by df before the
+    // join (pairs held together only by ultra-common shingles sit far
+    // below any useful threshold).
     QueryDef("d4_ngram_jaccard",
       """WITH sh AS (
-        |  SELECT doc_id, source,
+        |  SELECT doc_id,
         |         list_distinct(list_transform(
         |           range(1, len(string_split(text,' ')) - 1),
         |           i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS shingles
-        |  FROM documents)
-        |SELECT a.doc_id AS probe_id, b.doc_id AS cand_id,
-        |       round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-        |             (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
-        |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-        |WHERE a.doc_id % 50 = 0""".stripMargin) { (s, d) =>
-      val docs = Tables(s, d, "documents")
-      // size>=3 guard: sequence(1, n) with n<1 steps DOWNWARD in Spark,
-      // while DuckDB's range(1, n) yields empty — guard to match.
-      val sh = docs.select(
-        col("doc_id"), col("source"),
-        array_distinct(transform(
-          when(size(tokens) >= 3, sequence(lit(1), size(tokens) - 2))
-            .otherwise(array().cast("array<int>")),
-          i => array_join(slice(tokens, i, lit(3)), " "))).as("shingles"))
-      val a = sh.filter(col("doc_id") % 50 === 0)
-        .select(col("doc_id").as("probe_id"), col("source"), col("shingles").as("sh_a"))
-      val b = sh.select(col("doc_id").as("cand_id"), col("source"), col("shingles").as("sh_b"))
-      val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-      a.join(b, Seq("source")).filter(col("probe_id") < col("cand_id"))
+        |  FROM documents
+        |  WHERE len(string_split(text,' ')) >= 3)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |               (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.1""".stripMargin) { (s, d) =>
+      // sh feeds the posting list twice and the size table once — persist so
+      // shingling+hashing runs one pass (same pattern as bandedLshPairs)
+      val sh = shingleSets(Tables(s, d, "documents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+      val tok = sh.select(col("doc_id"), explode(col("sh")).as("h"))
+      val inter = tok.select(col("doc_id").as("doc_a"), col("h"))
+        .join(tok.select(col("doc_id").as("doc_b"), col("h")), "h")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).cast("double").as("n_inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
         .select(
-          col("probe_id"), col("cand_id"),
-          round(inter / (size(col("sh_a")) + size(col("sh_b")) - inter), 6).as("jaccard"))
+          col("doc_a"), col("doc_b"),
+          round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 6).as("jaccard"))
+        .filter(col("jaccard") >= 0.1)
     },
 
     // SimHash (64-bit) near-dup buckets. Engine-specific hash (xxhash64) →
@@ -118,16 +135,17 @@ object Dedup {
   val Bands     = 16
   val BandRows  = 4
 
-  /** Distinct 3-shingle xxhash64 values per doc. Narrow (no shuffle). */
-  def shingleSets(docs: DataFrame): DataFrame =
+  /** Distinct 3-shingle xxhash64 values per doc. Narrow (no shuffle).
+    * `keep` carries extra columns through (e.g. `source` for d4). */
+  def shingleSets(docs: DataFrame, keep: Seq[String] = Nil): DataFrame =
     docs.select(
-      col("doc_id"),
+      col("doc_id") +: keep.map(col) :+
       array_distinct(transform(
         // guard: sequence(1, n) with n<1 would step DOWNWARD in Spark —
         // emit an empty shingle set for docs under 3 tokens instead
         when(size(tokens) >= 3, sequence(lit(1), size(tokens) - 2))
           .otherwise(array().cast("array<int>")),
-        i => xxhash64(array_join(slice(tokens, i, lit(3)), " ")))).as("sh"))
+        i => xxhash64(array_join(slice(tokens, i, lit(3)), " ")))).as("sh"): _*)
       .filter(size(col("sh")) > 0)
 
   /** Banded AND/OR MinHash LSH near-dup pairs with exact Jaccard on the
