@@ -1,32 +1,49 @@
 package graft.llm
 
 import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** A built IVF index: broadcastable centroid list + the corpus with its cell
+  * assignment. At 100 TB `assigned` is written out ONCE partitioned by
+  * `cell` (so probe-time reads are partition-pruned subset scans); on
+  * local testdata it is persisted in memory with the same plan shape. */
+final case class IvfModel(centroids: Seq[(Int, Array[Double])], assigned: DataFrame) {
+  def unpersist(): Unit = assigned.unpersist()
+}
 
 /** IVF (inverted-file) approximate nearest neighbor index.
   *
-  * Build: KMeans over the corpus → each vector assigned to its nearest centroid
-  * ("cell"). Search: route each probe to its nProbe nearest centroids, scan
-  * only those cells. At 100 TB the corpus would be written out partitioned by
-  * `cell` (partition pruning turns the probe scan into a subset read); here
-  * the cell assignment is computed inline on the same plan shape.
+  * Build (offline, once): KMeans over the corpus → each vector assigned to
+  * its nearest centroid ("cell"). Search (per query): route each probe to
+  * its nProbe nearest centroids, scan only those cells — the candidate scan
+  * shrinks by ~nProbe/nClusters while the plan shape (broadcast probes,
+  * partial top-k) matches brute force.
   */
 object IvfIndex {
 
-  def annSearch(probes: DataFrame, corpus: DataFrame, k: Int, nClusters: Int, nProbe: Int): DataFrame = {
-    val spark = corpus.sparkSession
+  /** Offline index build — the expensive step a deployment runs once and
+    * reuses across query workloads, NOT per query. */
+  def build(corpus: DataFrame, nClusters: Int): IvfModel = {
     val vecs = corpus.select(col("vec_id"), col("embedding"),
       array_to_vector(col("embedding").cast("array<double>")).as("features"))
-    val km = new KMeans().setK(nClusters).setSeed(42L).setFeaturesCol("features").setPredictionCol("cell")
+    val km = new KMeans().setK(nClusters).setSeed(42L)
+      .setFeaturesCol("features").setPredictionCol("cell")
     val model = km.fit(vecs)
-    val assigned = model.transform(vecs).select(col("vec_id"), col("embedding"), col("cell"))
+    val assigned = model.transform(vecs)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    IvfModel(model.clusterCenters.zipWithIndex.map { case (v, i) => (i, v.toArray) }.toSeq,
+      assigned)
+  }
 
-    // centroids as a broadcastable lookup
-    val centroids = model.clusterCenters.zipWithIndex.map { case (v, i) => (i, v.toArray) }
-    val centDf = broadcast(spark.createDataFrame(centroids.toSeq).toDF("cell", "centroid"))
+  /** Probe-time search against a prebuilt index. */
+  def search(index: IvfModel, probes: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val spark = probes.sparkSession
+    val centDf = broadcast(spark.createDataFrame(index.centroids).toDF("cell", "centroid"))
 
     // route each probe to its nProbe nearest centroids
     val p = probes.select(col("vec_id").as("probe_id"), col("embedding").cast("array<double>").as("pv"))
@@ -39,8 +56,8 @@ object IvfIndex {
       .filter(col("rr") <= nProbe)
       .select(col("probe_id"), col("pv"), col("cell"))
 
-    // scan only the routed cells
-    val cand = assigned.select(col("vec_id").as("cand_id"),
+    // scan only the routed cells (at scale: partition pruning on `cell`)
+    val cand = index.assigned.select(col("vec_id").as("cand_id"),
       col("embedding").cast("array<double>").as("cv"), col("cell"))
     val scored = cand.join(broadcast(routed), Seq("cell"))
       .filter(col("probe_id") =!= col("cand_id"))
@@ -50,4 +67,8 @@ object IvfIndex {
       .filter(col("rn") <= k)
       .select(col("probe_id"), col("cand_id"), round(col("cos_raw"), 6).as("cosine"), col("rn"))
   }
+
+  /** Build-and-search in one call (tests/declared query convenience). */
+  def annSearch(probes: DataFrame, corpus: DataFrame, k: Int, nClusters: Int, nProbe: Int): DataFrame =
+    search(build(corpus, nClusters), probes, k, nProbe)
 }

@@ -106,6 +106,22 @@ class DataPlaneSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"IVF recall $recall < 0.8")
   }
 
+  test("prebuilt IVF index serves multiple probe workloads without refitting") {
+    val emb = Tables(spark, sf, "embeddings")
+    val index = IvfIndex.build(emb, nClusters = 8)
+    try {
+      def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.select("probe_id", "cand_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val first = pairs(IvfIndex.search(index, emb.filter(col("vec_id") < 5), k = 10, nProbe = 4))
+      val second = pairs(IvfIndex.search(index, emb.filter(col("vec_id").between(5, 9)), k = 10, nProbe = 4))
+      assert(first.nonEmpty && second.nonEmpty)
+      // same index, same probes → identical results (deterministic routing)
+      val firstAgain = pairs(IvfIndex.search(index, emb.filter(col("vec_id") < 5), k = 10, nProbe = 4))
+      assert(first == firstAgain)
+    } finally index.unpersist()
+  }
+
   test("a3 approx_count_distinct within 2% of exact") {
     val li = Tables(spark, sf, "lineitem")
     val exact = li.agg(
