@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression tests (SURVEY §2.B A5 "plan check" + the scale
+  * audit): these lock in the plan properties the queries were designed
+  * around — pushdown, column pruning, broadcast choice, partial
+  * aggregation, and the absence of nested-loop fallbacks. A correctness
+  * suite can't catch a plan regression (the answer stays right while the
+  * 100 TB behavior collapses); this one does.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("plan-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("a1 aggregates partially before the shuffle (map-side combine)") {
+    val p = plan("a1_groupby_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"expected partial+final HashAggregate:\n$p")
+  }
+
+  test("a1 pushes the shipdate filter into the parquet scan") {
+    val p = plan("a1_groupby_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"shipdate filter not pushed:\n$p")
+  }
+
+  test("p1 projection prunes unread columns at the scan") {
+    val p = plan("p1_project")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_shipdate"),
+      s"scan reads pruned columns: $readSchema")
+  }
+
+  test("p3 predicates reach the scan as pushed filters") {
+    val p = plan("p3_filter")
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
+      s"no pushed filters:\n$p")
+  }
+
+  test("j1 joins the dimension with a broadcast hash join") {
+    assert(plan("j1_join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("j7 banded range join never falls back to a nested loop") {
+    val p = plan("j7_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join fell back to a nested loop:\n$p")
+  }
+
+  test("a4 argmax is a single hash aggregate, not a window sort") {
+    val p = plan("a4_argmax")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"))
+    assert(!p.contains("Window"), s"argmax regressed to a window plan:\n$p")
+  }
+
+  test("w2 global top-k runs as TakeOrderedAndProject, not a full sort") {
+    assert(plan("w2_global_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("d4 inverted index plans no cartesian or nested-loop join") {
+    val p = plan("d4_ngram_jaccard")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"d4 fell back to a quadratic join:\n$p")
+  }
+
+  test("j3 star join broadcasts every dimension (single fact shuffle)") {
+    val p = plan("j3_star_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"star dims not broadcast:\n$p")
+  }
+}
