@@ -25,7 +25,9 @@ final class Gp(
     randomFraction: Double = 0.33,
     nPoints: Int = 10000,
     acquisition: String = "ei",
-    lcbKappa: Double = 1.96) extends Optimizer {
+    lcbKappa: Double = 1.96,
+    interimResults: Boolean = false,
+    interimInterval: Int = 1) extends Optimizer {
 
   private var issued = 0
   private var exhausted = false
@@ -59,14 +61,7 @@ final class Gp(
       finished.size < math.max(numWarmup, dims) || rng.nextDouble() < randomFraction
     if (warmupOrRandom) return new Trial(searchspace.sample(rng), sampleType = "random")
 
-    // observed + imputed busy locations (constant liar cl_min, gp.py:329-373)
-    val obsX = finished.map(t => searchspace.transform(t.paramsSansBudget))
-    val obsY = finished.map(minMetric)
-    val liar = obsY.min
-    val busyX = trialStore.valuesIterator.map(t => searchspace.transform(t.paramsSansBudget)).toSeq
-    val x = (obsX ++ busyX).toArray
-    val y = (obsY ++ Seq.fill(busyX.size)(liar)).toArray
-
+    val (x, y) = surrogateXY(finished)
     val gp = GpRegressor.fit(x, y)
     val yBest = y.min
 
@@ -74,11 +69,48 @@ final class Gp(
     var bestAcq = Double.NegativeInfinity
     for (_ <- 0 until nPoints) {
       val cand = searchspace.transform(searchspace.sample(rng))
-      val (mu, sigma) = gp.predict(cand)
+      // in interim mode the surrogate is queried at FULL budget (z = 1)
+      val (mu, sigma) = gp.predict(if (interimResults) cand :+ 1.0 else cand)
       val a = acq(mu, sigma, yBest)
       if (a > bestAcq) { bestAcq = a; bestX = cand }
     }
     new Trial(searchspace.inverseTransform(bestX), sampleType = "model")
+  }
+
+  /** Surrogate training set. Default mode: one (x, final metric) point per
+    * finished trial plus constant-liar imputation of busy locations
+    * (cl_min, reference gp.py:329-373). Interim mode (reference
+    * bayes/base.py:459-641): every `interimInterval`-th metric-history
+    * point of every finished trial contributes, with x augmented by the
+    * normalized step z = step/maxStep — the surrogate learns the training
+    * CURVE, so partial runs inform the model long before they finish. */
+  private def surrogateXY(finished: Seq[Trial]): (Array[Array[Double]], Array[Double]) = {
+    val sign = if (direction == Direction.Max) -1.0 else 1.0
+    val busy = trialStore.valuesIterator.toSeq
+    if (!interimResults) {
+      val obsX = finished.map(t => searchspace.transform(t.paramsSansBudget))
+      val obsY = finished.map(minMetric)
+      val liar = obsY.min
+      val busyX = busy.map(t => searchspace.transform(t.paramsSansBudget))
+      ((obsX ++ busyX).toArray, (obsY ++ Seq.fill(busy.size)(liar)).toArray)
+    } else {
+      val maxStep = math.max(1L,
+        finished.flatMap(_.metricHistory.lastOption).map(_.step).foldLeft(0L)(math.max))
+      val points = finished.flatMap { t =>
+        val base = searchspace.transform(t.paramsSansBudget)
+        val hist = t.metricHistory
+        // every nth history point (reference base.py:643-668) + the final
+        val interim = hist.zipWithIndex
+          .filter { case (_, i) => (i + 1) % interimInterval == 0 }
+          .map { case (p, _) => (base :+ (p.step.toDouble / maxStep), sign * p.value) }
+          .filter(_._1.last < 1.0) // final point added once below, at z = 1
+        interim :+ (base :+ 1.0, minMetric(t))
+      }
+      val liar = points.map(_._2).min
+      val busyX = busy.map(t => searchspace.transform(t.paramsSansBudget) :+ 1.0)
+      ((points.map(_._1) ++ busyX).toArray,
+        (points.map(_._2) ++ Seq.fill(busy.size)(liar)).toArray)
+    }
   }
 
   /** Acquisition value to MAXIMIZE, all in min-convention (reference:

@@ -239,6 +239,8 @@ object Optimizer {
     case "gp_lcb" | "gp-lcb" => new Gp(acquisition = "lcb",
       lcbKappa = args.getOrElse("kappa", 1.96))
     case "gp_pi" | "gp-pi" => new Gp(acquisition = "pi")
+    case "gp_interim" | "gp-interim" => new Gp(interimResults = true,
+      interimInterval = args.getOrElse("interim_interval", 1.0).toInt)
     case other => throw new IllegalArgumentException(s"unknown optimizer: $other")
   }
 }

@@ -199,6 +199,38 @@ class OptimizerSpec extends AnyFunSuite {
     assert(bRate > 0.5, s"model samples should concentrate on mode=b, got $bRate")
   }
 
+  test("GP interim-results mode learns from metric histories (budget-augmented X)") {
+    val opt = new Gp(nPoints = 2000, interimResults = true, interimInterval = 2)
+    opt.initialize(space2d, 40, Direction.Min, seed = 13L)
+    // objective whose training curve anneals toward the true value — interim
+    // points (z < 1) are worse than the final, so the surrogate must use the
+    // budget dimension to separate them
+    def truth(p: Map[String, HV]): Double = {
+      val x = p("x").asDouble; val y = p("y").asDouble
+      (x - 3.2) * (x - 3.2) + (y - 2) * (y - 2)
+    }
+    var steps = 0
+    var done = false
+    while (!done && steps < 10000) {
+      steps += 1
+      opt.getSuggestion(None) match {
+        case NewTrial(t) =>
+          opt.noteStarted(t)
+          val v = truth(t.paramsSansBudget)
+          (0 until 10).foreach(s => t.appendMetric(s.toLong, v + (9 - s) * 0.5))
+          t.finalize_(v)
+          opt.noteFinalized(t)
+        case Idle => fail("synchronous drive should never see Idle")
+        case Done => done = true
+      }
+    }
+    val finals = opt.finalStore.toSeq
+    assert(finals.size == 40)
+    val best = finals.flatMap(_.finalMetric).min
+    assert(best < 0.5, s"interim GP best $best")
+    assert(finals.count(_.sampleType == "model") > 0)
+  }
+
   test("duplicate-config detection ignores budget") {
     val opt = new RandomSearch()
     opt.initialize(space2d, 2, Direction.Max, 1L)
