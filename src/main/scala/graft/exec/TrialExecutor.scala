@@ -15,7 +15,7 @@ final class EarlyStopException(val lastMetric: Double) extends RuntimeException(
   * `broadcast` validates monotone steps and raises when stopped; `log`
   * buffers lines the heartbeat thread ships to the driver's per-trial log
   * files (reference: reporter.py:137-170). */
-final class Reporter(trialId: String) {
+final class Reporter(trialId: String, sink: (Long, Double) => Unit = (_, _) => ()) {
   private[exec] val latest = new AtomicReference[Option[(Long, Double)]](None)
   private[exec] val logQueue = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   @volatile private[exec] var stopFlag = false
@@ -26,6 +26,9 @@ final class Reporter(trialId: String) {
       throw new IllegalArgumentException(s"step $step must be > previous step $lastStep")
     lastStep = step
     latest.set(Some((step, metric)))
+    // driver-local experiments (MllibLagom) record history directly; the
+    // executor path ships it over the heartbeat channel instead
+    sink(step, metric)
     if (stopFlag) throw new EarlyStopException(metric)
   }
   def log(msg: String): Unit = logQueue.add(msg)

@@ -94,8 +94,11 @@ object MllibLagom {
             }
             next match {
               case Some(t) =>
+                // reporter sinks straight into the trial's metric history
+                // (no RPC hop — the experiment is driver-local)
                 val ctx = TrialContext(
-                  t.trialId, t.paramsSansBudget, t.budget, slot, new Reporter(t.trialId))
+                  t.trialId, t.paramsSansBudget, t.budget, slot,
+                  new Reporter(t.trialId, sink = t.appendMetric))
                 try {
                   val metric = fit(spark, ctx)
                   lock.synchronized { t.finalize_(metric); optimizer.noteFinalized(t) }

@@ -47,9 +47,22 @@ object MllibTrain {
     else Seq("assembler" -> assembler, "lr" -> lr)
   }
 
-  /** Fit the pipeline on train, return area-under-ROC on test. */
-  def fitAuc(stages: Seq[PipelineStage], train: DataFrame, test: DataFrame): Double = {
+  /** Fit the pipeline on train, return area-under-ROC on test. When a
+    * reporter is given, the LR training objective history is broadcast per
+    * iteration — the engine analog of the reference's Keras callbacks
+    * reporting loss at epoch end (maggy/core/utils/callbacks.py:21-66),
+    * which is also what feeds GP interim-results mode. */
+  def fitAuc(
+      stages: Seq[PipelineStage],
+      train: DataFrame,
+      test: DataFrame,
+      reporter: Option[graft.exec.Reporter] = None): Double = {
     val model = new Pipeline().setStages(stages.toArray).fit(train)
+    for {
+      r <- reporter
+      lr <- model.stages.collectFirst { case m: org.apache.spark.ml.classification.LogisticRegressionModel => m }
+      (loss, i) <- lr.summary.objectiveHistory.zipWithIndex
+    } r.broadcast(loss, i.toLong)
     new BinaryClassificationEvaluator()
       .setLabelCol("label").setMetricName("areaUnderROC")
       .evaluate(model.transform(test))

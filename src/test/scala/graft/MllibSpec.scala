@@ -77,6 +77,38 @@ class MllibSpec extends AnyFunSuite {
     assert(res.trials.forall(_.metric.exists(m => m >= 0.0 && m <= 1.0)))
   }
 
+  test("fit reports per-iteration objective history through the reporter") {
+    object Fit extends MllibTrainFn {
+      def apply(s: SparkSession, ctx: TrialContext): Double =
+        MllibTrain.fitAuc(
+          MllibTrain.logisticStages(MllibTrain.FeatureCols,
+            regParam = math.exp(ctx.double("logReg")), elasticNet = 0.0,
+            useScaler = true).map(_._2),
+          trainDf, testDf, reporter = Some(ctx.reporter))
+    }
+    val res = MllibLagom.run(spark, MllibTrainConfig(
+      numTrials = 2,
+      searchspace = Searchspace(Seq(DoubleParam("logReg", math.log(1e-4), 0.0))),
+      parallelism = 1))(Fit)
+    assert(res.numTrials == 2)
+    // LR objective history (loss per iteration) must land in the trial rows
+    assert(res.trials.forall(_.metric_history.size >= 2),
+      s"histories: ${res.trials.map(_.metric_history.size)}")
+  }
+
+  test("Env abstraction: fs round-trip and executor discovery") {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_env_${System.nanoTime()}"
+    import graft.exec.Env
+    assert(!Env.exists(spark, dir))
+    assert(Env.mkdirs(spark, dir))
+    Env.dump(spark, s"$dir/artifact.json", """{"ok": true}""")
+    assert(Env.exists(spark, s"$dir/artifact.json"))
+    assert(Env.open(spark, s"$dir/artifact.json") == """{"ok": true}""")
+    assert(Env.ls(spark, dir).exists(_.endsWith("artifact.json")))
+    assert(Env.numExecutorSlots(spark) == spark.sparkContext.defaultParallelism)
+    assert(Env.delete(spark, dir))
+  }
+
   test("a failing fit marks the trial errored without sinking the experiment") {
     object Fit extends MllibTrainFn {
       def apply(s: SparkSession, ctx: TrialContext): Double = {
