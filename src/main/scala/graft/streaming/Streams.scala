@@ -66,13 +66,23 @@ object Streams {
   def runToTable(s: SparkSession, stream: DataFrame, mode: String): DataFrame = {
     val name = s"graft_stream_${runCounter.incrementAndGet()}"
     val ckpt = s"${sys.props("java.io.tmpdir")}/graft_ckpt_${name}_${System.nanoTime()}"
-    val q = stream.writeStream
-      .format("memory").queryName(name)
-      .outputMode(mode)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // a streaming query's shuffle-partition count = its state-store count,
+    // fixed at first checkpoint — size it to the keyspace, not to the batch
+    // session's scan parallelism (32 HDFS-backed stores for a local replay
+    // is pure per-partition overhead; a real deployment sizes this to
+    // keys × state-bytes / executor-memory before first start)
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val statePartitions = s.conf.getOption("graft.stream.statePartitions").getOrElse("8")
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    try {
+      val q = stream.writeStream
+        .format("memory").queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
 
