@@ -72,24 +72,44 @@ object Dedup {
         |               (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.1""".stripMargin) { (s, d) =>
-      // sh feeds the posting list twice and the size table once — persist so
-      // shingling+hashing runs one pass (same pattern as bandedLshPairs)
-      val sh = shingleSets(Tables(s, d, "documents"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
-      val tok = sh.select(col("doc_id"), explode(col("sh")).as("h"))
-      val inter = tok.select(col("doc_id").as("doc_a"), col("h"))
-        .join(tok.select(col("doc_id").as("doc_b"), col("h")), "h")
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(count(lit(1)).cast("double").as("n_inter"))
-      inter
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
-        .select(
-          col("doc_a"), col("doc_b"),
-          round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 6).as("jaccard"))
-        .filter(col("jaccard") >= 0.1)
+      exactNgramJaccardPairs(Tables(s, d, "documents"), 0.1)
+    },
+
+    // d6: the dedup DECISION — connected components over near-dup pairs
+    // (jaccard ≥ 0.8), keeper = lowest doc_id per component. This is the
+    // operator an LLM data pipeline actually applies: pairs are evidence,
+    // the keep-list is the output. Oracle: recursive-CTE label propagation
+    // in DuckDB over the identical pair definition.
+    QueryDef("d6_neardup_groups",
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(
+        |           range(1, len(string_split(text,' ')) - 1),
+        |           i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS shingles
+        |  FROM documents
+        |  WHERE len(string_split(text,' ')) >= 3),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |           (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |  WHERE jaccard >= 0.8),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |r(node, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, r.label FROM r JOIN edges e ON r.node = e.src)
+        |SELECT node AS doc_id, min(label) AS component,
+        |       CAST(node = min(label) AS BOOLEAN) AS is_keeper
+        |FROM r GROUP BY node""".stripMargin) { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      val pairs = exactNgramJaccardPairs(docs, 0.8).select("doc_a", "doc_b")
+      connectedComponents(pairs, docs.select(col("doc_id").as("node")))
+        .select(col("node").as("doc_id"), col("label").as("component"),
+          (col("node") === col("label")).as("is_keeper"))
     },
 
     // SimHash (64-bit) near-dup buckets. Engine-specific hash (xxhash64) →
@@ -109,6 +129,65 @@ object Dedup {
       bandedLshPairs(Tables(s, d, "documents"), jaccardThreshold = 0.8)
     }
   )
+
+  /** Exact all-pairs n-gram Jaccard ≥ threshold via the inverted shingle
+    * index (see the d4 comment for the plan rationale). Output:
+    * (doc_a, doc_b, jaccard) with doc_a < doc_b. */
+  def exactNgramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    // sh feeds the posting list twice and the size table once — persist so
+    // shingling+hashing runs one pass (same pattern as bandedLshPairs)
+    val sh = shingleSets(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+    val tok = sh.select(col("doc_id"), explode(col("sh")).as("h"))
+    val inter = tok.select(col("doc_id").as("doc_a"), col("h"))
+      .join(tok.select(col("doc_id").as("doc_b"), col("h")), "h")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).cast("double").as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .select(
+        col("doc_a"), col("doc_b"),
+        round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Connected components by iterative min-label propagation (Pregel-style:
+    * each round every node takes the min label among itself and its
+    * neighbors; converges in graph-diameter rounds — near-dup components
+    * are tiny cliques, so 2-3 rounds in practice, `maxIter` as a backstop).
+    * The per-round dataset is (node, label) longs only; at 100 TB the
+    * alternating large-star/small-star variant bounds skew from a single
+    * giant component, which plain propagation shares via the groupBy(min)
+    * map-side partials here. Driver only sees a one-row convergence count
+    * per round, never the data. */
+  def connectedComponents(pairs: DataFrame, nodes: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.select(col("node"), col("node").as("label"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val viaNeighbors = edges.join(labels, edges("src") === labels("node"))
+        .select(edges("dst").as("node"), labels("label"))
+      val next = labels.select("node", "label").union(viaNeighbors)
+        .groupBy("node").agg(min(col("label")).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.label") =!= col("o.label"))
+        .limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
 
   /** 64-bit SimHash over token xxhash64 values: per doc, for each of 64 bit
     * positions sum ±1 across token hashes, sign → bit. Pure columnar
