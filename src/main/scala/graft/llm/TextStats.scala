@@ -91,6 +91,33 @@ object TextStats {
         .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
     },
 
+    // BPE-style pre-tokenization counting: a GPT-2-ish regex (contraction
+    // suffixes | space-prefixed letter runs | digit runs | punctuation runs
+    // | whitespace) — kept lookahead-free so Java regex (Spark) and RE2
+    // (DuckDB) agree. The piece count is the standard "token budget"
+    // estimate a training pipeline computes per document.
+    QueryDef("t5_bpe_tokens",
+      """SELECT doc_id,
+        |       len(pieces) AS n_pieces,
+        |       len(list_distinct(pieces)) AS n_unique,
+        |       round(CAST(len(pieces) AS DOUBLE) /
+        |             len(string_split(text, ' ')), 6) AS pieces_per_word
+        |FROM (
+        |  SELECT doc_id, text,
+        |         regexp_extract_all(text,
+        |           '''(?:ll|ve|re|[sdmt])| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+') AS pieces
+        |  FROM documents)""".stripMargin) { (s, d) =>
+      // lit() keeps the backslashes intact — a SQL string literal would
+      // strip the \p / \s escapes before the regex engine saw them
+      val pat = "'(?:ll|ve|re|[sdmt])| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+      val pieces = regexp_extract_all(col("text"), lit(pat), lit(0))
+      Tables(s, d, "documents").select(
+        col("doc_id"),
+        size(pieces).as("n_pieces"),
+        size(array_distinct(pieces)).as("n_unique"),
+        round(size(pieces).cast("double") / size(toks), 6).as("pieces_per_word"))
+    },
+
     // Document fingerprint: minimum md5 over rolling 5-token shingles
     // (winnowing-style). md5 exists in both engines → oracle-checkable.
     QueryDef("t4_fingerprint",
