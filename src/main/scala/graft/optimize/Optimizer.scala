@@ -235,6 +235,12 @@ object Optimizer {
       args.getOrElse("resource_min", 1.0),
       args.getOrElse("resource_max", 9.0))))
     case "tpe" => new Tpe()
+    case "bohb" | "tpe_hyperband" => new Tpe(
+      numWarmup = args.getOrElse("num_warmup", 6.0).toInt,
+      pruner = Some(new Hyperband(
+        args.getOrElse("eta", 3.0).toInt,
+        args.getOrElse("resource_min", 1.0),
+        args.getOrElse("resource_max", 9.0))))
     case "gp" => new Gp()
     case "gp_lcb" | "gp-lcb" => new Gp(acquisition = "lcb",
       lcbKappa = args.getOrElse("kappa", 1.96))

@@ -3,6 +3,8 @@ package graft.optimize
 import graft.core._
 import graft.core.HParam
 
+import scala.collection.mutable
+
 /** Tree-structured Parzen Estimator, BOHB-flavored (reference:
   * maggy/optimizer/bayes/tpe.py).
   *
@@ -19,10 +21,14 @@ final class Tpe(
     bwFloor: Double = 1e-3,
     bwFactor: Double = 3.0,
     numWarmup: Int = 15,
-    randomFraction: Double = 0.33) extends Optimizer {
+    randomFraction: Double = 0.33,
+    pruner: Option[Pruner] = None) extends Optimizer {
 
   private var issued = 0
   private var exhausted = false
+  // model-per-budget cache, invalidated when that budget's finalized count
+  // grows (reference: models dict keyed by budget, bayes/base.py:251-256)
+  private val kdeCache = mutable.Map.empty[Double, (Int, Kde, Kde, Array[Array[Double]])]
 
   override protected def validate(): Unit = {
     require(searchspace.containsContinuous, "TPE requires at least one continuous param")
@@ -31,28 +37,86 @@ final class Tpe(
 
   private def dims: Int = searchspace.params.size
 
-  def getSuggestion(completed: Option[Trial]): Suggestion = {
-    if (exhausted || issued >= numTrials) {
-      return if (trialStore.nonEmpty) Idle else Done
-    }
-    val t = suggestConfig()
-    if (hparamsExist(t)) {
-      // resample ≤3 attempts; if every attempt collides, the searchspace is
-      // exhausted — STOP the experiment rather than reissue a duplicate
-      // trialId that would corrupt the driver's trial store (reference
-      // stops too: bayes/base.py:288-301)
-      (1 to 3).iterator.map(_ => new Trial(searchspace.sample(rng)))
-        .find(c => !hparamsExist(c)) match {
-        case Some(c) => issued += 1; NewTrial(c)
-        case None =>
-          exhausted = true
-          if (trialStore.nonEmpty) Idle else Done
+  override protected def init(): Unit = pruner.foreach(_.initialize(numTrials))
+
+  def getSuggestion(completed: Option[Trial]): Suggestion = pruner match {
+    case None =>
+      if (exhausted || issued >= numTrials) {
+        return if (trialStore.nonEmpty) Idle else Done
       }
-    } else { issued += 1; NewTrial(t) }
+      val t = suggestConfig(None)
+      if (hparamsExist(t)) {
+        // resample ≤3 attempts; if every attempt collides, the searchspace is
+        // exhausted — STOP the experiment rather than reissue a duplicate
+        // trialId that would corrupt the driver's trial store (reference
+        // stops too: bayes/base.py:288-301)
+        (1 to 3).iterator.map(_ => new Trial(searchspace.sample(rng)))
+          .find(c => !hparamsExist(c)) match {
+          case Some(c) => issued += 1; NewTrial(c)
+          case None =>
+            exhausted = true
+            if (trialStore.nonEmpty) Idle else Done
+        }
+      } else { issued += 1; NewTrial(t) }
+
+    // BOHB shape: the pruner schedules budgets/promotions, TPE supplies the
+    // configs for fresh rung-0 runs from the best-informed budget's model
+    // (reference: BaseAsyncBO + pruner, bayes/base.py:170-313)
+    case Some(p) =>
+      p.pruningRoutine(completed, finalStore, trialStore) match {
+        case PrunerDone => if (trialStore.nonEmpty) Idle else Done
+        case PrunerIdle => Idle
+        case RunNew(budget) =>
+          val model = suggestConfig(Some(budget))
+          val base =
+            if (!hparamsExist(model)) model
+            else (1 to 3).iterator.map(_ => new Trial(searchspace.sample(rng)))
+              .find(c => !hparamsExist(c)).getOrElse(model)
+          val t = new Trial(base.paramsSansBudget + ("budget" -> HV.D(budget)),
+            sampleType = base.sampleType, budget = Some(budget))
+          p.trackIssued(t.trialId)
+          NewTrial(t)
+        case Promote(trialId, budget) =>
+          val src = finalStore.find(_.trialId == trialId)
+            .getOrElse(throw new IllegalStateException(s"pruner promoted unknown trial $trialId"))
+          val t = new Trial(src.paramsSansBudget + ("budget" -> HV.D(budget)),
+            sampleType = "promoted", budget = Some(budget))
+          p.trackIssued(t.trialId)
+          NewTrial(t)
+      }
   }
 
-  private def suggestConfig(): Trial = {
-    val finished = finalStore.filter(_.finalMetric.isDefined).toSeq
+  /** KDE pair for a budget's finalized trials, cached until that budget
+    * accrues new observations. */
+  private def kdesFor(budget: Option[Double], finished: Seq[Trial]): Option[(Kde, Kde, Array[Array[Double]])] = {
+    val key = budget.getOrElse(-1.0)
+    val sorted = finished.sortBy(minMetric)
+    val nGood = math.max(dims + 1, math.ceil(gamma * sorted.size).toInt)
+    if (sorted.size - nGood <= dims) return None
+    kdeCache.get(key) match {
+      case Some((n, g, b, goodX)) if n == finished.size => Some((g, b, goodX))
+      case _ =>
+        val good = sorted.take(nGood).map(t => searchspace.transform(t.paramsSansBudget)).toArray
+        val bad = sorted.drop(nGood).map(t => searchspace.transform(t.paramsSansBudget)).toArray
+        val g = Kde.fit(good)
+        val b = Kde.fit(bad)
+        kdeCache(key) = (finished.size, g, b, good)
+        Some((g, b, good))
+    }
+  }
+
+  private def suggestConfig(budget: Option[Double]): Trial = {
+    // BOHB rule: model the LARGEST budget that has enough observations —
+    // high-fidelity evidence beats volume (reference samples from
+    // models[max budget], bayes/base.py:251-313)
+    val all = finalStore.filter(_.finalMetric.isDefined).toSeq
+    val finished = budget match {
+      case None => all
+      case Some(_) =>
+        val byBudget = all.groupBy(_.budget.getOrElse(0.0))
+        byBudget.filter(_._2.size > 2 * (dims + 1)).toSeq
+          .sortBy(-_._1).headOption.map(_._2).getOrElse(Seq.empty)
+    }
     // ε-greedy exploration shared by all BO optimizers (reference
     // bayes/base.py:232-248, random_fraction=0.33)
     if (finished.size <= math.max(numWarmup, 2 * (dims + 1)) ||
@@ -60,17 +124,12 @@ final class Tpe(
         rng.nextDouble() < randomFraction) {
       return new Trial(searchspace.sample(rng), sampleType = "random")
     }
-    // γ-split into good/bad by min-convention metric (tpe.py:191-221)
-    val sorted = finished.sortBy(minMetric)
-    val nGood = math.max(dims + 1, math.ceil(gamma * sorted.size).toInt)
-    if (sorted.size - nGood <= dims) {
-      return new Trial(searchspace.sample(rng), sampleType = "random")
+    // γ-split into good/bad by min-convention metric (tpe.py:191-221),
+    // KDEs cached per budget until new observations arrive
+    val (goodKde, badKde, good) = kdesFor(budget, finished) match {
+      case Some(k) => k
+      case None => return new Trial(searchspace.sample(rng), sampleType = "random")
     }
-    val good = sorted.take(nGood).map(t => searchspace.transform(t.paramsSansBudget)).toArray
-    val bad = sorted.drop(nGood).map(t => searchspace.transform(t.paramsSansBudget)).toArray
-
-    val goodKde = Kde.fit(good)
-    val badKde = Kde.fit(bad)
 
     // sample candidates from the good KDE with widened bandwidth (tpe.py:75-132)
     var bestX: Array[Double] = null

@@ -112,6 +112,25 @@ class OptimizerSpec extends AnyFunSuite {
     assert(budgets(9.0) == 1 + 1 + 3)
   }
 
+  test("BOHB (TPE + Hyperband) keeps the SH schedule and draws model samples") {
+    val opt = Optimizer.forName("bohb",
+      Map("eta" -> 3.0, "resource_min" -> 1.0, "resource_max" -> 9.0, "num_warmup" -> 4.0))
+    opt.initialize(space2d, 100, Direction.Min, 3L)
+    val finals = drive(opt, p => {
+      val x = p("x").asDouble; val y = p("y").asDouble
+      (x - 3.2) * (x - 3.2) + (y - 2) * (y - 2)
+    })
+    // budget schedule identical to plain Hyperband (FIXTURES §4)
+    assert(finals.size == (9 + 3 + 1) + (3 + 1) + 3)
+    val budgets = finals.flatMap(_.budget).groupBy(identity).view.mapValues(_.size).toMap
+    assert(budgets(1.0) == 9)
+    assert(budgets(3.0) == 3 + 3)
+    assert(budgets(9.0) == 1 + 1 + 3)
+    // TPE must have informed at least one fresh config once rung data existed
+    assert(finals.exists(_.sampleType == "model"),
+      s"sample types: ${finals.map(_.sampleType).distinct}")
+  }
+
   // -- median stopping rule worked example (reference medianrule.py:34-59) --
   test("median rule stops a below-median candidate (direction=max)") {
     def finalizedWith(vals: Seq[Double]): Trial = {
