@@ -114,12 +114,15 @@ final class Gp(
   }
 
   /** Acquisition value to MAXIMIZE, all in min-convention (reference:
-    * maggy/optimizer/bayes/acquisitions.py — EI/PI/LCB; LCB's argmin of
-    * mu − κσ is negated so one argmax loop serves all three). */
+    * maggy/optimizer/bayes/acquisitions.py — EI/PI/LCB/AsyTS; LCB's argmin
+    * of mu − κσ is negated so one argmax loop serves all four). AsyTS draws
+    * an independent posterior sample per candidate — the stochastic pick
+    * decorrelates parallel proposals without the constant liar. */
   private def acq(mu: Double, sigma: Double, yBest: Double): Double = acquisition match {
     case "ei" => expectedImprovement(mu, sigma, yBest)
     case "pi" => if (sigma < 1e-12) 0.0 else normCdf((yBest - mu) / sigma)
     case "lcb" => -(mu - lcbKappa * sigma)
+    case "asyts" => -(mu + sigma * rng.nextGaussian())
     case other => throw new IllegalArgumentException(s"unknown acquisition: $other")
   }
 

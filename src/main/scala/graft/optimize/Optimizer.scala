@@ -245,6 +245,10 @@ object Optimizer {
     case "gp_lcb" | "gp-lcb" => new Gp(acquisition = "lcb",
       lcbKappa = args.getOrElse("kappa", 1.96))
     case "gp_pi" | "gp-pi" => new Gp(acquisition = "pi")
+    // AsyTS samples few candidates by design (reference gp.py:156-164:
+    // n_points=100 for AsyTS, clipped [10, 1000])
+    case "gp_asyts" | "gp-asyts" => new Gp(acquisition = "asyts",
+      nPoints = args.getOrElse("n_points", 100.0).toInt)
     case "gp_interim" | "gp-interim" => new Gp(interimResults = true,
       interimInterval = args.getOrElse("interim_interval", 1.0).toInt)
     case other => throw new IllegalArgumentException(s"unknown optimizer: $other")

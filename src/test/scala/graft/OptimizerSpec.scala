@@ -185,7 +185,7 @@ class OptimizerSpec extends AnyFunSuite {
   }
 
   test("GP LCB and PI acquisitions also converge on a smooth objective") {
-    for (acqName <- Seq("gp_lcb", "gp_pi")) {
+    for (acqName <- Seq("gp_lcb", "gp_pi", "gp_asyts")) {
       val opt = Optimizer.forName(acqName).asInstanceOf[Gp]
       opt.initialize(space2d, 40, Direction.Min, seed = 9L)
       val finals = drive(opt, p => {

@@ -76,6 +76,13 @@ class PlanSpec extends AnyFunSuite {
       s"d4 fell back to a quadratic join:\n$p")
   }
 
+  test("scalar-heavy queries stay inside whole-stage codegen") {
+    for (q <- Seq("f_math", "f_string", "p3_filter")) {
+      val p = plan(q)
+      assert(p.contains("*("), s"$q has no whole-stage codegen span:\n$p")
+    }
+  }
+
   test("j3 star join broadcasts every dimension (single fact shuffle)") {
     val p = plan("j3_star_join")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
