@@ -19,12 +19,24 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** dot(a,b) over double arrays — left-to-right fold, matching DuckDB's
-    * sequential list_dot_product for bit-identical results. */
+    * sequential list_dot_product for bit-identical results. Kept as the
+    * built-in-only reference implementation (DataPlaneSpec pins the native
+    * expression against it). */
   def dotProduct(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
-  def cosine(a: Column, b: Column): Column =
+  def cosineHof(a: Column, b: Column): Column =
     dotProduct(a, b) / sqrt(dotProduct(a, a) * dotProduct(b, b))
+
+  /** Cosine via the native codegen'd Catalyst expression — one fused loop
+    * instead of three interpreted higher-order aggregates; identical
+    * accumulation order, so bit-identical results (graft.functions
+    * .CosineSimilarity). This is the J9 hot path. */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftExpressionBridge.columnOf(
+      graft.functions.CosineSimilarity(
+        org.apache.spark.sql.GraftExpressionBridge.expressionOf(a),
+        org.apache.spark.sql.GraftExpressionBridge.expressionOf(b)))
 
   /** Brute-force top-k cosine neighbors for each probe row.
     * Probes must be small enough to broadcast (they are, by construction:

@@ -106,6 +106,24 @@ class DataPlaneSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"IVF recall $recall < 0.8")
   }
 
+  test("native codegen cosine is bit-identical to the higher-order formulation") {
+    val emb = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(col("e").as("pe")).crossJoin(emb)
+    val rows = probe.select(
+      col("vec_id"),
+      Similarity.cosine(col("pe"), col("e")).as("native"),
+      Similarity.cosineHof(col("pe"), col("e")).as("hof")).collect()
+    assert(rows.length > 0)
+    // bit-identical, not approximately equal — same accumulation order
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        s"vec ${r.getLong(0)}: native ${r.getDouble(1)} != hof ${r.getDouble(2)}")
+    }
+  }
+
   test("prebuilt IVF index serves multiple probe workloads without refitting") {
     val emb = Tables(spark, sf, "embeddings")
     val index = IvfIndex.build(emb, nClusters = 8)
