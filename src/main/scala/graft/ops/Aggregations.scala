@@ -139,6 +139,42 @@ object Aggregations {
         .agg(moneySum(col("c_acctbal")).as("total_bal"), count(lit(1)).as("n_cust"))
     },
 
+    // A10: pivot (conditional aggregation spread into columns) — the
+    // result-matrix shape (configs × budgets) of a multi-fidelity study.
+    // Spark's relational pivot == oracle's CASE WHEN sums.
+    QueryDef("a10_pivot",
+      """SELECT l_returnflag,
+        |       round(CAST(sum(CASE WHEN l_linestatus = 'F'
+        |                    THEN CAST(l_quantity AS DECIMAL(22,8)) END) AS DOUBLE), 2) AS F,
+        |       round(CAST(sum(CASE WHEN l_linestatus = 'O'
+        |                    THEN CAST(l_quantity AS DECIMAL(22,8)) END) AS DOUBLE), 2) AS O
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(moneySum(col("l_quantity")))
+    },
+
+    // A11: statistical aggregates (stddev/variance/correlation/covariance) —
+    // the spread/association measures a result analysis computes over trials.
+    QueryDef("a11_stats_agg",
+      """SELECT c_nationkey,
+        |       round(stddev_samp(c_acctbal), 4) AS bal_sd,
+        |       round(var_samp(c_acctbal), 4) AS bal_var,
+        |       round(corr(c_acctbal, c_custkey), 6) AS bal_key_corr,
+        |       round(covar_samp(c_acctbal, c_custkey), 4) AS bal_key_cov,
+        |       count(*) AS n
+        |FROM customer GROUP BY c_nationkey""".stripMargin) { (s, d) =>
+      Tables(s, d, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+          round(stddev_samp(col("c_acctbal")), 4).as("bal_sd"),
+          round(var_samp(col("c_acctbal")), 4).as("bal_var"),
+          round(corr(col("c_acctbal"), col("c_custkey")), 6).as("bal_key_corr"),
+          round(covar_samp(col("c_acctbal"), col("c_custkey")), 4).as("bal_key_cov"),
+          count(lit(1)).as("n"))
+    },
+
     // A9: ordered history assembly per key
     // (reference: metric_history append, maggy/trial.py:93-108).
     QueryDef("a9_collect_sorted",

@@ -131,6 +131,23 @@ object Joins {
         .select("c_custkey", "c_name")
     },
 
+    // J4b: FULL outer — both unmatched sides preserved (filtered inputs so
+    // each side genuinely has rows the other lacks).
+    QueryDef("j4b_full_outer",
+      """SELECT coalesce(c_custkey, o_custkey) AS custkey,
+        |       count(c_name) AS n_cust_rows,
+        |       count(o_orderkey) AS n_big_orders
+        |FROM (SELECT * FROM customer WHERE c_acctbal > 9000) c
+        |FULL OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+        |  ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val c = Tables(s, d, "customer").filter(col("c_acctbal") > 9000)
+      val o = Tables(s, d, "orders").filter(col("o_totalprice") > 400000)
+      c.join(o, col("o_custkey") === col("c_custkey"), "full_outer")
+        .groupBy(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"))
+        .agg(count(col("c_name")).as("n_cust_rows"), count(col("o_orderkey")).as("n_big_orders"))
+    },
+
     // J6: cross join — grid-search cartesian product
     // (reference: maggy/optimizer/gridsearch.py:74-81). Small dims only.
     QueryDef("j6_cross_join",

@@ -85,6 +85,78 @@ object ScalarFns {
         (col("l_orderkey") % 7).as("key_mod"))
     },
 
+    // String functions, second bundle: padding/translation/splitting.
+    QueryDef("f_string2",
+      """SELECT p_partkey,
+        |       lpad(p_brand, 12, '*') AS brand_lpad,
+        |       rpad(p_brand, 12, '*') AS brand_rpad,
+        |       translate(p_type, 'AEO', 'aeo') AS type_tr,
+        |       split_part(p_name, ' ', 1) AS first_word,
+        |       reverse(p_brand) AS brand_rev,
+        |       repeat('-', p_size % 5) AS dashes,
+        |       replace(p_type, 'STANDARD', 'STD') AS type_std,
+        |       instr(p_name, 'a') AS first_a,
+        |       ascii(p_brand) AS first_code,
+        |       chr(65 + p_size % 26) AS size_chr
+        |FROM part""".stripMargin) { (s, d) =>
+      Tables(s, d, "part").select(
+        col("p_partkey"),
+        lpad(col("p_brand"), 12, "*").as("brand_lpad"),
+        rpad(col("p_brand"), 12, "*").as("brand_rpad"),
+        translate(col("p_type"), "AEO", "aeo").as("type_tr"),
+        split_part(col("p_name"), lit(" "), lit(1)).as("first_word"),
+        reverse(col("p_brand")).as("brand_rev"),
+        repeat(lit("-"), (col("p_size") % 5).cast("int")).as("dashes"),
+        regexp_replace(col("p_type"), "STANDARD", "STD").as("type_std"),
+        instr(col("p_name"), "a").as("first_a"),
+        ascii(col("p_brand")).as("first_code"),
+        chr(lit(65) + col("p_size") % 26).as("size_chr"))
+    },
+
+    // Date/time functions, second bundle: calendar parts + arithmetic.
+    QueryDef("f_datetime2",
+      """SELECT o_orderkey,
+        |       day(o_orderdate) AS dom,
+        |       quarter(o_orderdate) AS qtr,
+        |       weekofyear(o_orderdate) AS iso_week,
+        |       last_day(o_orderdate) AS month_end,
+        |       CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus_30d,
+        |       make_date(year(o_orderdate), month(o_orderdate), 1) AS month_start
+        |FROM orders""".stripMargin) { (s, d) =>
+      Tables(s, d, "orders").select(
+        col("o_orderkey"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        quarter(col("o_orderdate")).as("qtr"),
+        weekofyear(col("o_orderdate")).as("iso_week"),
+        last_day(col("o_orderdate")).as("month_end"),
+        date_add(col("o_orderdate"), 30).as("plus_30d"),
+        make_date(year(col("o_orderdate")), month(col("o_orderdate")), lit(1)).as("month_start"))
+    },
+
+    // Math functions, second bundle: logs, roots, sign, bit ops.
+    QueryDef("f_math2",
+      """SELECT l_orderkey, l_linenumber,
+        |       round(log2(l_extendedprice), 6) AS log2_price,
+        |       round(log10(l_extendedprice), 6) AS log10_price,
+        |       CAST(sign(l_discount - 0.05) AS BIGINT) AS disc_side,
+        |       round(cbrt(l_quantity), 6) AS qty_cbrt,
+        |       l_orderkey & 255 AS key_lo,
+        |       xor(l_orderkey, l_partkey) AS key_mix,
+        |       l_linenumber << 3 AS ln_shift,
+        |       CAST(round(l_extendedprice, -2) AS DOUBLE) AS price_hundreds
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      Tables(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(log(2.0, col("l_extendedprice")), 6).as("log2_price"),
+        round(log(10.0, col("l_extendedprice")), 6).as("log10_price"),
+        signum(col("l_discount") - 0.05).cast("long").as("disc_side"),
+        round(cbrt(col("l_quantity")), 6).as("qty_cbrt"),
+        col("l_orderkey").bitwiseAND(255).as("key_lo"),
+        col("l_orderkey").bitwiseXOR(col("l_partkey")).as("key_mix"),
+        shiftleft(col("l_linenumber"), 3).as("ln_shift"),
+        round(col("l_extendedprice"), -2).as("price_hundreds"))
+    },
+
     // Map functions (params-dict semantics, reference: maggy/trial.py:68).
     // The map is built from columns and immediately deconstructed with
     // map_keys/map_values/element_at — the oracle computes the same values

@@ -96,6 +96,27 @@ object Windows {
       Tables(s, d, "events").select(
         col("user_id"), col("event_id"),
         round(sum(Exact.dec4(col("value"))).over(w).cast("double"), 6).as("trailing_1h"))
+    },
+
+    // W7: positional window values — first/last/nth over an explicit
+    // whole-partition frame, plus cume_dist (deterministic ts+event_id order).
+    QueryDef("w7_positional",
+      """SELECT user_id, event_id,
+        |       first_value(event_id) OVER w AS first_ev,
+        |       last_value(event_id) OVER w AS last_ev,
+        |       nth_value(event_id, 3) OVER w AS third_ev,
+        |       round(cume_dist() OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS cd
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin) { (s, d) =>
+      val ordered = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val whole = ordered.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(s, d, "events").select(
+        col("user_id"), col("event_id"),
+        first(col("event_id")).over(whole).as("first_ev"),
+        last(col("event_id")).over(whole).as("last_ev"),
+        nth_value(col("event_id"), 3).over(whole).as("third_ev"),
+        round(cume_dist().over(ordered), 6).as("cd"))
     }
   )
 }
