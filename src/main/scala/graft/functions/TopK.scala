@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** One scored candidate flowing into the top-k aggregation. */
+final case class Scored(cand_id: Long, score: Double)
+
+/** Typed top-k aggregator (SURVEY §2.B UDF table: `Aggregator[IN,BUF,OUT]`
+  * for exact top-k accumulation). The scale argument vs a rank window: a
+  * window plan shuffles EVERY (probe, candidate) score to sort it, while
+  * this aggregator keeps at most k entries per partition (map-side partial
+  * aggregation), so the shuffle carries ≤ k rows per probe per partition —
+  * at 100 TB that is the difference between shuffling the cross product
+  * and shuffling bounded candidate lists.
+  *
+  * Determinism: ordering is (score desc, cand_id asc), the same tiebreak
+  * the window formulation uses. Buffer is a sorted bounded list; k is a
+  * query's top-k (small), so linear insert beats heap constant-factors.
+  */
+final class TopKAggregator(k: Int)
+    extends Aggregator[Scored, Seq[(Long, Double)], Seq[(Long, Double)]] {
+
+  private def lt(a: (Long, Double), b: (Long, Double)): Boolean =
+    a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+
+  private def insert(buf: Seq[(Long, Double)], s: (Long, Double)): Seq[(Long, Double)] = {
+    val (better, worse) = buf.span(lt(_, s))
+    val merged = (better :+ s) ++ worse
+    if (merged.length > k) merged.take(k) else merged
+  }
+
+  def zero: Seq[(Long, Double)] = Seq.empty
+  def reduce(buf: Seq[(Long, Double)], s: Scored): Seq[(Long, Double)] =
+    insert(buf, (s.cand_id, s.score))
+  def merge(a: Seq[(Long, Double)], b: Seq[(Long, Double)]): Seq[(Long, Double)] =
+    b.foldLeft(a)(insert)
+  def finish(buf: Seq[(Long, Double)]): Seq[(Long, Double)] = buf
+  def bufferEncoder: Encoder[Seq[(Long, Double)]] = ExpressionEncoder()
+  def outputEncoder: Encoder[Seq[(Long, Double)]] = ExpressionEncoder()
+}
+
+object TopK {
+  /** Column-level top-k UDAF: returns an array of (cand_id, score) structs
+    * ordered (score desc, cand_id asc), bounded at k. The product encoder
+    * flattens Scored, so the UDAF takes its fields as separate columns. */
+  def topk(k: Int, candId: Column, score: Column): Column =
+    udaf(new TopKAggregator(k), Encoders.product[Scored]).apply(candId, score)
+}

@@ -38,9 +38,10 @@ object Similarity {
         org.apache.spark.sql.GraftExpressionBridge.expressionOf(a),
         org.apache.spark.sql.GraftExpressionBridge.expressionOf(b)))
 
-  /** Brute-force top-k cosine neighbors for each probe row.
-    * Probes must be small enough to broadcast (they are, by construction:
-    * a query workload, not the corpus). */
+  /** Brute-force top-k cosine neighbors for each probe row, window-rank
+    * formulation: shuffles every (probe, candidate) score to sort it.
+    * Kept as the reference implementation [[bruteForceKnnAgg]] is pinned
+    * against; prefer the aggregator at scale. */
   def bruteForceKnn(probes: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     val p = broadcast(probes.select(col("vec_id").as("probe_id"), col("embedding").cast("array<double>").as("pv")))
     val c = candidates.select(col("vec_id").as("cand_id"), col("embedding").cast("array<double>").as("cv"))
@@ -51,6 +52,26 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("probe_id"), col("cand_id"), round(col("cos_raw"), 6).as("cosine"), col("rn"))
+  }
+
+  /** Brute-force top-k via the typed [[graft.functions.TopKAggregator]]:
+    * each partition keeps ≤ k candidates per probe before the shuffle
+    * (map-side partial aggregation), so the exchange carries bounded lists
+    * instead of the full probe×candidate score matrix — the formulation
+    * that survives 100 TB. Same output contract as [[bruteForceKnn]]
+    * (identical ordering + tiebreak; DataPlaneSpec pins equality). */
+  def bruteForceKnnAgg(probes: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val p = broadcast(probes.select(col("vec_id").as("probe_id"), col("embedding").cast("array<double>").as("pv")))
+    val c = candidates.select(col("vec_id").as("cand_id"), col("embedding").cast("array<double>").as("cv"))
+    val scored = c.crossJoin(p)
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"), cosine(col("pv"), col("cv")).as("cos_raw"))
+    scored.groupBy("probe_id")
+      .agg(graft.functions.TopK.topk(k, col("cand_id"), col("cos_raw")).as("top"))
+      .select(col("probe_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(
+        col("probe_id"), col("s._1").as("cand_id"),
+        round(col("s._2"), 6).as("cosine"), (col("pos") + 1).as("rn"))
   }
 
   val entries: Seq[QueryDef] = Seq(
@@ -68,8 +89,10 @@ object Similarity {
         |                               ORDER BY cos_raw DESC, cand_id) AS rn
         |  FROM scored) t
         |WHERE rn <= 10""".stripMargin) { (s, d) =>
+      // aggregator formulation: bounded per-partition top-k, no score-matrix
+      // shuffle (window version kept in bruteForceKnn for the pinned test)
       val emb = Tables(s, d, "embeddings")
-      bruteForceKnn(emb.filter(col("vec_id") < 5), emb, k = 10)
+      bruteForceKnnAgg(emb.filter(col("vec_id") < 5), emb, k = 10)
     },
 
     // Embedding near-duplicate pairs: probes (vec_id % 10 = 0) vs the corpus,

@@ -106,6 +106,17 @@ class DataPlaneSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"IVF recall $recall < 0.8")
   }
 
+  test("top-k Aggregator output equals the window-rank formulation exactly") {
+    val emb = Tables(spark, sf, "embeddings")
+    val probes = emb.filter(col("vec_id") < 7)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double, Int)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val window = rows(Similarity.bruteForceKnn(probes, emb, k = 10))
+    val agg = rows(Similarity.bruteForceKnnAgg(probes, emb, k = 10)
+      .select(col("probe_id"), col("cand_id"), col("cosine"), col("rn").cast("int")))
+    assert(window == agg)
+  }
+
   test("native codegen cosine is bit-identical to the higher-order formulation") {
     val emb = Tables(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
