@@ -139,6 +139,32 @@ object Aggregations {
         .agg(moneySum(col("c_acctbal")).as("total_bal"), count(lit(1)).as("n_cust"))
     },
 
+    // A8b: explicit GROUPING SETS with grouping() markers — finer control
+    // than rollup (the per-region and per-mktsegment marginals in one pass,
+    // without the cross cells a cube would add).
+    QueryDef("a8b_grouping_sets",
+      """SELECT r_name, c_mktsegment,
+        |       CAST(GROUPING(r_name) AS INT) AS g_region,
+        |       CAST(GROUPING(c_mktsegment) AS INT) AS g_seg,
+        |       round(CAST(sum(CAST(c_acctbal AS DECIMAL(22,8))) AS DOUBLE), 2) AS total_bal,
+        |       count(*) AS n
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())""".stripMargin) { (s, d) =>
+      Tables(s, d, "customer")
+        .join(broadcast(Tables(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupingSets(
+          Seq(Seq(col("r_name")), Seq(col("c_mktsegment")), Seq.empty),
+          col("r_name"), col("c_mktsegment"))
+        .agg(
+          grouping(col("r_name")).cast("int").as("g_region"),
+          grouping(col("c_mktsegment")).cast("int").as("g_seg"),
+          moneySum(col("c_acctbal")).as("total_bal"),
+          count(lit(1)).as("n"))
+    },
+
     // A10: pivot (conditional aggregation spread into columns) — the
     // result-matrix shape (configs × budgets) of a multi-fidelity study.
     // Spark's relational pivot == oracle's CASE WHEN sums.
