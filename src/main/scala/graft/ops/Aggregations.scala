@@ -201,6 +201,26 @@ object Aggregations {
           count(lit(1)).as("n"))
     },
 
+    // A12: skew-salted two-stage aggregation. l_returnflag has 3 values —
+    // a direct groupBy at 100 TB funnels a third of the table into one
+    // reducer. Stage 1 groups by (key, salt=orderkey%16) so the heavy key
+    // spreads over 16 reducers; stage 2 combines the 16 partials per key.
+    // Decimal partials keep the two-stage sum exact, so the result is
+    // bit-equal to the oracle's one-shot GROUP BY.
+    QueryDef("a12_salted_agg",
+      """SELECT l_returnflag,
+        |       count(*) AS n,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(22,8))) AS DOUBLE), 2) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), pmod(col("l_orderkey"), lit(16)).as("salt"))
+        .agg(count(lit(1)).as("pn"), sum(dec4(col("l_quantity"))).as("pq"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(col("pn")).as("n"),
+          round(sum(col("pq")).cast("double"), 2).as("sum_qty"))
+    },
+
     // A9: ordered history assembly per key
     // (reference: metric_history append, maggy/trial.py:93-108).
     QueryDef("a9_collect_sorted",

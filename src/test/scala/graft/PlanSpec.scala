@@ -20,6 +20,8 @@ class PlanSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.warehouse.dir",
+      s"${sys.props("java.io.tmpdir")}/graft_warehouse_${System.nanoTime()}")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -81,6 +83,32 @@ class PlanSpec extends AnyFunSuite {
       val p = plan(q)
       assert(p.contains("*("), s"$q has no whole-stage codegen span:\n$p")
     }
+  }
+
+  test("bucketed tables join co-located: no exchange on either side") {
+    import graft.data.Tables
+    import org.apache.spark.sql.functions.col
+    // bucket both sides on the join key — at 100 TB this is the write-once
+    // layout that removes the per-query join shuffle entirely
+    Tables(spark, sf, "orders").write
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("orders_bkt")
+    Tables(spark, sf, "lineitem").write
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("lineitem_bkt")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = spark.table("lineitem_bkt")
+        .join(spark.table("orders_bkt"), col("l_orderkey") === col("o_orderkey"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected sort-merge join:\n$p")
+      assert(!p.contains("Exchange"), s"bucketed join still shuffles:\n$p")
+      // and it computes the same thing as the plain parquet join
+      val plain = Tables(spark, sf, "lineitem")
+        .join(Tables(spark, sf, "orders"), col("l_orderkey") === col("o_orderkey"))
+      assert(joined.count() == plain.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("j3 star join broadcasts every dimension (single fact shuffle)") {
