@@ -169,6 +169,14 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = nodes.select(col("node"), col("node").as("label"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // convergence check: per-node labels only ever DECREASE, so the global
+    // label sum strictly decreases until fixpoint — one cheap aggregate per
+    // round instead of a self-join diff
+    // decimal(38,0) sum: exact at any node count (a long sum could overflow
+    // at trillions of ids and spuriously report convergence)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -177,13 +185,11 @@ object Dedup {
       val next = labels.select("node", "label").union(viaNeighbors)
         .groupBy("node").agg(min(col("label")).as("label"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.label") =!= col("o.label"))
-        .limit(1).count()
+      val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = nextSum == prevSum
+      prevSum = nextSum
       iter += 1
     }
     labels
