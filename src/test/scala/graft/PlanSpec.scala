@@ -88,6 +88,18 @@ class PlanSpec extends AnyFunSuite {
   test("bucketed tables join co-located: no exchange on either side") {
     import graft.data.Tables
     import org.apache.spark.sql.functions.col
+    // drop stale tables AND their locations — suites share one JVM session
+    // (getOrCreate), so the warehouse dir may hold a previous run's files
+    // while the in-memory catalog is fresh
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    for (t <- Seq("orders_bkt", "lineitem_bkt")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(warehouse, t)
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
     // bucket both sides on the join key — at 100 TB this is the write-once
     // layout that removes the per-query join shuffle entirely
     Tables(spark, sf, "orders").write
