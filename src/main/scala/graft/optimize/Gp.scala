@@ -4,6 +4,8 @@ import breeze.linalg.{cholesky, DenseMatrix, DenseVector}
 
 import graft.core._
 
+import scala.collection.mutable
+
 /** Async Gaussian-process Bayesian optimization (reference:
   * maggy/optimizer/bayes/gp.py + bayes/base.py).
   *
@@ -16,9 +18,11 @@ import graft.core._
   *
   * The regressor itself is re-derived on Breeze rather than ported from
   * skopt: Matern ν=2.5 kernel, y-normalization, Gaussian noise jitter,
-  * Cholesky solve; length-scale picked by log-marginal-likelihood over a
-  * small grid (stands in for skopt's 2-restart MLE — acceptance is
-  * fixed-seed regression tests, not bit parity; SURVEY §7.4.3).
+  * Cholesky solve; length-scale by log-marginal-likelihood MLE (L-BFGS-B
+  * over log l, 2 restarts, grid fallback — mirrors skopt's
+  * n_restarts_optimizer=2; acceptance is fixed-seed regression tests, not
+  * bit parity; SURVEY §7.4.3). The acquisition argmax is polished with
+  * bounded L-BFGS-B from the 5 best sampled starts (reference gp.py:234-245).
   */
 final class Gp(
     numWarmup: Int = 15,
@@ -65,14 +69,44 @@ final class Gp(
     val gp = GpRegressor.fit(x, y)
     val yBest = y.min
 
-    var bestX: Array[Double] = null
-    var bestAcq = Double.NegativeInfinity
-    for (_ <- 0 until nPoints) {
-      val cand = searchspace.transform(searchspace.sample(rng))
+    def acqAt(cand: Array[Double]): Double = {
       // in interim mode the surrogate is queried at FULL budget (z = 1)
       val (mu, sigma) = gp.predict(if (interimResults) cand :+ 1.0 else cand)
-      val a = acq(mu, sigma, yBest)
-      if (a > bestAcq) { bestAcq = a; bestX = cand }
+      acq(mu, sigma, yBest)
+    }
+
+    // sampled argmax, tracking the 5 best starts for gradient refinement
+    val top = mutable.ArrayBuffer.empty[(Double, Array[Double])]
+    for (_ <- 0 until nPoints) {
+      val cand = searchspace.transform(searchspace.sample(rng))
+      val a = acqAt(cand)
+      if (top.size < 5 || a > top.last._1) {
+        top += ((a, cand))
+        top.sortInPlaceBy(-_._1)
+        if (top.size > 5) top.remove(5)
+      }
+    }
+    var bestAcq: Double = top.head._1
+    var bestX: Array[Double] = top.head._2
+    // L-BFGS-B polish from the 5 best sampled starts (reference
+    // gp.py:234-245: maxiter 20, bounds [0,1]; numeric gradient). AsyTS is
+    // stochastic per evaluation, so gradient refinement is skipped there.
+    if (acquisition != "asyts") {
+      import breeze.linalg.DenseVector
+      import breeze.optimize.{ApproximateGradientFunction, DiffFunction, LBFGSB}
+      val d = top.head._2.length
+      val solver = new LBFGSB(
+        DenseVector.zeros[Double](d), DenseVector.ones[Double](d), maxIter = 20)
+      val negAcq = new ApproximateGradientFunction[Int, DenseVector[Double]](
+        (v: DenseVector[Double]) => -acqAt(v.toArray)): DiffFunction[DenseVector[Double]]
+      top.foreach { case (_, start) =>
+        try {
+          val refined = solver.minimize(negAcq, DenseVector(start))
+          val clipped = refined.toArray.map(v => math.min(1.0, math.max(0.0, v)))
+          val a = acqAt(clipped)
+          if (a > bestAcq) { bestAcq = a; bestX = clipped }
+        } catch { case _: Throwable => () } // line-search failure → keep sampled
+      }
     }
     new Trial(searchspace.inverseTransform(bestX), sampleType = "model")
   }
@@ -219,9 +253,28 @@ object GpRegressor {
       (lo, alpha, lml)
     }
 
+    // length-scale by MLE: L-BFGS-B over log(l) from 2 restarts (reference:
+    // skopt n_restarts_optimizer=2), seeded by the best grid point; the
+    // grid stays as the fallback when a line search fails numerically
     val grid = Seq(0.1, 0.2, 0.5, 1.0, 2.0)
-    val (bestL, (lo, alpha, _)) = grid.map(l => l -> build(l)).maxBy(_._2._3)
-    new GpRegressor(xs, alpha, lo, bestL, 1.0, yMean, yStd)
+    val gridBest = grid.maxBy(l => build(l)._3)
+    val mleL: Double = {
+      import breeze.linalg.DenseVector
+      import breeze.optimize.{ApproximateGradientFunction, DiffFunction, LBFGSB}
+      val lo = math.log(0.05)
+      val hi = math.log(5.0)
+      val solver = new LBFGSB(DenseVector(lo), DenseVector(hi), maxIter = 20)
+      val negLml = new ApproximateGradientFunction[Int, DenseVector[Double]](
+        (v: DenseVector[Double]) => -build(math.exp(v(0)))._3): DiffFunction[DenseVector[Double]]
+      val starts = Seq(gridBest, math.sqrt(gridBest)) // 2 restarts
+      val refined = starts.flatMap { s =>
+        try Some(math.exp(solver.minimize(negLml, DenseVector(math.log(s)))(0)))
+        catch { case _: Throwable => None }
+      }
+      (refined :+ gridBest).maxBy(l => build(l)._3)
+    }
+    val (lo, alpha, _) = build(mleL)
+    new GpRegressor(xs, alpha, lo, mleL, 1.0, yMean, yStd)
   }
 
   private def backSolve(lo: DenseMatrix[Double], b: DenseVector[Double]): DenseVector[Double] = {
