@@ -175,17 +175,20 @@ object Joins {
 
     // J8: as-of (latest event at-or-before a cutoff, per key)
     // (reference: latest-metric-at-step lookups, maggy/trial.py:98-106).
+    // max_by over struct(ts, event_id) = one hash aggregate with map-side
+    // partials — no per-key window sort (same plan fix as A4).
     QueryDef("j8_asof_latest",
       """SELECT user_id, ts AS last_ts, event_type AS last_type
         |FROM events
         |WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin) { (s, d) =>
-      val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      val ord = struct(col("ts"), col("event_id"))
       Tables(s, d, "events")
         .filter(col("ts") <= lit("2024-01-15 00:00:00").cast("timestamp"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("user_id"), col("ts").as("last_ts"), col("event_type").as("last_type"))
+        .groupBy("user_id")
+        .agg(
+          max_by(col("ts"), ord).as("last_ts"),
+          max_by(col("event_type"), ord).as("last_type"))
     }
   )
 }
