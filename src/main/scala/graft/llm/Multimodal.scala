@@ -73,6 +73,32 @@ object Multimodal {
       feats.toDF().select(
         col("media_id"), col("n_frames"),
         round(element_at(col("features"), 1), 6).as("f0"))
+    },
+
+    // M3: frame sampling — every 3rd 16-char frame of the payload, encoded
+    // and hexed (the "sample video frames / audio windows" pipeline shape,
+    // purely columnar so it stays codegen'd; the real decoder path lives in
+    // m2's mapPartitions). Columnar lambda over a frame-index sequence;
+    // oracle mirrors it with list_transform/list_filter.
+    QueryDef("m3_frame_sample",
+      """SELECT doc_id,
+        |       CAST((length(text) + 15) // 16 AS BIGINT) AS n_frames,
+        |       array_to_string(
+        |         list_transform(
+        |           list_filter(range(0, CAST((length(text) + 15) // 16 AS BIGINT)),
+        |                       i -> i % 3 = 0),
+        |           i -> hex(encode(substring(text, CAST(i * 16 + 1 AS INT), 16)))),
+        |         ',') AS sampled_hex
+        |FROM documents""".stripMargin) { (s, d) =>
+      val t = col("text")
+      val nFrames = floor((length(t) + 15) / 16).cast("long")
+      val sampled = transform(
+        filter(sequence(lit(0L), nFrames - 1), i => i % 3 === 0),
+        i => hex(encode(t.substr((i * 16 + 1).cast("int"), lit(16)), "utf-8")))
+      Tables(s, d, "documents").select(
+        col("doc_id"),
+        nFrames.as("n_frames"),
+        array_join(sampled, ",").as("sampled_hex"))
     }
   )
 }

@@ -118,6 +118,24 @@ object Similarity {
         .select(col("probe_id"), col("cand_id"), round(col("cos_raw"), 6).as("cosine"))
     },
 
+    // Per-label embedding centroids: element-wise mean via posexplode +
+    // (label, pos) hash aggregation — the class-centroid computation a
+    // training pipeline runs (and the same shape an IVF coarse quantizer
+    // retrains with). Shuffle carries (label, pos, partial sums), never
+    // whole vectors.
+    QueryDef("sim_centroid",
+      """SELECT label, pos, round(avg(v), 6) AS mean_v, count(*) AS n
+        |FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |             generate_subscripts(embedding, 1) AS pos
+        |      FROM embeddings)
+        |GROUP BY label, pos""".stripMargin) { (s, d) =>
+      Tables(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding").cast("array<double>")).as(Seq("pos0", "v")))
+        .select(col("label"), (col("pos0") + 1).as("pos"), col("v"))
+        .groupBy("label", "pos")
+        .agg(round(avg(col("v")), 6).as("mean_v"), count(lit(1)).as("n"))
+    },
+
     // IVF-style ANN: KMeans centroids (seeded) + probe routing to the nearest
     // nProbe=4 centroids (testdata embeddings are weakly clustered, so half
     // the cells are needed for recall ≥ 0.8 — DataPlaneSpec measures it vs

@@ -78,6 +78,23 @@ object Scans {
         graft.ops.Exact.moneySum(col("l_quantity")).as("sum_qty"))
     },
 
+    // S7: JSON-lines round-trip — the trial/result dump format (reference:
+    // maggy/trial.py:138-150 JSON (de)serialization). Write a slice as
+    // JSONL, read it back with schema inference, re-aggregate; oracle
+    // aggregates the source table directly.
+    QueryDef("s7_jsonl_roundtrip",
+      """SELECT o_orderpriority, count(*) AS n, sum(o_orderkey) AS key_sum
+        |FROM orders WHERE o_totalprice > 200000 GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_s7_${math.abs(d.hashCode)}"
+      Tables(s, d, "orders")
+        .filter(col("o_totalprice") > 200000)
+        .select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite").json(tmp)
+      s.read.json(tmp)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+    },
+
     // S6: in-memory generated dataset (deterministic, seedless — id-derived),
     // standing in for sampled-config generation (reference: maggy/searchspace.py:180-208).
     QueryDef("s6_generated_configs",
