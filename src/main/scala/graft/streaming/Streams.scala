@@ -166,6 +166,33 @@ object Streams {
       runToTable(s, joined, "complete")
     },
 
+    // Stream-stream interval join: each user's purchases joined to their
+    // clicks from the preceding 30 minutes. BOTH sides carry watermarks, so
+    // the join state store evicts rows older than watermark + interval —
+    // the property that keeps an unbounded self-join finite. Oracle: plain
+    // batch interval self-join.
+    QueryDef("st_stream_stream_join",
+      """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts""".stripMargin) { (s, d) =>
+      val purchases = eventsStream(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val clicks = eventsStream(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val joined = purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("c_ts") <= col("p_ts"))
+      runToTable(s, joined, "append")
+        .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"))
+    },
+
     // T6: stateful per-key FSM via mapGroupsWithState, update-mode. The
     // oracle is the order-insensitive batch equivalent; StreamingSuite also
     // replays the source as 4 separate micro-batches to prove state

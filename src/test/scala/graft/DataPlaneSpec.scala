@@ -151,6 +151,22 @@ class DataPlaneSpec extends AnyFunSuite {
     } finally index.unpersist()
   }
 
+  test("approx_percentile lands within the exact per-group quantile neighborhood") {
+    val cust = Tables(spark, sf, "customer")
+    val exact = cust.groupBy("c_nationkey")
+      .agg(expr("percentile(c_acctbal, 0.5)").as("m")).collect()
+      .map(r => r.get(0) -> r.getDouble(1)).toMap
+    val approx = cust.groupBy("c_nationkey")
+      .agg(expr("approx_percentile(c_acctbal, 0.5, 1000)").as("m")).collect()
+      .map(r => r.get(0) -> r.getDouble(1)).toMap
+    // acctbal spans about [-1000, 10000]; a 1000-bucket sketch median must
+    // land within 5% of that range of the exact median
+    val span = 11000.0
+    approx.foreach { case (k, v) =>
+      assert(math.abs(v - exact(k)) <= 0.05 * span, s"group $k: approx $v vs exact ${exact(k)}")
+    }
+  }
+
   test("a3 approx_count_distinct within 2% of exact") {
     val li = Tables(spark, sf, "lineitem")
     val exact = li.agg(

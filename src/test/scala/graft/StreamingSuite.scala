@@ -65,6 +65,22 @@ class StreamingSuite extends AnyFunSuite {
     assert(rows(stream) == rows(batch))
   }
 
+  test("st_stream_stream_join equals the batch interval self-join") {
+    val stream = SparkEntry.queries("st_stream_stream_join")(spark, sf)
+    val e = Tables(spark, sf, "events")
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+    val batch = p.join(c,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("c_ts") <= col("p_ts"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"))
+    assert(rows(stream) == rows(batch))
+    assert(stream.count() > 0)
+  }
+
   test("FSM state survives across micro-batches (4-file replay, maxFilesPerTrigger=1)") {
     // split events into 4 parquet files; maxFilesPerTrigger=1 forces 4
     // triggers, so per-user state MUST carry across micro-batches to get
