@@ -177,11 +177,14 @@ object Streams {
         |  ON p.user_id = c.user_id
         | AND p.event_type = 'purchase' AND c.event_type = 'click'
         | AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts""".stripMargin) { (s, d) =>
-      val purchases = eventsStream(s, d)
+      // one streaming source, two filtered branches → a genuine stream
+      // self-join (one file-source scan per micro-batch, not two)
+      val base = eventsStream(s, d)
+      val purchases = base
         .filter(col("event_type") === "purchase")
         .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
         .withWatermark("p_ts", "1 hour")
-      val clicks = eventsStream(s, d)
+      val clicks = base
         .filter(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("ts").as("c_ts"))
         .withWatermark("c_ts", "1 hour")
