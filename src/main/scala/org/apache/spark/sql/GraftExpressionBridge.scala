@@ -10,4 +10,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftExpressionBridge {
   def columnOf(e: Expression): Column = ExpressionUtils.column(e)
   def expressionOf(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a function builder on a live session's FunctionRegistry
+    * (sessionState is private[sql]; SparkSessionExtensions covers the
+    * build-time path, this covers sessions the caller didn't construct). */
+  def registerFunction(
+      spark: SparkSession,
+      name: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.registerFunction(name, info, builder)
 }

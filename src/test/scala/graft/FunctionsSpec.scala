@@ -52,6 +52,23 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("cosine_similarity is callable from plain SQL after registration") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").appName("fn-spec")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // config-path registration may be skipped if another suite created the
+    // session first (getOrCreate) — the runtime path must cover that
+    graft.functions.GraftExtensions.register(spark)
+    val v = spark.sql(
+      "SELECT cosine_similarity(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c").head().getDouble(0)
+    assert(math.abs(v - 1.0) < 1e-12)
+    val ortho = spark.sql(
+      "SELECT cosine_similarity(array(1.0d, 0.0d), array(0.0d, 2.0d)) AS c").head().getDouble(0)
+    assert(math.abs(ortho) < 1e-12)
+  }
+
   test("CosineSimilarity eval matches the plain Scala formulation bit-for-bit") {
     val rng = new Random(13)
     for (_ <- 1 to 300) {
