@@ -59,6 +59,21 @@ object Scans {
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
     },
 
+    // S4b: genuine CSV scan — write a slice as CSV with a header, read it
+    // back through spark.read.csv with an explicit schema (no inference
+    // pass at scale), aggregate; oracle aggregates the source directly.
+    QueryDef("s4b_csv_scan",
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation""".stripMargin) { (s, d) =>
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_s4b_${math.abs(d.hashCode)}"
+      Tables(s, d, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read
+        .schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT")
+        .option("header", "true")
+        .csv(tmp)
+    },
+
     // S5: sink round-trip — write a projected/filtered slice to parquet, read
     // it back, aggregate; the oracle computes the same aggregate straight
     // from the source table (reference: per-trial JSON result sinks,
