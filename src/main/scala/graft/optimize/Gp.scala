@@ -31,10 +31,13 @@ final class Gp(
     acquisition: String = "ei",
     lcbKappa: Double = 1.96,
     interimResults: Boolean = false,
-    interimInterval: Int = 1) extends Optimizer {
+    interimInterval: Int = 1,
+    pruner: Option[Pruner] = None) extends Optimizer {
 
   private var issued = 0
   private var exhausted = false
+
+  override protected def init(): Unit = pruner.foreach(_.initialize(numTrials))
 
   override protected def validate(): Unit = {
     require(searchspace.containsContinuous, "GP requires at least one continuous param")
@@ -43,24 +46,42 @@ final class Gp(
 
   private def dims: Int = searchspace.params.size
 
-  def getSuggestion(completed: Option[Trial]): Suggestion = {
-    if (exhausted || issued >= numTrials) return if (trialStore.nonEmpty) Idle else Done
-    val t = suggestConfig()
-    if (hparamsExist(t)) {
-      // exhausted resamples → STOP, never reissue a colliding trialId
-      // (reference bayes/base.py:288-301)
-      (1 to 3).iterator.map(_ => new Trial(searchspace.sample(rng)))
-        .find(c => !hparamsExist(c)) match {
-        case Some(c) => issued += 1; NewTrial(c)
-        case None =>
-          exhausted = true
-          if (trialStore.nonEmpty) Idle else Done
-      }
-    } else { issued += 1; NewTrial(t) }
+  def getSuggestion(completed: Option[Trial]): Suggestion = pruner match {
+    case None =>
+      if (exhausted || issued >= numTrials) return if (trialStore.nonEmpty) Idle else Done
+      val t = suggestConfig()
+      if (hparamsExist(t)) {
+        // exhausted resamples → STOP, never reissue a colliding trialId
+        // (reference bayes/base.py:288-301)
+        (1 to 3).iterator.map(_ => new Trial(searchspace.sample(rng)))
+          .find(c => !hparamsExist(c)) match {
+          case Some(c) => issued += 1; NewTrial(c)
+          case None =>
+            exhausted = true
+            if (trialStore.nonEmpty) Idle else Done
+        }
+      } else { issued += 1; NewTrial(t) }
+
+    // GP under a multi-fidelity schedule: surrogate fit on the largest
+    // budget with enough observations (reference BaseAsyncBO + pruner)
+    case Some(p) =>
+      prunerDispatch(p, completed, budget => {
+        val model = suggestConfig(Some(budget))
+        if (!hparamsExist(model)) model
+        else (1 to 3).iterator.map(_ => new Trial(searchspace.sample(rng)))
+          .find(c => !hparamsExist(c)).getOrElse(model)
+      })
   }
 
-  private def suggestConfig(): Trial = {
-    val finished = finalStore.filter(_.finalMetric.isDefined).toSeq
+  private def suggestConfig(budget: Option[Double] = None): Trial = {
+    val all = finalStore.filter(_.finalMetric.isDefined).toSeq
+    val finished = budget match {
+      case None => all
+      case Some(_) =>
+        val byBudget = all.groupBy(_.budget.getOrElse(0.0))
+        byBudget.filter(_._2.size >= math.max(numWarmup, dims)).toSeq
+          .sortBy(-_._1).headOption.map(_._2).getOrElse(Seq.empty)
+    }
     val warmupOrRandom =
       finished.size < math.max(numWarmup, dims) || rng.nextDouble() < randomFraction
     if (warmupOrRandom) return new Trial(searchspace.sample(rng), sampleType = "random")

@@ -65,6 +65,29 @@ trait Optimizer {
   }
 
   def ybest: Double = if (finalStore.isEmpty) Double.NaN else finalStore.iterator.map(minMetric).min
+
+  /** Shared pruner dispatch for optimizers running under a multi-fidelity
+    * schedule (reference: BaseAsyncBO pruner integration,
+    * maggy/optimizer/bayes/base.py:170-240): the pruner owns budgets and
+    * promotions; `fresh` supplies the config for a new rung-0 run. */
+  protected def prunerDispatch(p: Pruner, completed: Option[Trial], fresh: Double => Trial): Suggestion =
+    p.pruningRoutine(completed, finalStore, trialStore) match {
+      case PrunerDone => if (trialStore.nonEmpty) Idle else Done
+      case PrunerIdle => Idle
+      case RunNew(budget) =>
+        val base = fresh(budget)
+        val t = new Trial(base.paramsSansBudget + ("budget" -> HV.D(budget)),
+          sampleType = base.sampleType, budget = Some(budget))
+        p.trackIssued(t.trialId)
+        NewTrial(t)
+      case Promote(trialId, budget) =>
+        val src = finalStore.find(_.trialId == trialId)
+          .getOrElse(throw new IllegalStateException(s"pruner promoted unknown trial $trialId"))
+        val t = new Trial(src.paramsSansBudget + ("budget" -> HV.D(budget)),
+          sampleType = "promoted", budget = Some(budget))
+        p.trackIssued(t.trialId)
+        NewTrial(t)
+    }
 }
 
 /** Uniform random search; pre-samples the full trial budget at init and pops
@@ -251,6 +274,12 @@ object Optimizer {
       nPoints = args.getOrElse("n_points", 100.0).toInt)
     case "gp_interim" | "gp-interim" => new Gp(interimResults = true,
       interimInterval = args.getOrElse("interim_interval", 1.0).toInt)
+    case "gp_hyperband" | "gp-hyperband" => new Gp(
+      numWarmup = args.getOrElse("num_warmup", 6.0).toInt,
+      pruner = Some(new Hyperband(
+        args.getOrElse("eta", 3.0).toInt,
+        args.getOrElse("resource_min", 1.0),
+        args.getOrElse("resource_max", 9.0))))
     case other => throw new IllegalArgumentException(s"unknown optimizer: $other")
   }
 }

@@ -63,27 +63,12 @@ final class Tpe(
     // configs for fresh rung-0 runs from the best-informed budget's model
     // (reference: BaseAsyncBO + pruner, bayes/base.py:170-313)
     case Some(p) =>
-      p.pruningRoutine(completed, finalStore, trialStore) match {
-        case PrunerDone => if (trialStore.nonEmpty) Idle else Done
-        case PrunerIdle => Idle
-        case RunNew(budget) =>
-          val model = suggestConfig(Some(budget))
-          val base =
-            if (!hparamsExist(model)) model
-            else (1 to 3).iterator.map(_ => new Trial(searchspace.sample(rng)))
-              .find(c => !hparamsExist(c)).getOrElse(model)
-          val t = new Trial(base.paramsSansBudget + ("budget" -> HV.D(budget)),
-            sampleType = base.sampleType, budget = Some(budget))
-          p.trackIssued(t.trialId)
-          NewTrial(t)
-        case Promote(trialId, budget) =>
-          val src = finalStore.find(_.trialId == trialId)
-            .getOrElse(throw new IllegalStateException(s"pruner promoted unknown trial $trialId"))
-          val t = new Trial(src.paramsSansBudget + ("budget" -> HV.D(budget)),
-            sampleType = "promoted", budget = Some(budget))
-          p.trackIssued(t.trialId)
-          NewTrial(t)
-      }
+      prunerDispatch(p, completed, budget => {
+        val model = suggestConfig(Some(budget))
+        if (!hparamsExist(model)) model
+        else (1 to 3).iterator.map(_ => new Trial(searchspace.sample(rng)))
+          .find(c => !hparamsExist(c)).getOrElse(model)
+      })
   }
 
   /** KDE pair for a budget's finalized trials, cached until that budget

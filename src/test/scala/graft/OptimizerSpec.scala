@@ -131,6 +131,19 @@ class OptimizerSpec extends AnyFunSuite {
       s"sample types: ${finals.map(_.sampleType).distinct}")
   }
 
+  test("GP under Hyperband keeps the SH schedule") {
+    val opt = Optimizer.forName("gp_hyperband",
+      Map("eta" -> 3.0, "resource_min" -> 1.0, "resource_max" -> 9.0, "num_warmup" -> 4.0))
+    opt.initialize(space2d, 100, Direction.Min, 3L)
+    val finals = drive(opt, p => {
+      val x = p("x").asDouble; val y = p("y").asDouble
+      (x - 3.2) * (x - 3.2) + (y - 2) * (y - 2)
+    })
+    assert(finals.size == (9 + 3 + 1) + (3 + 1) + 3)
+    val budgets = finals.flatMap(_.budget).groupBy(identity).view.mapValues(_.size).toMap
+    assert(budgets(1.0) == 9 && budgets(3.0) == 6 && budgets(9.0) == 5)
+  }
+
   // -- median stopping rule worked example (reference medianrule.py:34-59) --
   test("median rule stops a below-median candidate (direction=max)") {
     def finalizedWith(vals: Seq[Double]): Trial = {
