@@ -38,6 +38,22 @@ object Multimodal {
     }
   }
 
+  /** Deterministic stub "resize": stride-downsample the payload to at most
+    * `targetBytes` (every ceil(n/target)-th byte). Stands in for an image
+    * resize / audio resample; a real codec slots into the same typed
+    * mapPartitions with per-partition init, and only the RESIZED bytes ever
+    * move downstream — at 100 TB that is the point of resizing early. */
+  def resize(media: Dataset[MediaRow], targetBytes: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val stride = math.max(1, math.ceil(m.payload.length.toDouble / targetBytes).toInt)
+        val out = m.payload.indices.collect { case i if i % stride == 0 => m.payload(i) }.toArray
+        MediaRow(m.media_id, out, m.mime, out.length.toLong)
+      }
+    }
+  }
+
   /** Documents-as-media: utf-8 bytes payload (the container has no real
     * image/audio testdata; the pipeline shape is identical). */
   def mediaFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
@@ -73,6 +89,16 @@ object Multimodal {
       feats.toDF().select(
         col("media_id"), col("n_frames"),
         round(element_at(col("features"), 1), 6).as("f0"))
+    },
+
+    // M4: stub resize → metadata + content hash of the downsampled payload.
+    // Decode-side op → typed mapPartitions; engine-specific → rows-only +
+    // a golden-row check in DataPlaneSpec.
+    QueryDef.noOracle("m4_resize") { (s, d) =>
+      resize(mediaFromDocuments(s, d), targetBytes = 64).toDF()
+        .select(
+          col("media_id"), col("n_bytes").as("resized_bytes"),
+          md5(col("payload")).as("resized_hash"))
     },
 
     // M3: frame sampling — every 3rd 16-char frame of the payload, encoded

@@ -180,6 +180,20 @@ class DataPlaneSpec extends AnyFunSuite {
     assert(relErr(approx.getLong(1), exact.getLong(1)) <= 0.02)
   }
 
+  test("m4 resize: stride-downsample matches a locally computed golden row") {
+    val doc = Tables(spark, sf, "documents")
+      .filter(col("doc_id") === 0).select("text").head().getString(0)
+    val bytes = doc.getBytes("UTF-8")
+    val stride = math.max(1, math.ceil(bytes.length / 64.0).toInt)
+    val expected = bytes.indices.collect { case i if i % stride == 0 => bytes(i) }.toArray
+    val row = SparkEntry.queries("m4_resize")(spark, sf)
+      .filter(col("media_id") === 0).head()
+    assert(row.getLong(1) == expected.length, "resized_bytes mismatch")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expectedHash = md.digest(expected).map(b => f"$b%02x").mkString
+    assert(row.getString(2) == expectedHash, "resized_hash mismatch")
+  }
+
   test("m2 media features: stub decoder output matches a locally computed golden row") {
     val doc = Tables(spark, sf, "documents")
       .filter(col("doc_id") === 0).select("text").head().getString(0)
