@@ -30,10 +30,17 @@ final case class CosineSimilarity(left: Expression, right: Expression)
   }
   override def dataType: DataType = DoubleType
 
+  // Length mismatch → NULL, matching the HOF formulation exactly: zip_with
+  // null-pads the shorter array and the null poisons the aggregate. The
+  // documented "bit-identical to HOF" contract must hold on ALL inputs, not
+  // just equal-length ones.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -57,14 +64,18 @@ final case class CosineSimilarity(left: Expression, right: Expression)
       val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double x = $a.getDouble($i);
-         |  double y = $b.getDouble($i);
-         |  $dot += x * y; $na += x * x; $nb += y * y;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double x = $a.getDouble($i);
+         |    double y = $b.getDouble($i);
+         |    $dot += x * y; $na += x * x; $nb += y * y;
+         |  }
+         |  ${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
          |}
-         |${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
        """.stripMargin
     })
 

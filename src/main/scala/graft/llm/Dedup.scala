@@ -145,13 +145,27 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).cast("double").as("n_inter"))
-    inter
+    val result = inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
       .select(
         col("doc_a"), col("doc_b"),
         round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    materializeAndRelease(result, sh)
+  }
+
+  /** Materialize `result` to its own storage (localCheckpoint: small output
+    * blocks, lineage truncated) so the large upstream caches backing it can
+    * be released immediately. Without this, repeated query builds in a
+    * long-lived session (Verify/Bench run 80+ queries, suites share one JVM)
+    * accumulate cached shingle/edge blocks that nothing ever unpersists.
+    * The checkpointed result is the operator's OUTPUT — orders of magnitude
+    * smaller than the intermediates it frees. */
+  private def materializeAndRelease(result: DataFrame, caches: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint(eager = true)
+    caches.foreach(_.unpersist(blocking = false))
+    out
   }
 
   /** Connected components by iterative min-label propagation (Pregel-style:
@@ -192,7 +206,13 @@ object Dedup {
       prevSum = nextSum
       iter += 1
     }
-    labels
+    // Unconverged labels are WRONG labels (a >maxIter-diameter chain splits a
+    // component silently) — fail loudly rather than return them.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — graph diameter exceeds " +
+        s"maxIter; raise maxIter or switch to large-star/small-star (O(log n) rounds)")
+    materializeAndRelease(labels, edges, labels)
   }
 
   /** 64-bit SimHash over token xxhash64 values: per doc, for each of 64 bit
@@ -295,10 +315,11 @@ object Dedup {
     val shA = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val shB = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-    cands.join(shA, "doc_a").join(shB, "doc_b")
+    val result = cands.join(shA, "doc_a").join(shB, "doc_b")
       .withColumn("jaccard",
         round(inter / (size(col("sh_a")) + size(col("sh_b")) - inter), 6))
       .filter(col("jaccard") >= jaccardThreshold)
       .select("doc_a", "doc_b", "jaccard")
+    materializeAndRelease(result, sh)
   }
 }

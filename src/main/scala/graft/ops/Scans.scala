@@ -45,7 +45,7 @@ object Scans {
     // must be the identity (reference: log-file reads, maggy/core/
     // reporter.py:103-135).
     QueryDef("s4_text_scan",
-      """SELECT source, count(*) AS n, sum(doc_id) AS id_sum
+      """SELECT source, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM documents GROUP BY source""".stripMargin) { (s, d) =>
       val tmp = s"${sys.props("java.io.tmpdir")}/graft_s4_${math.abs(d.hashCode)}"
       Tables(s, d, "documents")
@@ -98,7 +98,7 @@ object Scans {
     // JSONL, read it back with schema inference, re-aggregate; oracle
     // aggregates the source table directly.
     QueryDef("s7_jsonl_roundtrip",
-      """SELECT o_orderpriority, count(*) AS n, sum(o_orderkey) AS key_sum
+      """SELECT o_orderpriority, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
         |FROM orders WHERE o_totalprice > 200000 GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
       val tmp = s"${sys.props("java.io.tmpdir")}/graft_s7_${math.abs(d.hashCode)}"
       Tables(s, d, "orders")

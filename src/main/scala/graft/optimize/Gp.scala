@@ -67,9 +67,9 @@ final class Gp(
     case Some(p) =>
       prunerDispatch(p, completed, budget => {
         val model = suggestConfig(Some(budget))
-        if (!hparamsExist(model)) model
+        if (!hparamsExist(model)) Some(model)
         else (1 to 3).iterator.map(_ => new Trial(searchspace.sample(rng)))
-          .find(c => !hparamsExist(c)).getOrElse(model)
+          .find(c => !hparamsExist(c))
       })
   }
 

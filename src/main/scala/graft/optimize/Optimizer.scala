@@ -69,17 +69,25 @@ trait Optimizer {
   /** Shared pruner dispatch for optimizers running under a multi-fidelity
     * schedule (reference: BaseAsyncBO pruner integration,
     * maggy/optimizer/bayes/base.py:170-240): the pruner owns budgets and
-    * promotions; `fresh` supplies the config for a new rung-0 run. */
-  protected def prunerDispatch(p: Pruner, completed: Option[Trial], fresh: Double => Trial): Suggestion =
+    * promotions; `fresh` supplies the config for a new rung-0 run, or None
+    * when every resample collided with an existing config — then the slot is
+    * skipped (Idle while work remains, Done otherwise), mirroring the
+    * non-pruner exhausted path: a reissued duplicate would collide on
+    * trialId = md5(params incl. budget) and corrupt the driver's trial store
+    * (reference stops too: bayes/base.py:288-301). */
+  protected def prunerDispatch(p: Pruner, completed: Option[Trial], fresh: Double => Option[Trial]): Suggestion =
     p.pruningRoutine(completed, finalStore, trialStore) match {
       case PrunerDone => if (trialStore.nonEmpty) Idle else Done
       case PrunerIdle => Idle
       case RunNew(budget) =>
-        val base = fresh(budget)
-        val t = new Trial(base.paramsSansBudget + ("budget" -> HV.D(budget)),
-          sampleType = base.sampleType, budget = Some(budget))
-        p.trackIssued(t.trialId)
-        NewTrial(t)
+        fresh(budget) match {
+          case None => if (trialStore.nonEmpty) Idle else Done
+          case Some(base) =>
+            val t = new Trial(base.paramsSansBudget + ("budget" -> HV.D(budget)),
+              sampleType = base.sampleType, budget = Some(budget))
+            p.trackIssued(t.trialId)
+            NewTrial(t)
+        }
       case Promote(trialId, budget) =>
         val src = finalStore.find(_.trialId == trialId)
           .getOrElse(throw new IllegalStateException(s"pruner promoted unknown trial $trialId"))

@@ -65,16 +65,19 @@ final class Tpe(
     case Some(p) =>
       prunerDispatch(p, completed, budget => {
         val model = suggestConfig(Some(budget))
-        if (!hparamsExist(model)) model
+        if (!hparamsExist(model)) Some(model)
         else (1 to 3).iterator.map(_ => new Trial(searchspace.sample(rng)))
-          .find(c => !hparamsExist(c)).getOrElse(model)
+          .find(c => !hparamsExist(c))
       })
   }
 
-  /** KDE pair for a budget's finalized trials, cached until that budget
-    * accrues new observations. */
-  private def kdesFor(budget: Option[Double], finished: Seq[Trial]): Option[(Kde, Kde, Array[Array[Double]])] = {
-    val key = budget.getOrElse(-1.0)
+  /** KDE pair for the MODELED budget's finalized trials, cached until that
+    * budget accrues new observations. `key` is the budget the `finished` set
+    * was actually selected from (not the requested rung budget): the BOHB
+    * rule can switch which budget is modeled between calls, and keying by
+    * the requested budget would let a stale model (fit on a different
+    * budget's set of coincidentally equal size) be reused. */
+  private def kdesFor(key: Double, finished: Seq[Trial]): Option[(Kde, Kde, Array[Array[Double]])] = {
     val sorted = finished.sortBy(minMetric)
     val nGood = math.max(dims + 1, math.ceil(gamma * sorted.size).toInt)
     if (sorted.size - nGood <= dims) return None
@@ -95,12 +98,17 @@ final class Tpe(
     // high-fidelity evidence beats volume (reference samples from
     // models[max budget], bayes/base.py:251-313)
     val all = finalStore.filter(_.finalMetric.isDefined).toSeq
-    val finished = budget match {
-      case None => all
+    // (modelKey, finished): the budget actually modeled and its trials —
+    // the key MUST travel with the set it selected (see kdesFor)
+    val (modelKey, finished) = budget match {
+      case None => (-1.0, all)
       case Some(_) =>
         val byBudget = all.groupBy(_.budget.getOrElse(0.0))
         byBudget.filter(_._2.size > 2 * (dims + 1)).toSeq
-          .sortBy(-_._1).headOption.map(_._2).getOrElse(Seq.empty)
+          .sortBy(-_._1).headOption match {
+          case Some((b, ts)) => (b, ts)
+          case None => (-1.0, Seq.empty[Trial])
+        }
     }
     // ε-greedy exploration shared by all BO optimizers (reference
     // bayes/base.py:232-248, random_fraction=0.33)
@@ -111,7 +119,7 @@ final class Tpe(
     }
     // γ-split into good/bad by min-convention metric (tpe.py:191-221),
     // KDEs cached per budget until new observations arrive
-    val (goodKde, badKde, good) = kdesFor(budget, finished) match {
+    val (goodKde, badKde, good) = kdesFor(modelKey, finished) match {
       case Some(k) => k
       case None => return new Trial(searchspace.sample(rng), sampleType = "random")
     }
