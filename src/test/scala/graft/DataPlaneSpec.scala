@@ -46,17 +46,19 @@ class DataPlaneSpec extends AnyFunSuite {
     // independent derivation: plain Scala sliding-window shingling, so a bug
     // in the Spark-side sequence/slice windowing or the <3-token guard shows
     // up here (the hash fn itself is shared — it is not the suspect part)
-    val expectedStrings: Map[Long, Seq[String]] = docs.map { case (id, text) =>
+    val expectedStrings: Map[Long, Seq[(String, String, String)]] = docs.map { case (id, text) =>
       val toks = text.split(" ", -1)
       val shingles =
-        if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSeq.distinct
-        else Seq.empty[String]
+        if (toks.length >= 3)
+          toks.sliding(3).map(w => (w(0), w(1), w(2))).toSeq.distinct
+        else Seq.empty[(String, String, String)]
       id -> shingles
     }.toMap
     val expected: Map[Long, Set[Long]] = expectedStrings.toSeq
-      .flatMap { case (id, ss) => ss.map(id -> _) }
-      .toDF("doc_id", "shingle")
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .flatMap { case (id, ss) => ss.map { case (a, b, c) => (id, a, b, c) } }
+      .toDF("doc_id", "t1", "t2", "t3")
+      // same fingerprint as shingleSets: multi-arg xxhash64 over the triple
+      .select(col("doc_id"), xxhash64(col("t1"), col("t2"), col("t3")).as("h"))
       .collect().groupBy(_.getLong(0))
       .map { case (id, rows) => id -> rows.map(_.getLong(1)).toSet }
     val actual: Map[Long, Set[Long]] = Dedup.shingleSets(Tables(spark, sf, "documents"))
