@@ -1,0 +1,93 @@
+package graft.llm
+
+import graft.data.Tables
+import graft.ops.QueryDef
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators (north-star extension: a training-data
+  * pipeline down-samples, stratifies, and weight-samples corpora as a matter
+  * of course; the reference's only sampling is searchspace config sampling,
+  * maggy/searchspace.py:180-208, which fixes the SEEDED-DETERMINISM
+  * requirement these operators honor).
+  *
+  * Every operator here is reproducible by construction — the "randomness"
+  * is a pure function of the row key (md5 prefix or a Knuth multiplicative
+  * hash), never an RNG — so the DuckDB oracle computes the identical sample.
+  * That is also the 100 TB story: a re-run, a retry, or a different
+  * partitioning produces the same sample, and the filter is a narrow
+  * map-side predicate with no shuffle at all (the scan prunes + filters;
+  * only the post-sample aggregate moves data).
+  */
+object Sampling {
+
+  /** Uniform [0,1) pseudo-random derived from a row key via the Knuth
+    * multiplicative hash — pure integer arithmetic + one IEEE division, so
+    * Spark and DuckDB produce bit-identical values (ln/pow are NOT
+    * correctly-rounded across libms; +,-,*,/ are). */
+  private def keyUniform(key: Column): Column =
+    (key * lit(2654435761L) % lit(2147483648L)).cast("double") / lit(2147483648.0)
+
+  val entries: Seq[QueryDef] = Seq(
+    // ~10% deterministic hash sample: keep rows whose md5 hex (lowercase in
+    // both engines) sorts below '1a' (= 26/256 ≈ 10.2%). The predicate is
+    // map-side — at 100 TB the sample never shuffles, only the aggregate.
+    QueryDef("p5_hash_sample",
+      """SELECT count(*) AS n, CAST(sum(l_orderkey) AS BIGINT) AS key_sum
+        |FROM lineitem
+        |WHERE md5(CAST(l_orderkey * 65536 + l_linenumber AS VARCHAR)) < '1a'""".stripMargin) { (s, d) =>
+      Tables(s, d, "lineitem")
+        .filter(md5((col("l_orderkey") * 65536 + col("l_linenumber")).cast("string")) < "1a")
+        .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("key_sum"))
+    },
+
+    // Stratified sample: per-stratum keep-rates (URGENT 20%, others 10%),
+    // the sampleBy shape with deterministic hash thresholds instead of RNG.
+    QueryDef("p6_stratified_sample",
+      """SELECT o_orderpriority, count(*) AS n,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders
+        |WHERE md5(CAST(o_orderkey AS VARCHAR)) <
+        |      CASE WHEN o_orderpriority = '1-URGENT' THEN '33' ELSE '1a' END
+        |GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables(s, d, "orders")
+        .filter(md5(col("o_orderkey").cast("string")) <
+          when(col("o_orderpriority") === "1-URGENT", "33").otherwise("1a"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).cast("long").as("key_sum"))
+    },
+
+    // Uniform k-sample without replacement: global top-k by key hash — a
+    // deterministic reservoir. Plan: TakeOrderedAndProject (each partition
+    // keeps its local top-100, the driver merges 100×partitions rows; no
+    // global sort shuffle).
+    QueryDef("w8_sample_topk",
+      """SELECT doc_id, source FROM documents
+        |ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100""".stripMargin) { (s, d) =>
+      Tables(s, d, "documents")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        .select("doc_id", "source")
+        .limit(100)
+    },
+
+    // Weighted Bernoulli sample: include a row with probability proportional
+    // to its weight (o_totalprice / max). u and the threshold use only
+    // integer ops and IEEE division, so the oracle selects the identical
+    // rows. The max is a broadcast one-row join.
+    QueryDef("w9_weighted_sample",
+      """WITH m AS (SELECT max(CAST(o_totalprice AS DOUBLE)) AS mx FROM orders)
+        |SELECT o_orderpriority, count(*) AS n,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders, m
+        |WHERE CAST((o_orderkey * 2654435761) % 2147483648 AS DOUBLE) / 2147483648
+        |      < CAST(o_totalprice AS DOUBLE) / mx
+        |GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+      val orders = Tables(s, d, "orders")
+      val m = orders.agg(max(col("o_totalprice").cast("double")).as("mx"))
+      orders.crossJoin(broadcast(m))
+        .filter(keyUniform(col("o_orderkey")) < col("o_totalprice").cast("double") / col("mx"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).cast("long").as("key_sum"))
+    }
+  )
+}

@@ -147,6 +147,42 @@ object Similarity {
       // point of IVF: the query measures probe-time routing + cell scans
       IvfIndex.annSearchCached(d, emb.filter(col("vec_id") < 5), emb,
         k = 10, nClusters = 8, nProbe = 4)
+    },
+
+    // L2-normalization to unit vectors — the preprocessing step that turns
+    // cosine into a plain dot product (what any serious ANN index wants).
+    // sqrt and / are IEEE-correctly-rounded, and the dot-product fold order
+    // matches DuckDB's list_dot_product, so values agree bit-for-bit
+    // pre-round. Pure map-side — no shuffle.
+    QueryDef("sim_l2norm",
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v)
+        |SELECT vec_id, round(nrm, 6) AS norm,
+        |       list_transform(e, x -> round(x / nrm, 6)) AS unit
+        |FROM n""".stripMargin) { (s, d) =>
+      val e = col("embedding").cast("array<double>")
+      Tables(s, d, "embeddings")
+        .select(col("vec_id"), e.as("e"), sqrt(dotProduct(e, e)).as("nrm"))
+        .select(col("vec_id"), round(col("nrm"), 6).as("norm"),
+          transform(col("e"), x => round(x / col("nrm"), 6)).as("unit"))
+    },
+
+    // Int8-style quantization: symmetric per-vector scale (127 / max|x|),
+    // values rounded to integers — the storage/bandwidth trick a 100 TB
+    // embedding corpus ships with (4 bytes/dim → 1). Map-side only.
+    QueryDef("sim_quantize",
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |s AS (SELECT vec_id, e,
+        |             127.0 / list_max(list_transform(e, x -> abs(x))) AS scale FROM v)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |       list_transform(e, x -> CAST(round(x * scale, 0) AS BIGINT)) AS q
+        |FROM s""".stripMargin) { (s, d) =>
+      val e = col("embedding").cast("array<double>")
+      Tables(s, d, "embeddings")
+        .select(col("vec_id"), e.as("e"),
+          (lit(127.0) / array_max(transform(e, x => abs(x)))).as("scale"))
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+          transform(col("e"), x => round(x * col("scale"), 0).cast("long")).as("q"))
     }
   )
 }

@@ -130,6 +130,25 @@ object TextStats {
         sequence(lit(1), greatest(size(toks) - 4, lit(1))),
         i => md5(array_join(slice(toks, i, lit(5)), " ")))
       Tables(s, d, "documents").select(col("doc_id"), array_min(sh).as("fingerprint"))
+    },
+
+    // Text cleaning: lowercase → strip non-alphanumerics → collapse runs of
+    // spaces → trim. The canonical pre-tokenization normalization pass;
+    // output is hashed so the oracle compares full cleaned strings without
+    // shipping them. Narrow map-side work — no shuffle at any scale.
+    // (DuckDB regexp_replace needs the 'g' flag for replace-all; Spark
+    // replaces all matches by default.)
+    QueryDef("t6_clean_text",
+      """SELECT doc_id, md5(clean) AS clean_hash, length(clean) AS clean_len
+        |FROM (
+        |  SELECT doc_id,
+        |         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |                             '  +', ' ', 'g')) AS clean
+        |  FROM documents)""".stripMargin) { (s, d) =>
+      val clean = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), "  +", " "))
+      Tables(s, d, "documents").select(
+        col("doc_id"), md5(clean).as("clean_hash"), length(clean).as("clean_len"))
     }
   )
 }

@@ -52,6 +52,22 @@ object SetOps {
         |SELECT l_orderkey AS key FROM lineitem""".stripMargin) { (s, d) =>
       Tables(s, d, "orders").select(col("o_orderkey").as("key"))
         .except(Tables(s, d, "lineitem").select(col("l_orderkey").as("key")))
+    },
+
+    // O5: unpivot/melt — wide → long reshaping (the inverse of a10_pivot).
+    // Spark's Dataset.unpivot expands each row map-side (no shuffle); the
+    // oracle states the same contract as a UNION ALL, which is what the
+    // operator means relationally.
+    QueryDef("o5_unpivot",
+      """SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'retailprice', CAST(p_retailprice AS DOUBLE) FROM part""".stripMargin) { (s, d) =>
+      Tables(s, d, "part")
+        .select(col("p_partkey"),
+          col("p_size").cast("double").as("size"),
+          col("p_retailprice").cast("double").as("retailprice"))
+        .unpivot(Array(col("p_partkey")), Array(col("size"), col("retailprice")),
+          "metric", "value")
     }
   )
 }
