@@ -189,6 +189,39 @@ object Joins {
         .agg(
           max_by(col("ts"), ord).as("last_ts"),
           max_by(col("event_type"), ord).as("last_type"))
+    },
+
+    // J8b: true per-row AS-OF join — each purchase matched to the same
+    // user's latest click at ts <= purchase ts (nulls kept: purchases with
+    // no prior click). The oracle is DuckDB's native ASOF LEFT JOIN; Spark
+    // has no asof operator, and the naive join+max_by explodes every
+    // (purchase × earlier-click) pair before reducing. The scalable
+    // formulation is union + one window pass: tag clicks kind=0 / purchases
+    // kind=1, sort each user's merged timeline by (ts, kind), and carry the
+    // last non-null click id forward — ONE shuffle of (user, ts, id) rows,
+    // output read off the purchase rows. Clicks are deduped to one per
+    // (user, ts) first so equal-ts ties cannot differ between engines.
+    QueryDef("j8b_asof_join",
+      """WITH c AS (SELECT user_id, ts, max(event_id) AS click_id FROM events
+        |           WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT user_id, ts, event_id AS purchase_id FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, p.user_id, p.ts, c.click_id
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts""".stripMargin) { (s, d) =>
+      val ev = Tables(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max(col("event_id")).as("click_id"))
+        .select(col("user_id"), col("ts"), col("click_id"),
+          lit(null).cast("long").as("purchase_id"), lit(0).as("kind"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(null).cast("long").as("click_id"),
+          col("event_id").as("purchase_id"), lit(1).as("kind"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("kind"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(purchases)
+        .withColumn("carried", last(col("click_id"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("purchase_id"), col("user_id"), col("ts"), col("carried").as("click_id"))
     }
   )
 }

@@ -117,6 +117,49 @@ object Windows {
         last(col("event_id")).over(whole).as("last_ev"),
         nth_value(col("event_id"), 3).over(whole).as("third_ev"),
         round(cume_dist().over(ordered), 6).as("cd"))
+    },
+
+    // W10: time-series gap fill — per-user hourly grid between first and
+    // last activity (sequence + explode), hours with no events zero-filled
+    // for counts and carry-forward-filled for the running "last seen total"
+    // (last_value IGNORE NULLS). The resample-and-fill pass every metrics /
+    // feature pipeline needs; grid generation is map-side per user, the
+    // only shuffles are the hourly pre-aggregate and one window pass.
+    QueryDef("w10_gap_fill",
+      """WITH b AS (
+        |  SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+        |         date_trunc('hour', max(ts)) AS h1
+        |  FROM events WHERE user_id < 30 GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        |  FROM b),
+        |agg AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n_events,
+        |         round(CAST(sum(CAST(value AS DECIMAL(22,8))) AS DOUBLE), 2) AS total
+        |  FROM events WHERE user_id < 30 GROUP BY 1, 2)
+        |SELECT g.user_id, g.hour,
+        |       coalesce(a.n_events, 0) AS n_events,
+        |       last_value(a.total IGNORE NULLS)
+        |         OVER (PARTITION BY g.user_id ORDER BY g.hour) AS last_total
+        |FROM grid g LEFT JOIN agg a ON g.user_id = a.user_id AND g.hour = a.hour""".stripMargin) { (s, d) =>
+      val ev = Tables(s, d, "events").filter(col("user_id") < 30)
+      val grid = ev.groupBy("user_id")
+        .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+          date_trunc("hour", max(col("ts"))).as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("hour"))
+      // agg columns renamed: grid and agg share the events lineage, so
+      // same-name references would be ambiguous self-join columns
+      val agg = ev.groupBy(col("user_id").as("a_uid"), date_trunc("hour", col("ts")).as("a_hour"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(Exact.dec4(col("value"))).cast("double"), 2).as("total"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(agg,
+          col("user_id") === col("a_uid") && col("hour") === col("a_hour"), "left")
+        .select(col("user_id"), col("hour"),
+          coalesce(col("n_events"), lit(0)).as("n_events"),
+          last(col("total"), ignoreNulls = true).over(w).as("last_total"))
     }
   )
 }
