@@ -121,7 +121,7 @@ object Graft {
 
       val result = summarize(optimizer.finalStore.toSeq, direction,
         server.earlyStoppedCount, server.erroredCount, t0)
-      logDir.foreach(writeResultJson(_, result))
+      logDir.foreach { d => writeResultJson(d, result); writeHparamsLog(d, result) }
       result
     } finally server.stop()
   }
@@ -150,6 +150,24 @@ object Graft {
       errored = errored,
       durationMs = System.currentTimeMillis() - t0,
       trials = finals.map(toRow))
+  }
+
+  /** Persist the per-trial hyperparameter log as `<logDir>/hparams.jsonl` —
+    * one JSON line per finished trial (trial id, params, metric, budget),
+    * the engine analog of the reference's TensorBoard hparams plugin dump
+    * (maggy/tensorboard.py:47-107 writes the hparam config + one record per
+    * trial). JSONL so a dashboard — or `spark.read.json` — can tail it. */
+  private[graft] def writeHparamsLog(logDir: String, r: ExperimentResult): Unit = {
+    def js(s: String): String = HV.S(s).jsonRender
+    val lines = r.trials.map { t =>
+      s"""{"trial_id": ${js(t.trial_id)}, "hparams": ${t.params_json}, """ +
+        s""""metric": ${t.metric.map(_.toString).getOrElse("null")}, """ +
+        s""""budget": ${t.budget.map(_.toString).getOrElse("null")}}"""
+    }
+    val dir = java.nio.file.Paths.get(logDir)
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.writeString(dir.resolve("hparams.jsonl"),
+      lines.mkString("", "\n", "\n"))
   }
 
   /** Persist the experiment summary as `<logDir>/result.json` (reference:

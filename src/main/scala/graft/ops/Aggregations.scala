@@ -139,6 +139,31 @@ object Aggregations {
         .agg(moneySum(col("c_acctbal")).as("total_bal"), count(lit(1)).as("n_cust"))
     },
 
+    // A8c: full cube — every combination of the two axes including both
+    // marginals and the grand total (completes the rollup/grouping-sets/cube
+    // trio). One pass; Catalyst expands to an Expand + single aggregation.
+    QueryDef("a8c_cube",
+      """SELECT c_mktsegment, o_orderpriority, count(*) AS n,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(22,8))) AS DOUBLE), 2) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY CUBE (c_mktsegment, o_orderpriority)""".stripMargin) { (s, d) =>
+      Tables(s, d, "orders")
+        .join(broadcast(Tables(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .cube(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))
+    },
+
+    // A7b: approx percentile (t-digest style sketch) — the streaming/
+    // mergeable analog of a7's exact quantiles; engine-specific accuracy →
+    // no SQL oracle; DataPlaneSpec bounds it against a7's exact values.
+    QueryDef.noOracle("a7b_approx_percentile") { (s, d) =>
+      Tables(s, d, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+          round(expr("approx_percentile(c_acctbal, 0.5, 1000)"), 6).as("median_bal"),
+          round(expr("approx_percentile(c_acctbal, 0.9, 1000)"), 6).as("p90_bal"))
+    },
+
     // A8b: explicit GROUPING SETS with grouping() markers — finer control
     // than rollup (the per-region and per-mktsegment marginals in one pass,
     // without the cross cells a cube would add).

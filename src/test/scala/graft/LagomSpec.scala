@@ -161,6 +161,14 @@ class LagomSpec extends AnyFunSuite {
       assert(content.contains(s"starting trial ${t.trial_id}"))
       assert(content.contains("finished"))
     }
+    // hparams.jsonl: one JSON line per trial, loadable by spark.read.json
+    val hparams = java.nio.file.Paths.get(logDir, "hparams.jsonl")
+    assert(java.nio.file.Files.exists(hparams))
+    val hdf = spark.read.json(hparams.toString)
+    assert(hdf.count() == 4)
+    assert(hdf.columns.toSet == Set("trial_id", "hparams", "metric", "budget"))
+    assert(hdf.select("trial_id").collect().map(_.getString(0)).toSet ==
+      res.trials.map(_.trial_id).toSet)
   }
 
   test("throwing train fn marks its trial ERROR; experiment still completes") {
