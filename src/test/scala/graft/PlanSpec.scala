@@ -128,4 +128,39 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
       s"star dims not broadcast:\n$p")
   }
+
+  test("w8 deterministic sample runs as TakeOrderedAndProject (no global sort shuffle)") {
+    val p = plan("w8_sample_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"expected map-side top-k:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), s"global sort exchange present:\n$p")
+  }
+
+  test("map-side operators plan with zero exchanges") {
+    // cleaning, normalization, quantization, unpivot: pure narrow pipelines —
+    // any Exchange here is a plan regression that multiplies at 100 TB
+    for (q <- Seq("t6_clean_text", "sim_l2norm", "sim_quantize", "o5_unpivot")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q gained a shuffle:\n$p")
+    }
+  }
+
+  test("p5/p6 hash samples filter before their single aggregation exchange") {
+    for (q <- Seq("p5_hash_sample", "p6_stratified_sample")) {
+      val p = plan(q)
+      // the sample predicate must sit under the aggregation, not after it —
+      // exactly one shuffle boundary (partial agg -> final agg)
+      assert("Exchange".r.findAllIn(p).size == 1, s"$q: expected 1 exchange:\n$p")
+      val filterIdx = p.indexOf("Filter")
+      val exchangeIdx = p.indexOf("Exchange")
+      assert(filterIdx > exchangeIdx,
+        s"$q: filter should be below the exchange (printed after):\n$p")
+    }
+  }
+
+  test("j8b as-of join is one window pass, no join explosion") {
+    val p = plan("j8b_asof_join")
+    assert(p.contains("Window"), s"expected window formulation:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"as-of fell back to a pair-explosion join:\n$p")
+  }
 }
