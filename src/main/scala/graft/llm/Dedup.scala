@@ -118,6 +118,37 @@ object Dedup {
       simhash(Tables(s, d, "documents"))
     },
 
+    // d7: benchmark-contamination check — corpus documents sharing ≥ 2
+    // 3-shingles with any doc of a small "eval set" (here: doc_id % 10 = 0
+    // stands in for the benchmark). The deploy-shape at 100 TB: the eval
+    // set's exploded (shingle-hash, probe_id) index is BROADCAST, the
+    // corpus streams through one narrow pass against it, and only matched
+    // rows reach the counting shuffle — contamination scan cost is one
+    // corpus read regardless of corpus size. Oracle: brute-force
+    // list_intersect join (fine at test SF, quadratic for DuckDB).
+    QueryDef("d7_contamination",
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(
+        |           range(1, len(string_split(text,' ')) - 1),
+        |           i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS shingles
+        |  FROM documents
+        |  WHERE len(string_split(text,' ')) >= 3)
+        |SELECT c.doc_id, p.doc_id AS probe_id,
+        |       len(list_intersect(c.shingles, p.shingles)) AS n_shared
+        |FROM sh c JOIN sh p ON p.doc_id % 10 = 0 AND c.doc_id <> p.doc_id
+        |WHERE len(list_intersect(c.shingles, p.shingles)) >= 2""".stripMargin) { (s, d) =>
+      val sh = sharedShingles(Tables(s, d, "documents"))
+      val probeTok = sh.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("probe_id"), explode(col("sh")).as("h"))
+      val corpusTok = sh.select(col("doc_id"), explode(col("sh")).as("h"))
+      corpusTok.join(broadcast(probeTok), "h")
+        .filter(col("doc_id") =!= col("probe_id"))
+        .groupBy("doc_id", "probe_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+    },
+
     // MinHash + banded AND/OR LSH near-dup pairs (probabilistic recall →
     // rows-only; DataPlaneSpec proves recall vs d4's exact Jaccard).
     // NOTE (schema change vs round 1): output column is `jaccard`
