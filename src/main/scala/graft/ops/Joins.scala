@@ -222,6 +222,24 @@ object Joins {
         .withColumn("carried", last(col("click_id"), ignoreNulls = true).over(w))
         .filter(col("kind") === 1)
         .select(col("purchase_id"), col("user_id"), col("ts"), col("carried").as("click_id"))
+    },
+
+    // J10: null-safe equi join (<=> / IS NOT DISTINCT FROM) — null keys
+    // MATCH null keys instead of silently dropping, the semantics config
+    // stores and SCD dimensions need. Nulls are synthesized via nullif so
+    // the check is non-vacuous: a plain = join would lose the BUILDING rows.
+    QueryDef("j10_nullsafe_join",
+      """WITH c AS (SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg FROM customer),
+        |dim AS (SELECT DISTINCT seg FROM c)
+        |SELECT dim.seg, count(*) AS n
+        |FROM c JOIN dim ON c.seg IS NOT DISTINCT FROM dim.seg
+        |GROUP BY dim.seg""".stripMargin) { (s, d) =>
+      val c = Tables(s, d, "customer")
+        .select(col("c_custkey"), nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"))
+      val dim = c.select(col("seg").as("dim_seg")).distinct()
+      c.join(broadcast(dim), col("seg") <=> col("dim_seg"))
+        .groupBy(col("dim_seg").as("seg"))
+        .agg(count(lit(1)).as("n"))
     }
   )
 }

@@ -197,6 +197,28 @@ object ScalarFns {
         round(element_at(col("embedding"), 1).cast("double"), 6).as("first_elem"),
         round(element_at(col("embedding"), 64).cast("double"), 6).as("last_elem"),
         col("label"))
+    },
+
+    // Higher-order array functions: filter / exists / forall / aggregate —
+    // the lambda surface LLM-pipeline feature code leans on (all codegen'd
+    // scalar loops, no UDFs). DuckDB expresses exists/forall via
+    // list_filter lengths; aggregate via list_sum over a transform (both
+    // engines fold sequentially, and round(…,6) absorbs any last-ulp drift).
+    QueryDef("f_array2",
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        |SELECT vec_id,
+        |       len(list_filter(e, x -> x > 0.5)) AS n_big,
+        |       len(list_filter(e, x -> x > 0)) > 0 AS has_pos,
+        |       len(list_filter(e, x -> abs(x) <= 2)) = len(e) AS all_bounded,
+        |       round(list_sum(list_transform(e, x -> abs(x))), 6) AS l1_norm
+        |FROM v""".stripMargin) { (s, d) =>
+      val e = col("embedding").cast("array<double>")
+      Tables(s, d, "embeddings").select(
+        col("vec_id"),
+        size(filter(e, x => x > 0.5)).as("n_big"),
+        exists(e, x => x > 0).as("has_pos"),
+        forall(e, x => abs(x) <= 2).as("all_bounded"),
+        round(aggregate(e, lit(0.0), (acc, x) => acc + abs(x)), 6).as("l1_norm"))
     }
   )
 }

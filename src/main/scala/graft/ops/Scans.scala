@@ -110,6 +110,27 @@ object Scans {
         .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
     },
 
+    // S8: partitioned sink + partition-pruned scan — the layout/read pair
+    // that makes 100 TB queries cheap: the write hash-partitions by a
+    // low-cardinality column into directories, the read's equality filter
+    // prunes to matching directories BEFORE any file is opened (PlanSpec
+    // asserts PartitionFilters carries the predicate). Oracle computes the
+    // same aggregate from the unpartitioned source.
+    QueryDef("s8_partition_prune",
+      """SELECT o_orderstatus, count(*) AS n,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(22,8))) AS DOUBLE), 2) AS total
+        |FROM orders WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderstatus""".stripMargin) { (s, d) =>
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_s8_${math.abs(d.hashCode)}"
+      if (!new java.io.File(tmp, "_SUCCESS").exists())
+        Tables(s, d, "orders")
+          .write.mode("overwrite").partitionBy("o_orderpriority").parquet(tmp)
+      s.read.parquet(tmp)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), graft.ops.Exact.moneySum(col("o_totalprice")).as("total"))
+    },
+
     // S6: in-memory generated dataset (deterministic, seedless — id-derived),
     // standing in for sampled-config generation (reference: maggy/searchspace.py:180-208).
     QueryDef("s6_generated_configs",

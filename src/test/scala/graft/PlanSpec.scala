@@ -157,6 +157,13 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("s8 partitioned layout prunes directories at planning time") {
+    val p = plan("s8_partition_prune")
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("o_orderpriority") && !pf.contains("PartitionFilters: []"),
+      s"partition filter not applied: $pf\n$p")
+  }
+
   test("j8b as-of join is one window pass, no join explosion") {
     val p = plan("j8b_asof_join")
     assert(p.contains("Window"), s"expected window formulation:\n$p")
