@@ -35,6 +35,11 @@ object Streams {
 
   private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  // schema per staged dir — every declared streaming query re-derives it, and
+  // a batch-side parquet footer read per query build is pure constant overhead
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
+
   /** Streaming view of the events table (T1 ingestion): file-source
     * readStream with the batch schema, ns→µs ts conversion as in Tables. */
   def eventsStream(s: SparkSession, d: String, maxFilesPerTrigger: Option[Int] = None): DataFrame = {
@@ -53,7 +58,7 @@ object Streams {
         java.nio.file.Files.size(staged) != java.nio.file.Files.size(src))
       java.nio.file.Files.copy(src, staged,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    val schema = s.read.parquet(dir.toString).schema
+    val schema = schemaCache.getOrElseUpdate(dir.toString, s.read.parquet(dir.toString).schema)
     val reader = s.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     reader.parquet(dir.toString)

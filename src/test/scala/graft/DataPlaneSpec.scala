@@ -207,4 +207,24 @@ class DataPlaneSpec extends AnyFunSuite {
     assert(row.getInt(1) == frames.length, "n_frames mismatch")
     assert(math.abs(row.getDouble(2) - math.rint(expectedF0 * 1e6) / 1e6) < 1e-9, "f0 mismatch")
   }
+
+  test("sampling operators are reproducible: re-run and repartition invariant") {
+    // the design claim behind p5/w8/w9: the sample is a pure function of row
+    // keys, so a retry or a different partitioning yields the SAME rows —
+    // verify by running twice, the second time over a repartitioned source
+    def rows(name: String): Set[Seq[Any]] =
+      SparkEntry.queries(name)(spark, sf).collect().map(_.toSeq).toSet
+    val first = Seq("p5_hash_sample", "w8_sample_topk", "w9_weighted_sample").map(rows)
+    val again = Seq("p5_hash_sample", "w8_sample_topk", "w9_weighted_sample").map(rows)
+    assert(first == again, "sampling not reproducible across runs")
+    // repartition invariance for the filter-style sample (w8's top-k is
+    // order-based and already proven equal across two full runs above)
+    val li = Tables(spark, sf, "lineitem").repartition(7)
+    val sampled = li
+      .filter(md5((col("l_orderkey") * 65536 + col("l_linenumber")).cast("string")) < "1a")
+      .agg(count(lit(1)), sum(col("l_orderkey"))).head()
+    val direct = SparkEntry.queries("p5_hash_sample")(spark, sf).head()
+    assert(sampled.getLong(0) == direct.getLong(0) && sampled.getLong(1) == direct.getLong(1),
+      "hash sample changed under repartitioning")
+  }
 }
