@@ -203,6 +203,66 @@ object Streams {
         .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"))
     },
 
+    // T4 (streaming): session windows built incrementally across
+    // micro-batches — the state store merges adjacent session fragments as
+    // events arrive. Complete mode drains every session for the bounded
+    // replay (== the batch analog / oracle); a production deployment runs
+    // the same plan with a watermark in append mode so closed sessions emit
+    // once and state stays bounded.
+    QueryDef("st_stream_session",
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                   > INTERVAL 30 MINUTE OR
+        |                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |sessions AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |                                   ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, min(ts) AS session_start,
+        |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |       count(*) AS n_events,
+        |       round(CAST(sum(CAST(value AS DECIMAL(22,8))) AS DOUBLE), 2) AS total
+        |FROM sessions GROUP BY user_id, session_id""".stripMargin) { (s, d) =>
+      val sess = eventsStream(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("total"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"), col("total"))
+      runToTable(s, sess, "complete")
+    },
+
+    // T1/S5 (streaming sink): foreachBatch writing each micro-batch to a
+    // parquet landing dir — the batch-reuse escape hatch every production
+    // stream ends in (exactly-once per batch id via idempotent overwrite
+    // paths). The declared result re-reads the sink and aggregates; oracle
+    // aggregates the source directly, so the sink round-trip must be the
+    // identity.
+    QueryDef("st_stream_sink",
+      """SELECT event_type, count(*) AS n,
+        |       round(CAST(sum(CAST(value AS DECIMAL(22,8))) AS DOUBLE), 2) AS total
+        |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
+      val sink = s"${sys.props("java.io.tmpdir")}/graft_stream_sink_${math.abs(d.hashCode)}_${System.nanoTime()}"
+      val ckpt = s"$sink/_checkpoints"
+      val q = eventsStream(s, d)
+        .select("event_id", "event_type", "value")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          batch.write.mode("overwrite").parquet(s"$sink/batch_$batchId")
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$sink/batch_*")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total"))
+    },
+
     // T6: stateful per-key FSM via mapGroupsWithState, update-mode. The
     // oracle is the order-insensitive batch equivalent; StreamingSuite also
     // replays the source as 4 separate micro-batches to prove state
