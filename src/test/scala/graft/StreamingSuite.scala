@@ -104,6 +104,32 @@ class StreamingSuite extends AnyFunSuite {
     assert(rows(result) == rows(batch))
   }
 
+  test("session windows merge fragments across micro-batches (4-file replay)") {
+    // random 4-way split scatters each user's events across triggers, so a
+    // session seen partially in batch 1 and partially in batch 3 MUST merge
+    // in the state store to reproduce the batch gaps-and-islands answer
+    val splitDir = s"${sys.props("java.io.tmpdir")}/graft_sess_split_${System.nanoTime()}"
+    spark.read.parquet(s"$sf/events.parquet").repartition(4)
+      .write.mode("overwrite").parquet(splitDir)
+    val raw = spark.readStream
+      .schema(spark.read.parquet(splitDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(splitDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val sess = raw
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+    val streamed = Streams.runToTable(spark, sess, "complete")
+    val batch = Tables(spark, sf, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+    assert(rows(streamed) == rows(batch))
+  }
+
   test("watermark evicts dedup state but keeps in-order duplicates dropped") {
     // duplicate every event (at-least-once replay); stream dedup must
     // drop exactly the duplicates when replays arrive within the watermark
