@@ -34,6 +34,21 @@ object Bench {
     try {
       materialize("j3_star_join"); materialize("w1_topk_per_group")
       materialize("sim_ivf_ann")
+      // JIT/codegen warm for the hash/string-heavy dedup path on a 2000-doc
+      // slice, run twice — first-evaluation JIT (~1s) otherwise lands on
+      // whichever dedup query the map ordering runs first. The slice's plan
+      // differs from every declared query, so no per-corpus cache is
+      // pre-populated.
+      import org.apache.spark.sql.functions._
+      for (_ <- 1 to 2) {
+        val sh = graft.llm.Dedup.shingleSets(
+          graft.data.Tables(spark, sfDir, "documents").limit(2000))
+        val tok = sh.select(col("doc_id"), explode(col("sh")).as("h"))
+        tok.select(col("doc_id").as("a"), col("h"))
+          .join(tok.select(col("doc_id").as("b"), col("h")), "h")
+          .filter(col("a") < col("b")).groupBy("a", "b").count()
+          .write.mode("overwrite").format("noop").save()
+      }
     } catch { case _: Throwable => }
 
     // optional comma-separated query filter for local iteration; the driver

@@ -138,10 +138,10 @@ object Dedup {
         |       len(list_intersect(c.shingles, p.shingles)) AS n_shared
         |FROM sh c JOIN sh p ON p.doc_id % 10 = 0 AND c.doc_id <> p.doc_id
         |WHERE len(list_intersect(c.shingles, p.shingles)) >= 2""".stripMargin) { (s, d) =>
-      val sh = sharedShingles(Tables(s, d, "documents"))
-      val probeTok = sh.filter(col("doc_id") % 10 === 0)
-        .select(col("doc_id").as("probe_id"), explode(col("sh")).as("h"))
-      val corpusTok = sh.select(col("doc_id"), explode(col("sh")).as("h"))
+      val tok = sharedTokens(Tables(s, d, "documents"))
+      val probeTok = tok.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("probe_id"), col("h"))
+      val corpusTok = tok.select(col("doc_id"), col("h"))
       corpusTok.join(broadcast(probeTok), "h")
         .filter(col("doc_id") =!= col("probe_id"))
         .groupBy("doc_id", "probe_id")
@@ -173,11 +173,10 @@ object Dedup {
     sharedScoredPairs(docs).filter(col("jaccard") >= threshold)
 
   private def scoredNgramPairs(docs: DataFrame): DataFrame = {
-    // sh from the shared per-corpus cache: one columnar store (~3s at sf0.1)
-    // amortized across d3's three consumers and d4/d6's two
-    val sh = sharedShingles(docs)
-    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
-    val tok = sh.select(col("doc_id"), explode(col("sh")).as("h"))
+    // the exploded (doc_id, h) token table from the shared cache; set sizes
+    // come from a per-doc count over it (shingle hashes are distinct per doc)
+    val tok = sharedTokens(docs)
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = tok.select(col("doc_id").as("doc_a"), col("h"))
       .join(tok.select(col("doc_id").as("doc_b"), col("h")), "h")
       .filter(col("doc_a") < col("doc_b"))
@@ -191,37 +190,50 @@ object Dedup {
         round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 6).as("jaccard"))
   }
 
-  // ---- shared shingle cache ------------------------------------------------
-  // One persisted shingle-set DataFrame per corpus, shared by d3/d4/d6 (their
-  // sh plans are identical, so Spark's CacheManager serves all three from the
-  // same blocks). Tracked here so the lifecycle is explicit: callers done
-  // with a corpus call releaseCaches() — the round-3 version persisted per
-  // call and never unpersisted, accumulating untracked blocks across the 80+
-  // query builds of a Verify/Bench run.
-  private val shingleCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  // ---- shared per-corpus caches -------------------------------------------
+  // Two tracked caches serve the whole dedup family:
+  //   tokenCache  — the localCheckpoint'ed shingle-array rows backing the
+  //     exploded (doc_id, shingle-hash) view (see sharedTokens). Consumers:
+  //     the posting join (d4/d6), the contamination scan (d7), and the
+  //     minhash signatures (d3).
+  //   pairCache   — the threshold-independent scored pair table (d4 reports
+  //     ≥ 0.1, d6 clusters ≥ 0.8, d3 verifies its LSH candidates against it).
+  // Tracked so the lifecycle is explicit: callers done with a corpus call
+  // releaseCaches() — the round-3 version persisted per call and never
+  // unpersisted, accumulating untracked blocks across a Verify/Bench run.
+  private val tokenCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private val pairCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   private def corpusKey(docs: DataFrame): String =
     docs.queryExecution.logical.canonicalized.toString
 
-  /** Shared per-corpus shingle sets, persisted. The persist is load-bearing
-    * twice over: it amortizes the columnar store across every dedup operator
-    * on the corpus, AND it is the optimizer barrier that stops
-    * CollapseProject from inlining the shingling expression into each of the
-    * 64 minhash band expressions (measured 3.5× slowdown without it). */
-  private def sharedShingles(docs: DataFrame): DataFrame =
-    shingleCache.getOrElseUpdate(corpusKey(docs),
-      shingleSets(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  /** Shared exploded (doc_id, h) distinct-shingle-hash pairs. The shingle
+    * ARRAYS are localCheckpoint'ed (raw row blocks — no columnar array
+    * encoding, ~1.2s at sf0.1) and the explode re-derives lazily per
+    * consumer (~0.2s): Generate does not run complex generator expressions
+    * in codegen, so exploding the un-materialized shingle expression costs
+    * ~3s per evaluation — the checkpoint turns the generator into a bound
+    * attribute. */
+  def sharedTokens(docs: DataFrame): DataFrame =
+    tokenCache.getOrElseUpdate(corpusKey(docs), shingleSets(docs).localCheckpoint())
+      .select(col("doc_id"), explode(col("sh")).as("h"))
 
   private def sharedScoredPairs(docs: DataFrame): DataFrame =
     pairCache.getOrElseUpdate(corpusKey(docs),
       scoredNgramPairs(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-  /** Release every tracked shingle/pair cache (end of a Verify/Bench run, or
-    * between corpora in a long-lived session). */
+  /** Release every tracked token/pair cache (end of a Verify/Bench run, or
+    * between corpora in a long-lived session). The token cache holds
+    * localCheckpoint'ed datasets whose blocks live on the underlying RDD,
+    * not in the SQL cache manager — unpersist that RDD directly. */
   def releaseCaches(): Unit = {
-    shingleCache.values.foreach(_.unpersist(blocking = false))
-    shingleCache.clear()
+    tokenCache.values.foreach { df =>
+      df.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+        case _ => ()
+      }
+    }
+    tokenCache.clear()
     pairCache.values.foreach(_.unpersist(blocking = false))
     pairCache.clear()
   }
@@ -248,9 +260,27 @@ object Dedup {
     * map-side partials here. Driver only sees a one-row convergence count
     * per round, never the data. */
   def connectedComponents(pairs: DataFrame, nodes: DataFrame, maxIter: Int = 20): DataFrame = {
+    // Materialize the edge list at the session's normal parallelism (its
+    // lineage may include the full posting join), THEN narrow the shuffle
+    // sizing for the propagation rounds: those move (node, label) longs
+    // over the NEAR-DUP SUBGRAPH — orders of magnitude smaller than the
+    // session default is sized for, so the rounds run at ≤ 8 partitions
+    // (measured 6.0s → 3.3s at sf0.1; a deployment sizes this to
+    // subgraph-bytes / partition-target the same way Streams sizes its
+    // state stores).
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+    val spark = pairs.sparkSession
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.min(prevShuffle.toInt, 8).toString)
+    try connectedComponentsImpl(edges, nodes, maxIter)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  private def connectedComponentsImpl(edges: DataFrame, nodes: DataFrame, maxIter: Int): DataFrame = {
     // Iterate ONLY over nodes that have at least one edge: an isolated node
     // is trivially its own component and its label can never change, so
     // carrying the full corpus through every propagation round (as before)
@@ -330,36 +360,43 @@ object Dedup {
     * contain the split delimiter, so the (t1,t2,t3) triple identifies the
     * shingle exactly as the joined string did. */
   def shingleSets(docs: DataFrame, keep: Seq[String] = Nil): DataFrame =
-    docs.select(col("doc_id") +: keep.map(col) :+ tokens.as("toks"): _*)
+    // under-3-token docs are excluded BEFORE shingling (equivalent to the
+    // old trailing filter(size(sh) > 0), but that formulation made the
+    // optimizer inline the whole shingle expression into the filter AND the
+    // projection — the array was computed twice per row, measured ~10×).
+    // The pre-filter also makes the sequence(1, n-2) bound safe: n ≥ 3, so
+    // the Spark downward-stepping sequence trap for n < 1 cannot trigger.
+    docs.filter(size(tokens) >= 3)
+      .select(col("doc_id") +: keep.map(col) :+ tokens.as("toks"): _*)
       .select(
         col("doc_id") +: keep.map(col) :+
         array_distinct(transform(
-          // guard: sequence(1, n) with n<1 would step DOWNWARD in Spark —
-          // emit an empty shingle set for docs under 3 tokens instead
-          when(size(col("toks")) >= 3, sequence(lit(1), size(col("toks")) - 2))
-            .otherwise(array().cast("array<int>")),
+          sequence(lit(1), size(col("toks")) - 2),
           i => xxhash64(element_at(col("toks"), i),
             element_at(col("toks"), i + 1),
             element_at(col("toks"), i + 2)))).as("sh"): _*)
-      .filter(size(col("sh")) > 0)
 
   /** Banded AND/OR MinHash LSH near-dup pairs with exact Jaccard on the
     * candidates (threshold in the near-dup regime).
     *
     * Plan shape (and why it survives 100 TB):
-    *   1. minhash signatures computed entirely map-side (per-row
-    *      higher-order min over seeded xxhash64 of the shingle hashes) —
-    *      no shuffle at all until the band keys, and those are
-    *      (doc_id, 2 longs) rows — never text;
-    *   2. band keys (xxhash64 of each 4-long signature slice) → groupBy
-    *      (band, band_hash) buckets → pairs generated INSIDE each bucket
-    *      (higher-order transform over the sorted id list). One aggregation,
-    *      no self-join, so the signature pipeline runs once. Candidate
-    *      volume scales with true near-dup pairs, not n² (vs the previous
-    *      MLlib approxSimilarityJoin at distance 0.6, which passed ~85% of
-    *      all pairs and was quadratic);
-    *   3. exact Jaccard runs only on surviving candidate pairs (two hash
-    *      joins back to the shingle sets).
+    *   1. minhash signatures via ONE partial-aggregated groupBy over the
+    *      shared exploded token table: sig[i] = min over a doc's shingle
+    *      hashes of xxhash64(i, h), 64 min-columns computed map-side before
+    *      the (doc_id)-keyed shuffle of 64-long partial rows. (The earlier
+    *      per-row higher-order formulation needed the array-column cache as
+    *      a CollapseProject barrier — the aggregation form has no such
+    *      hazard and shares the cheap token cache with d4/d6/d7.)
+    *   2. band keys (xxhash64 of each 4-min group) → groupBy (band, hash)
+    *      buckets → pairs generated INSIDE each bucket (higher-order
+    *      transform over the sorted id list). Candidate volume scales with
+    *      true near-dup pairs, not n² (vs the previous MLlib
+    *      approxSimilarityJoin at distance 0.6, which passed ~85% of all
+    *      pairs and was quadratic);
+    *   3. exact-Jaccard verification joins the candidates against the
+    *      shared scored-pair table (computed once per corpus for d4/d6) —
+    *      a candidate pair sharing zero shingles simply doesn't join and is
+    *      dropped, which is correct at any threshold > 0.
     *   Hot-bucket guard: a boilerplate-heavy corpus can put m docs in one
     *   bucket, whose m²/2 in-bucket pairs are generated inside ONE task —
     *   `maxBucketSize` caps the ids considered per bucket (other bands still
@@ -371,26 +408,14 @@ object Dedup {
       docs: DataFrame,
       jaccardThreshold: Double,
       maxBucketSize: Int = 1000): DataFrame = {
-    // sh is consumed three times (band keys + both sides of the candidate
-    // re-join); the shared persisted cache both amortizes that and acts as
-    // the CollapseProject barrier (see sharedShingles).
-    val sh = sharedShingles(docs)
-    // 64 minhash values per doc, computed per-row with higher-order
-    // functions: sig[i] = min over shingles of xxhash64(i, shingle_hash).
-    // ZERO shuffle — measured 2.3x faster than the explode + 64-column
-    // groupBy(min) alternative at sf0.1 and strictly better at 100 TB
-    // (signatures are map-side; nothing moves until the tiny band keys).
-    // Band keys built from per-band minhash expressions: band b hashes its
-    // own 4 mins, where min_i = array_min(xxhash64(i, shingle)). Each of the
-    // 64 mins appears in exactly ONE band key, so Catalyst's projection
-    // collapse cannot duplicate work. (A materialized `sig` array sliced per
-    // band gets inlined 16x by CollapseProject — measured 13x slower.)
+    val tok = sharedTokens(docs)
+    val minCols = (0 until NumHashes).map(i =>
+      min(xxhash64(lit(i), col("h"))).as(s"m$i"))
+    val sig = tok.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
     val bandCols = (0 until Bands).map { b =>
-      val mins = (b * BandRows until (b + 1) * BandRows).map(i =>
-        array_min(transform(col("sh"), h => xxhash64(lit(i), h))))
-      xxhash64(lit(b) +: mins: _*)
+      xxhash64(lit(b) +: (b * BandRows until (b + 1) * BandRows).map(i => col(s"m$i")): _*)
     }
-    val bands = sh.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+    val bands = sig.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
     // bucket members → ordered pairs within the bucket; tiny rows from here on
     val buckets = bands.groupBy("band", "bh")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
@@ -402,14 +427,8 @@ object Dedup {
           b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
-    val shA = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val shB = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-    val result = cands.join(shA, "doc_a").join(shB, "doc_b")
-      .withColumn("jaccard",
-        round(inter / (size(col("sh_a")) + size(col("sh_b")) - inter), 6))
+    cands.join(sharedScoredPairs(docs), Seq("doc_a", "doc_b"))
       .filter(col("jaccard") >= jaccardThreshold)
       .select("doc_a", "doc_b", "jaccard")
-    result
   }
 }
