@@ -172,6 +172,34 @@ object Dedup {
   def exactNgramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame =
     sharedScoredPairs(docs).filter(col("jaccard") >= threshold)
 
+  /** Posting join with STOP-SHINGLE pruning — the 100 TB guard: a
+    * boilerplate shingle with document frequency k contributes k²/2 join
+    * rows, so one viral footer can dominate the whole pair space. Shingles
+    * with df > maxDf are dropped from the INTERSECTION side only (set sizes
+    * stay exact), making the computed jaccard a lower bound: pairs held
+    * together only by ultra-common shingles disappear, genuine near-dups
+    * lose at most the few stop shingles they contain. DataPlaneSpec plants
+    * a boilerplate-heavy corpus and proves the join-row reduction plus
+    * near-dup recall. */
+  def boundedScoredPairs(docs: DataFrame, maxDf: Int): DataFrame = {
+    val tok = sharedTokens(docs)
+    val keep = tok.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("h")
+    val tokKept = tok.join(keep, "h")
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = tokKept.select(col("doc_id").as("doc_a"), col("h"))
+      .join(tokKept.select(col("doc_id").as("doc_b"), col("h")), "h")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).cast("double").as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .select(
+        col("doc_a"), col("doc_b"),
+        round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 6).as("jaccard"))
+  }
+
   private def scoredNgramPairs(docs: DataFrame): DataFrame = {
     // the exploded (doc_id, h) token table from the shared cache; set sizes
     // come from a per-doc count over it (shingle hashes are distinct per doc)

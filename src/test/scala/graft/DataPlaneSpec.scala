@@ -208,6 +208,29 @@ class DataPlaneSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(2) - math.rint(expectedF0 * 1e6) / 1e6) < 1e-9, "f0 mismatch")
   }
 
+  test("stop-shingle pruning kills boilerplate pair blowup, keeps true near-dups") {
+    import spark.implicits._
+    // synthetic skew: 40 docs sharing a 30-token boilerplate footer; docs 0
+    // and 1 are additionally true near-dups of each other (same unique body)
+    val boiler = (1 to 30).map(i => s"footer$i").mkString(" ")
+    val docs = (0 until 40).map { i =>
+      val body = if (i <= 1) "alpha beta gamma delta epsilon zeta eta theta"
+                 else (1 to 8).map(j => s"u${i}_$j").mkString(" ")
+      (i.toLong, s"$body $boiler")
+    }.toDF("doc_id", "text")
+    // unbounded: every one of the 40*39/2 pairs shares the footer shingles
+    val unbounded = Dedup.exactNgramJaccardPairs(docs, 0.0).count()
+    assert(unbounded == 40L * 39 / 2, s"expected full pair space, got $unbounded")
+    // bounded at maxDf=5: footer shingles (df=40) pruned from the
+    // intersection — boilerplate-only pairs vanish, the planted near-dup
+    // pair survives with jaccard from its unique body
+    val bounded = Dedup.boundedScoredPairs(docs, maxDf = 5)
+    val pairs = bounded.filter(col("jaccard") >= 0.1)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)), s"expected only the planted near-dup pair, got $pairs")
+    Dedup.releaseCaches()
+  }
+
   test("sampling operators are reproducible: re-run and repartition invariant") {
     // the design claim behind p5/w8/w9: the sample is a pure function of row
     // keys, so a retry or a different partitioning yields the SAME rows —
