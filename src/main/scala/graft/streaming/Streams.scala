@@ -5,7 +5,7 @@ import graft.ops.QueryDef
 import graft.ops.Exact._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, Trigger}
 
 /** One event as seen by the stateful FSM (ts kept as µs long — state
   * comparisons stay primitive). */
@@ -16,6 +16,32 @@ final case class Ev(user_id: Long, event_type: String, ts_us: Long)
 final case class FsmState(n: Long, types: Set[String], lastTs: Long)
 
 final case class FsmOut(user_id: Long, n_events: Long, types_seen: String, ts_us: Long)
+
+final case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+/** Per-user event-type counter on the Spark 4 `transformWithState` API —
+  * the successor to mapGroupsWithState: typed state variables (MapState
+  * here) managed by the RocksDB state store, with TTL/timers available.
+  * Counts are monotone, so the update-mode sink collapses with max(). */
+final class TypeCountProcessor extends StatefulProcessor[Long, Ev, TypeCount] {
+  @transient private var counts: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    import org.apache.spark.sql.Encoders
+    counts = getHandle.getMapState[String, Long](
+      "type_counts", Encoders.STRING, Encoders.scalaLong,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[Ev],
+      timerValues: TimerValues): Iterator[TypeCount] = {
+    rows.foreach { e =>
+      val cur = if (counts.containsKey(e.event_type)) counts.getValue(e.event_type) else 0L
+      counts.updateValue(e.event_type, cur + 1L)
+    }
+    counts.iterator().map { case (t, n) => TypeCount(key, t, n) }
+  }
+}
 
 /** Real Structured Streaming surface (SURVEY §2.B T1, T5–T7).
   *
@@ -261,6 +287,37 @@ object Streams {
       s.read.parquet(s"$sink/batch_*")
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total"))
+    },
+
+    // T6 (modern API): per-user event-type counts via transformWithState —
+    // Spark 4's typed-state successor to mapGroupsWithState (RocksDB-backed
+    // MapState). Counts are monotone across update-mode emissions, so the
+    // final row per (user, type) is the max.
+    QueryDef("st_stream_tws",
+      """SELECT user_id, event_type, count(*) AS n
+        |FROM events GROUP BY user_id, event_type""".stripMargin) { (s, d) =>
+      import s.implicits._
+      // transformWithState requires the RocksDB state store provider
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val ds = eventsStream(s, d)
+          .select(col("user_id"), col("event_type"), expr("unix_micros(ts)").as("ts_us"))
+          .as[Ev]
+        val out = ds.groupByKey(_.user_id)
+          .transformWithState(new TypeCountProcessor,
+            TimeMode.None(), OutputMode.Update())
+        runToTable(s, out.toDF(), "update")
+          .groupBy("user_id", "event_type")
+          .agg(max(col("n")).as("n"))
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      }
     },
 
     // T6: stateful per-key FSM via mapGroupsWithState, update-mode. The
