@@ -55,9 +55,9 @@ object Dedup {
     // threshold is what makes the posting-list plan complete: zero-overlap
     // pairs can't appear in it, and can't pass the threshold either.
     // 100 TB note: a boilerplate shingle with document frequency k costs
-    // k²/2 join rows — production prunes stop-shingles by df before the
-    // join (pairs held together only by ultra-common shingles sit far
-    // below any useful threshold).
+    // k²/2 join rows — [[boundedScoredPairs]] prunes stop-shingles by df
+    // before the join for that regime (pairs held together only by
+    // ultra-common shingles sit far below any useful threshold).
     QueryDef("d4_ngram_jaccard",
       """WITH sh AS (
         |  SELECT doc_id,
