@@ -34,6 +34,9 @@ object Bench {
     try {
       materialize("j3_star_join"); materialize("w1_topk_per_group")
       materialize("sim_ivf_ann")
+      // RocksDB native library extraction+load (~several seconds, once per
+      // JVM) otherwise lands on st_stream_tws
+      try org.rocksdb.RocksDB.loadLibrary() catch { case _: Throwable => }
       // JIT/codegen warm for the hash/string-heavy dedup path on a 2000-doc
       // slice, run twice — first-evaluation JIT (~1s) otherwise lands on
       // whichever dedup query the map ordering runs first. The slice's plan
