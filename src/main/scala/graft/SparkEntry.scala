@@ -18,7 +18,7 @@ object SparkEntry {
   /** All declared queries, grouped by operator family. */
   val allEntries: Seq[QueryDef] =
     Scans.entries ++ Projections.entries ++ Joins.entries ++
-      Aggregations.entries ++ Windows.entries ++ SetOps.entries ++
+      Aggregations.entries ++ Windows.entries ++ Analytics.entries ++ SetOps.entries ++
       ScalarFns.entries ++ Dedup.entries ++ Similarity.entries ++
       TextStats.entries ++ Multimodal.entries ++ Sampling.entries ++
       WindowedAggs.entries ++ Streams.entries

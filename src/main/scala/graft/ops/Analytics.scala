@@ -1,0 +1,99 @@
+package graft.ops
+
+import graft.data.Tables
+import graft.ops.Exact._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Composed analytics queries — TPC-H-shaped multi-operator pipelines that
+  * exercise scan + selective filters + multi-join + aggregation + top-k in
+  * ONE declared query (the shapes a user actually runs, not isolated
+  * operators). Engine built-ins only; plan properties follow from the same
+  * design rules as the single-operator queries: dims broadcast, predicates
+  * pushed to the scans, exact decimal money arithmetic, deterministic
+  * tiebreaks on every ranking.
+  */
+object Analytics {
+
+  private def revenue = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+    .cast("decimal(22,8)")
+
+  val entries: Seq[QueryDef] = Seq(
+    // X1 (TPC-H Q3 shape): unshipped-order revenue priority list. Fact-fact
+    // join shuffles on the order key; customer broadcasts; top-10 by
+    // revenue with an order-key tiebreak.
+    QueryDef("x1_priority_revenue",
+      """SELECT l_orderkey,
+        |       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,8))) AS DOUBLE), 2) AS revenue,
+        |       o_orderdate, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < DATE '1997-01-01'
+        |  AND l_shipdate > DATE '1997-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      Tables(s, d, "lineitem")
+        .filter(col("l_shipdate") > lit("1997-01-01").cast("date"))
+        .join(Tables(s, d, "orders")
+          .filter(col("o_orderdate") < lit("1997-01-01").cast("date")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables(s, d, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(round(sum(revenue).cast("double"), 2).as("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // X2 (TPC-H Q5 shape): revenue by nation where the supplier and the
+    // customer share the nation — five joins, one year filter; every
+    // dimension broadcasts, the two facts shuffle on the order key.
+    QueryDef("x2_local_supplier_volume",
+      """SELECT n_name,
+        |       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,8))) AS DOUBLE), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+        |GROUP BY n_name""".stripMargin) { (s, d) =>
+      Tables(s, d, "lineitem")
+        .join(Tables(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+            col("o_orderdate") < lit("1997-01-01").cast("date")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables(s, d, "supplier")),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum(revenue).cast("double"), 2).as("revenue"))
+    },
+
+    // W11: running DISTINCT count per key — count(DISTINCT) over a window is
+    // unsupported in both engines, so the first-occurrence-flag pattern
+    // (row_number = 1 per (user, type)) + running sum expresses it exactly.
+    // Two window passes over the same (user_id)-keyed shuffle.
+    QueryDef("w11_running_distinct",
+      """SELECT user_id, ts, event_id,
+        |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+        |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS distinct_types_so_far
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |                                   ORDER BY ts, event_id) AS rn
+        |      FROM events)""".stripMargin) { (s, d) =>
+      val first = Window.partitionBy("user_id", "event_type").orderBy(col("ts"), col("event_id"))
+      val running = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, d, "events")
+        .withColumn("rn", row_number().over(first))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          sum(when(col("rn") === 1, 1).otherwise(0)).over(running)
+            .cast("long").as("distinct_types_so_far"))
+    }
+  )
+}

@@ -164,6 +164,15 @@ class PlanSpec extends AnyFunSuite {
       s"partition filter not applied: $pf\n$p")
   }
 
+  test("x1/x2 composed analytics broadcast every dimension, facts sort-merge/hash join") {
+    for (q <- Seq("x1_priority_revenue", "x2_local_supplier_volume")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: dims not broadcast:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: nested-loop fallback:\n$p")
+    }
+  }
+
   test("j8b as-of join is one window pass, no join explosion") {
     val p = plan("j8b_asof_join")
     assert(p.contains("Window"), s"expected window formulation:\n$p")
