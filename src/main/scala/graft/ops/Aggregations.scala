@@ -139,6 +139,28 @@ object Aggregations {
         .agg(moneySum(col("c_acctbal")).as("total_bal"), count(lit(1)).as("n_cust"))
     },
 
+    // A13: conditional/filtered aggregation — per-group metrics computed
+    // under different predicates in ONE pass (count_if / FILTER clause /
+    // bool aggregates), instead of N filtered subqueries re-scanning the
+    // fact. One aggregation, partial+final as usual.
+    QueryDef("a13_filtered_agg",
+      """SELECT l_returnflag,
+        |       count(*) AS n,
+        |       count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+        |       count(*) FILTER (WHERE l_quantity >= 30) AS n_bulk,
+        |       CAST(bool_and(l_quantity > 0) AS BOOLEAN) AS all_positive,
+        |       CAST(bool_or(l_discount = 0) AS BOOLEAN) AS any_no_discount
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          count_if(col("l_discount") > 0.05).as("n_discounted"),
+          count_if(col("l_quantity") >= 30).as("n_bulk"),
+          bool_and(col("l_quantity") > 0).as("all_positive"),
+          bool_or(col("l_discount") === 0).as("any_no_discount"))
+    },
+
     // A8c: full cube — every combination of the two axes including both
     // marginals and the grand total (completes the rollup/grouping-sets/cube
     // trio). One pass; Catalyst expands to an Expand + single aggregation.
