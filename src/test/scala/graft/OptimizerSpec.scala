@@ -263,6 +263,25 @@ class OptimizerSpec extends AnyFunSuite {
     assert(finals.count(_.sampleType == "model") > 0)
   }
 
+  test("pruner-path duplicate exhaustion skips the slot instead of reissuing") {
+    // an optimizer whose fresh-config supply is exhausted under a pruner
+    // must answer Idle (work outstanding) / Done (none) — never a trial
+    // whose id collides with an existing one (the store-corruption hazard
+    // prunerDispatch's Option path exists to prevent)
+    object ExhaustedOpt extends Optimizer {
+      def getSuggestion(completed: Option[Trial]): Suggestion =
+        prunerDispatch(new Hyperband(eta = 3, resourceMin = 1, resourceMax = 9),
+          completed, _ => None)
+    }
+    ExhaustedOpt.initialize(space2d, 100, Direction.Min, 7L)
+    // nothing busy → Done
+    assert(ExhaustedOpt.getSuggestion(None) == Done)
+    // something busy → Idle (the slot waits; no colliding trial is emitted)
+    val busy = new Trial(Map("x" -> HV.D(1.0), "y" -> HV.D(2.0)))
+    ExhaustedOpt.noteStarted(busy)
+    assert(ExhaustedOpt.getSuggestion(None) == Idle)
+  }
+
   test("duplicate-config detection ignores budget") {
     val opt = new RandomSearch()
     opt.initialize(space2d, 2, Direction.Max, 1L)
