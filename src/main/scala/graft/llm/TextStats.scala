@@ -132,6 +132,53 @@ object TextStats {
       Tables(s, d, "documents").select(col("doc_id"), array_min(sh).as("fingerprint"))
     },
 
+    // BPE vocabulary training, core step: corpus-wide adjacent token-pair
+    // frequencies (each merge round of a BPE trainer picks argmax of exactly
+    // this table). Window-lead over the per-doc token sequence — one
+    // (doc_id)-keyed shuffle, then the counting aggregate; HAVING >= 5
+    // because only frequent pairs are merge candidates.
+    QueryDef("t7_merge_pairs",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+        |         generate_subscripts(string_split(text,' '), 1) AS pos
+        |  FROM documents)
+        |SELECT a.tok AS w1, b.tok AS w2, count(*) AS n
+        |FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |GROUP BY w1, w2 HAVING count(*) >= 5""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      Tables(s, d, "documents")
+        .select(col("doc_id"), posexplode(toks).as(Seq("pos", "w1")))
+        .withColumn("w2", lead(col("w1"), 1).over(w))
+        .filter(col("w2").isNotNull)
+        .groupBy("w1", "w2")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 5)
+    },
+
+    // Unigram log-probability scoring (perplexity proxy): p(word) from
+    // corpus frequencies, per-doc mean of -ln p — the cheap quality signal
+    // pipelines threshold on before an LM-based pass. Two aggregations and
+    // a token→freq join; the 1-row total broadcasts. (ln is not
+    // correctly-rounded across libms, but the per-doc MEAN rounded to 1e-6
+    // is ~10 orders of magnitude above any last-ulp drift.)
+    QueryDef("t8_unigram_logprob",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+        |freq AS (SELECT word, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY word),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM freq)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       round(avg(-ln(c / t)), 6) AS avg_neg_logprob
+        |FROM tok JOIN freq USING (word) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin) { (s, d) =>
+      val tok = Tables(s, d, "documents").select(col("doc_id"), explode(toks).as("word"))
+      val freq = tok.groupBy("word").agg(count(lit(1)).cast("double").as("c"))
+      val tot = freq.agg(sum(col("c")).as("t"))
+      tok.join(freq, "word")
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg(-log(col("c") / col("t"))), 6).as("avg_neg_logprob"))
+    },
+
     // Text cleaning: lowercase → strip non-alphanumerics → collapse runs of
     // spaces → trim. The canonical pre-tokenization normalization pass;
     // output is hashed so the oracle compares full cleaned strings without
