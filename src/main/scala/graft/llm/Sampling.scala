@@ -24,7 +24,11 @@ object Sampling {
   /** Uniform [0,1) pseudo-random derived from a row key via the Knuth
     * multiplicative hash — pure integer arithmetic + one IEEE division, so
     * Spark and DuckDB produce bit-identical values (ln/pow are NOT
-    * correctly-rounded across libms; +,-,*,/ are). */
+    * correctly-rounded across libms; +,-,*,/ are).
+    *
+    * Key-range bound: the product stays inside int64 for keys < 2³¹; past
+    * that Spark wraps while ANSI engines raise — for wider key spaces use
+    * the md5-prefix predicate (p5/p6/w8), which has no overflow regime. */
   private def keyUniform(key: Column): Column =
     (key * lit(2654435761L) % lit(2147483648L)).cast("double") / lit(2147483648.0)
 
