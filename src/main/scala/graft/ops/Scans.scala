@@ -131,6 +131,61 @@ object Scans {
         .agg(count(lit(1)).as("n"), graft.ops.Exact.moneySum(col("o_totalprice")).as("total"))
     },
 
+    // S9: schema evolution — two parquet batches written with DIFFERENT
+    // schemas (the later one adds a column), read back as one dataset with
+    // mergeSchema; rows from the old batch surface NULL for the new column.
+    // The data-lake reality every long-lived ingestion pipeline hits.
+    // Oracle reconstructs the same union from the source table.
+    QueryDef("s9_schema_evolution",
+      """SELECT count(*) AS n,
+        |       count(extra) AS n_with_extra,
+        |       CAST(sum(CASE WHEN doc_id % 2 = 0 THEN doc_id END) AS BIGINT) AS extra_sum
+        |FROM (
+        |  SELECT doc_id, NULL AS extra FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id, doc_id AS extra FROM documents WHERE doc_id % 2 = 0)""".stripMargin) { (s, d) =>
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_s9_${math.abs(d.hashCode)}"
+      val docs = Tables(s, d, "documents")
+      docs.filter(col("doc_id") % 2 === 1).select("doc_id")
+        .write.mode("overwrite").parquet(s"$tmp/batch=1")
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("doc_id").as("extra"))
+        .write.mode("overwrite").parquet(s"$tmp/batch=2")
+      s.read.option("mergeSchema", "true").parquet(tmp)
+        .agg(count(lit(1)).as("n"),
+          count(col("extra")).as("n_with_extra"),
+          sum(col("extra")).as("extra_sum"))
+    },
+
+    // S10: corrupt-record handling — a JSONL landing file with malformed
+    // lines (every 7th record truncated), read in PERMISSIVE mode: bad rows
+    // surface in _corrupt_record instead of failing the job (the ingestion
+    // posture a 100 TB pipeline needs — quarantine, don't crash). The file
+    // is generated deterministically from `documents`, so the oracle derives
+    // the same counts from the source table.
+    QueryDef("s10_corrupt_json",
+      """SELECT count(*) AS n,
+        |       count(*) FILTER (WHERE doc_id % 7 = 0) AS n_bad,
+        |       CAST(sum(CASE WHEN doc_id % 7 <> 0 THEN doc_id END) AS BIGINT) AS good_id_sum
+        |FROM documents""".stripMargin) { (s, d) =>
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_s10_${math.abs(d.hashCode)}"
+      Tables(s, d, "documents")
+        .select(when(col("doc_id") % 7 === 0,
+            concat(lit("{\"doc_id\": "), col("doc_id")))            // truncated JSON
+          .otherwise(concat(lit("{\"doc_id\": "), col("doc_id"), lit(", \"ok\": true}")))
+          .as("value"))
+        .write.mode("overwrite").text(tmp)
+      val parsed = s.read
+        .schema("doc_id BIGINT, ok BOOLEAN, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(tmp)
+      parsed.agg(
+        count(lit(1)).as("n"),
+        count(col("_corrupt_record")).as("n_bad"),
+        sum(when(col("_corrupt_record").isNull, col("doc_id"))).as("good_id_sum"))
+    },
+
     // S6: in-memory generated dataset (deterministic, seedless — id-derived),
     // standing in for sampled-config generation (reference: maggy/searchspace.py:180-208).
     QueryDef("s6_generated_configs",
