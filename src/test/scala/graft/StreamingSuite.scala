@@ -1,7 +1,7 @@
 package graft
 
 import graft.data.Tables
-import graft.streaming.Streams
+import graft.streaming.{Ev, Streams, TypeCountProcessor}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -102,6 +102,38 @@ class StreamingSuite extends AnyFunSuite {
         array_join(array_sort(collect_set(col("event_type"))), ",").as("types_seen"),
         max(col("ts")).as("last_ts"))
     assert(rows(result) == rows(batch))
+  }
+
+  test("transformWithState counts survive across micro-batches (4-file replay)") {
+    val splitDir = s"${sys.props("java.io.tmpdir")}/graft_tws_split_${System.nanoTime()}"
+    spark.read.parquet(s"$sf/events.parquet").repartition(4)
+      .write.mode("overwrite").parquet(splitDir)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import spark.implicits._
+      val raw = spark.readStream
+        .schema(spark.read.parquet(splitDir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(splitDir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select(col("user_id"), col("event_type"), expr("unix_micros(ts)").as("ts_us"))
+        .as[Ev]
+      val out = raw.groupByKey(_.user_id)
+        .transformWithState(new TypeCountProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+      val streamed = Streams.runToTable(spark, out.toDF(), "update")
+        .groupBy("user_id", "event_type").agg(max(col("n")).as("n"))
+      val batch = Tables(spark, sf, "events")
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+      assert(rows(streamed) == rows(batch))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   test("session windows merge fragments across micro-batches (4-file replay)") {
