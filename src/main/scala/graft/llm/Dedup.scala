@@ -118,6 +118,17 @@ object Dedup {
       simhash(Tables(s, d, "documents"))
     },
 
+    // d5b: SimHash near-dup PAIRS via banded hamming join — 64-bit
+    // signatures sliced into 4 16-bit bands; two docs within hamming
+    // distance 3 must agree exactly on ≥ 1 band (pigeonhole), so the
+    // bucket join finds all such pairs without an n² scan; candidates
+    // verify with bit_count(xor) ≤ 3. Same plan family as d3 (bucketed
+    // candidates + exact verify), hash-based → no SQL oracle;
+    // DataPlaneSpec checks the planted near-dups surface.
+    QueryDef.noOracle("d5b_simhash_pairs") { (s, d) =>
+      simhashPairs(Tables(s, d, "documents"), maxHamming = 3)
+    },
+
     // d7: benchmark-contamination check — corpus documents sharing ≥ 2
     // 3-shingles with any doc of a small "eval set" (here: doc_id % 10 = 0
     // stands in for the benchmark). The deploy-shape at 100 TB: the eval
@@ -367,6 +378,32 @@ object Dedup {
       when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }.reduce((a, c) => a.bitwiseOR(c))
     agg.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: banded exact-match buckets (pigeonhole over 4
+    * 16-bit slices guarantees recall for hamming ≤ 3) + bit_count(xor)
+    * verification. All long arithmetic; candidate volume scales with true
+    * collisions, not n². */
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val sig = simhash(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = sig.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("band", "bkey")))
+    val buckets = bands.groupBy("band", "bkey")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("members"))
+      .filter(size(col("members")) > 1)
+    val cands = buckets
+      .select(explode(flatten(transform(col("members"), (a, i) =>
+        transform(slice(col("members"), i + 2, size(col("members"))),
+          b => struct(a.getField("doc_id").as("doc_a"), b.getField("doc_id").as("doc_b"),
+            a.getField("simhash").as("sig_a"), b.getField("simhash").as("sig_b")))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        bit_count(col("p.sig_a").bitwiseXOR(col("p.sig_b"))).as("hamming"))
+      .distinct()
+    val result = cands.filter(col("hamming") <= maxHamming)
+    materializeAndRelease(result, sig)
   }
 
   /** Banded AND/OR MinHash LSH parameters. 64 minhashes sliced into 16 bands

@@ -131,6 +131,25 @@ object Scans {
         .agg(count(lit(1)).as("n"), graft.ops.Exact.moneySum(col("o_totalprice")).as("total"))
     },
 
+    // S11: ORC round-trip — the other columnar format Spark ships native
+    // vectorized support for; write a projected slice as ORC, read it back,
+    // aggregate. Oracle computes the same aggregate from the source table
+    // (DuckDB cannot read ORC, but the round-trip contract is format-side).
+    QueryDef("s11_orc_roundtrip",
+      """SELECT l_returnflag, count(*) AS n,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(22,8))) AS DOUBLE), 2) AS sum_qty
+        |FROM lineitem WHERE l_shipdate >= DATE '1997-01-01'
+        |GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_s11_${math.abs(d.hashCode)}"
+      Tables(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("date"))
+        .select("l_returnflag", "l_quantity")
+        .write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), graft.ops.Exact.moneySum(col("l_quantity")).as("sum_qty"))
+    },
+
     // S9: schema evolution — two parquet batches written with DIFFERENT
     // schemas (the later one adds a column), read back as one dataset with
     // mergeSchema; rows from the old batch surface NULL for the new column.

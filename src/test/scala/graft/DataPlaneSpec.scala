@@ -96,6 +96,22 @@ class DataPlaneSpec extends AnyFunSuite {
       "unrelated docs should rarely collide under hamming 8")
   }
 
+  test("d5b banded simhash pairs equal the brute-force hamming pairs") {
+    val docs = Tables(spark, sf, "documents")
+    val banded = Dedup.simhashPairs(docs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over collected signatures (test-side only)
+    val sig = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (a, sa) <- sig; (b, sb) <- sig
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)).toSet
+    // pigeonhole over 4 bands is EXACT for hamming <= 3: sets must be equal
+    assert(banded == brute,
+      s"missing: ${(brute -- banded).take(5)}, extra: ${(banded -- brute).take(5)}")
+    assert(banded.nonEmpty, "testdata should contain simhash near-dups")
+  }
+
   test("sim_ivf_ann: recall >= 0.8 vs brute-force top-10") {
     val emb = Tables(spark, sf, "embeddings")
     val probes = emb.filter(col("vec_id") < 5)
