@@ -173,6 +173,12 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("d7 contamination scan broadcasts the eval-set index") {
+    // the whole scale story: probe shingles broadcast, corpus streams once
+    val p = plan("d7_contamination")
+    assert(p.contains("BroadcastHashJoin"), s"probe index not broadcast:\n$p")
+  }
+
   test("j8b as-of join is one window pass, no join explosion") {
     val p = plan("j8b_asof_join")
     assert(p.contains("Window"), s"expected window formulation:\n$p")
