@@ -24,9 +24,10 @@ object SparkEntry {
       WindowedAggs.entries ++ Streams.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * The star join exercises scan + broadcast joins + shuffle agg end-to-end. */
+    * The Q5-shaped composition exercises scans + selective filters + five
+    * joins (broadcast dims, shuffled facts) + aggregation end-to-end. */
   def entry(spark: SparkSession): DataFrame =
-    queries("j3_star_join")(spark, "/root/testdata/sf0.001")
+    queries("x2_local_supplier_volume")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
