@@ -81,7 +81,11 @@ trait Optimizer {
       case PrunerIdle => Idle
       case RunNew(budget) =>
         fresh(budget) match {
-          case None => if (trialStore.nonEmpty) Idle else Done
+          case None =>
+            // roll back the pruner's slot reservation, or its rung
+            // bookkeeping counts a config that never ran and stalls
+            p.trackSkipped()
+            if (trialStore.nonEmpty) Idle else Done
           case Some(base) =>
             val t = new Trial(base.paramsSansBudget + ("budget" -> HV.D(budget)),
               sampleType = base.sampleType, budget = Some(budget))

@@ -22,6 +22,10 @@ trait Pruner {
   /** Called by the optimizer with the id of the trial created for the last
     * RunNew/Promote decision. */
   def trackIssued(trialId: String): Unit = {}
+  /** Called by the optimizer when the last RunNew decision could NOT be
+    * filled (config supply exhausted): the pruner must roll back whatever
+    * it reserved for the slot, or the rung under-fills forever. */
+  def trackSkipped(): Unit = {}
 }
 
 /** Synchronous-iteration Hyperband (reference: maggy/pruner/hyperband.py).
@@ -123,6 +127,16 @@ final class Hyperband(eta: Int = 3, resourceMin: Double = 1, resourceMax: Double
   override def trackIssued(trialId: String): Unit = pendingTrack match {
     case Some((it, rung)) =>
       it.rungTrials.getOrElseUpdate(rung, mutable.ArrayBuffer.empty) += trialId
+      pendingTrack = None
+    case None =>
+  }
+
+  /** Roll back an unfilled RunNew reservation (see Pruner.trackSkipped):
+    * without this the iteration counts a config that never ran, its start
+    * rung can never reach n0, and the schedule stalls in Idle forever. */
+  override def trackSkipped(): Unit = pendingTrack match {
+    case Some((it, rung)) =>
+      if (rung == it.startRung && it.newIssued > 0) it.newIssued -= 1
       pendingTrack = None
     case None =>
   }

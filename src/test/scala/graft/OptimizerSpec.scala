@@ -274,12 +274,52 @@ class OptimizerSpec extends AnyFunSuite {
           completed, _ => None)
     }
     ExhaustedOpt.initialize(space2d, 100, Direction.Min, 7L)
-    // nothing busy → Done
+    // nothing busy → Done, and REPEATABLY Done: the pruner's slot
+    // reservation must roll back each time (without trackSkipped the rung
+    // bookkeeping counts phantom configs and the schedule stalls in Idle)
+    assert(ExhaustedOpt.getSuggestion(None) == Done)
     assert(ExhaustedOpt.getSuggestion(None) == Done)
     // something busy → Idle (the slot waits; no colliding trial is emitted)
     val busy = new Trial(Map("x" -> HV.D(1.0), "y" -> HV.D(2.0)))
     ExhaustedOpt.noteStarted(busy)
     assert(ExhaustedOpt.getSuggestion(None) == Idle)
+  }
+
+  test("pruner slot recovers after a transient exhaustion") {
+    // fresh fails once, then supplies configs again: the rolled-back slot
+    // must be re-offered and the SH schedule complete normally
+    var failures = 1
+    val rng = new java.util.SplittableRandom(11L)
+    object FlakyOpt extends Optimizer {
+      val hb = new Hyperband(eta = 3, resourceMin = 1, resourceMax = 9)
+      override protected def init(): Unit = hb.initialize(numTrials)
+      def getSuggestion(completed: Option[Trial]): Suggestion =
+        prunerDispatch(hb, completed, _ => {
+          if (failures > 0) { failures -= 1; None }
+          else Some(new Trial(searchspace.sample(rng)))
+        })
+    }
+    FlakyOpt.initialize(space2d, 100, Direction.Min, 11L)
+    // drive synchronously; first ask returns Done (nothing busy, fresh failed)
+    assert(FlakyOpt.getSuggestion(None) == Done)
+    // subsequent asks succeed and the full Hyperband schedule completes
+    var done = false
+    var steps = 0
+    var finals = 0
+    while (!done && steps < 1000) {
+      steps += 1
+      FlakyOpt.getSuggestion(None) match {
+        case NewTrial(t) =>
+          FlakyOpt.noteStarted(t)
+          t.finalize_(t.paramsSansBudget("x").asDouble)
+          FlakyOpt.noteFinalized(t)
+          finals += 1
+        case Idle => fail("no busy trials — Idle would livelock")
+        case Done => done = true
+      }
+    }
+    assert(done, "schedule did not complete after transient exhaustion")
+    assert(finals == (9 + 3 + 1) + (3 + 1) + 3, s"unexpected trial count $finals")
   }
 
   test("duplicate-config detection ignores budget") {
