@@ -57,17 +57,28 @@ object Bench {
     // optional comma-separated query filter for local iteration; the driver
     // never sets it, so per-round benches always time the full suite
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // a query that throws is recorded in "errors" (class + message, sanitized
+    // for the one-line JSON) rather than swallowed — a broken operator must
+    // look broken, not fast
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, _) =>
         val t0 = System.nanoTime()
-        try materialize(name) catch { case _: Throwable => }
+        try materialize(name) catch {
+          case e: Throwable =>
+            val msg = e.getClass.getSimpleName + ": " +
+              Option(e.getMessage).getOrElse("")
+            errors(name) = msg.replaceAll("""["\\\n\r\t]""", " ").take(200)
+        }
         name -> (System.nanoTime() - t0) / 1e9
       }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     graft.llm.Dedup.releaseCaches()
     spark.stop()
   }

@@ -170,36 +170,45 @@ object Similarity {
     // cosine into a plain dot product (what any serious ANN index wants).
     // sqrt and / are IEEE-correctly-rounded, and the dot-product fold order
     // matches DuckDB's list_dot_product, so values agree bit-for-bit
-    // pre-round. Pure map-side — no shuffle.
+    // pre-round. Pure map-side — no shuffle. Output is long form
+    // (vec_id, pos, unit_v, norm) — every column a scalar the driver's
+    // pandas compare can sort (raw array<double> cells are unhashable for
+    // its factorizer; same shape as sim_centroid).
     QueryDef("sim_l2norm",
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v)
-        |SELECT vec_id, round(nrm, 6) AS norm,
-        |       list_transform(e, x -> round(x / nrm, 6)) AS unit
+        |SELECT vec_id, generate_subscripts(e, 1) AS pos,
+        |       round(unnest(e) / nrm, 6) AS unit_v, round(nrm, 6) AS norm
         |FROM n""".stripMargin) { (s, d) =>
       val e = col("embedding").cast("array<double>")
       Tables(s, d, "embeddings")
         .select(col("vec_id"), e.as("e"), sqrt(dotProduct(e, e)).as("nrm"))
-        .select(col("vec_id"), round(col("nrm"), 6).as("norm"),
-          transform(col("e"), x => round(x / col("nrm"), 6)).as("unit"))
+        .select(col("vec_id"), col("nrm"), posexplode(col("e")).as(Seq("pos0", "x")))
+        .select(col("vec_id"), (col("pos0") + 1).as("pos"),
+          round(col("x") / col("nrm"), 6).as("unit_v"), round(col("nrm"), 6).as("norm"))
     },
 
     // Int8-style quantization: symmetric per-vector scale (127 / max|x|),
     // values rounded to integers — the storage/bandwidth trick a 100 TB
     // embedding corpus ships with (4 bytes/dim → 1). Map-side only.
+    // Long-form (vec_id, pos, q, scale) for the same driver-compare reason
+    // as sim_l2norm.
     QueryDef("sim_quantize",
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |s AS (SELECT vec_id, e,
         |             127.0 / list_max(list_transform(e, x -> abs(x))) AS scale FROM v)
-        |SELECT vec_id, round(scale, 6) AS scale,
-        |       list_transform(e, x -> CAST(round(x * scale, 0) AS BIGINT)) AS q
+        |SELECT vec_id, generate_subscripts(e, 1) AS pos,
+        |       CAST(round(unnest(e) * scale, 0) AS BIGINT) AS q,
+        |       round(scale, 6) AS scale
         |FROM s""".stripMargin) { (s, d) =>
       val e = col("embedding").cast("array<double>")
       Tables(s, d, "embeddings")
         .select(col("vec_id"), e.as("e"),
-          (lit(127.0) / array_max(transform(e, x => abs(x)))).as("scale"))
-        .select(col("vec_id"), round(col("scale"), 6).as("scale"),
-          transform(col("e"), x => round(x * col("scale"), 0).cast("long")).as("q"))
+          (lit(127.0) / array_max(transform(e, x => abs(x)))).as("sc"))
+        .select(col("vec_id"), col("sc"), posexplode(col("e")).as(Seq("pos0", "x")))
+        .select(col("vec_id"), (col("pos0") + 1).as("pos"),
+          round(col("x") * col("sc"), 0).cast("long").as("q"),
+          round(col("sc"), 6).as("scale"))
     }
   )
 }

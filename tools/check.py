@@ -28,7 +28,10 @@ def norm_val(v):
     if isinstance(v, datetime.datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")[:-3]
     if isinstance(v, (list, tuple)):
-        return "[" + ",".join(norm_val(x) for x in v) + "]"
+        # The driver's pandas compare cannot sort array cells (unhashable
+        # ndarray in factorize) — mirror that as a loud failure instead of
+        # silently stringifying, so array-output regressions surface locally.
+        raise TypeError("driver-incompatible array cell in result column")
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
@@ -68,8 +71,13 @@ def main():
             print(f"FAIL {name}: exec error: {e}")
             n_fail += 1
             continue
-        sc, sr = norm_rows(s_cols, s_rows)
-        oc, orr = norm_rows(o_cols, o_rows)
+        try:
+            sc, sr = norm_rows(s_cols, s_rows)
+            oc, orr = norm_rows(o_cols, o_rows)
+        except TypeError as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
         if sc != oc:
             print(f"FAIL {name}: columns spark={sc} oracle={oc}")
             n_fail += 1
