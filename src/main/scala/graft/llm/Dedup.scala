@@ -285,19 +285,29 @@ object Dedup {
     * smaller than the intermediates it frees. */
   private def materializeAndRelease(result: DataFrame, caches: DataFrame*): DataFrame = {
     val out = result.localCheckpoint(eager = true)
-    caches.foreach(_.unpersist(blocking = false))
+    caches.foreach(release)
     out
   }
 
-  /** Connected components by iterative min-label propagation (Pregel-style:
+  /** Release a cached OR localCheckpoint'ed DataFrame: checkpoint blocks
+    * live on the underlying RDD (not the SQL cache manager), so they need
+    * rdd.unpersist — same distinction releaseCaches makes. */
+  private def release(df: DataFrame): Unit = df.queryExecution.analyzed match {
+    case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+    case _ => df.unpersist(blocking = false)
+  }
+
+  /** Connected components by min-label propagation WITH pointer doubling:
     * each round every node takes the min label among itself and its
-    * neighbors; converges in graph-diameter rounds — near-dup components
-    * are tiny cliques, so 2-3 rounds in practice, `maxIter` as a backstop).
-    * The per-round dataset is (node, label) longs only; at 100 TB the
-    * alternating large-star/small-star variant bounds skew from a single
-    * giant component, which plain propagation shares via the groupBy(min)
-    * map-side partials here. Driver only sees a one-row convergence count
-    * per round, never the data. */
+    * neighbors (Pregel-style), then shortcuts through its current label's
+    * label (union-find path halving). Neighbor propagation alone needs
+    * graph-diameter rounds — a 50-long near-dup chain would blow any sane
+    * maxIter — the shortcut step roughly halves the remaining pointer depth
+    * per round, so convergence is O(log diameter) (the same bound the
+    * large-star/small-star formulation gives, one join cheaper per round).
+    * Near-dup components are tiny cliques in practice: 2-3 rounds. The
+    * per-round dataset is (node, label) longs only; driver only sees a
+    * one-row convergence sum per round, never the data. */
   def connectedComponents(pairs: DataFrame, nodes: DataFrame, maxIter: Int = 20): DataFrame = {
     // Materialize the edge list at the session's normal parallelism (its
     // lineage may include the full posting join), THEN narrow the shuffle
@@ -306,20 +316,29 @@ object Dedup {
     // session default is sized for, so the rounds run at ≤ 8 partitions
     // (measured 6.0s → 3.3s at sf0.1; a deployment sizes this to
     // subgraph-bytes / partition-target the same way Streams sizes its
-    // state stores).
+    // state stores). The override is scoped to a CLONED session (same
+    // SparkContext + shared cache, own SQLConf), so a concurrent query on
+    // the caller's session keeps its parallelism — the session-global
+    // mutation the round-4 version did is gone.
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     edges.count()
     val spark = pairs.sparkSession
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions",
-      math.min(prevShuffle.toInt, 8).toString)
-    try connectedComponentsImpl(edges, nodes, maxIter)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions",
+      math.min(spark.conf.get("spark.sql.shuffle.partitions").toInt, 8).toString)
+    // The CacheManager is shared state, so the re-bound plan (same
+    // canonicalized form) reads the blocks persisted above — no re-persist
+    // (that would double-register the plan) and no recompute.
+    val bridge = org.apache.spark.sql.GraftExpressionBridge
+    connectedComponentsImpl(
+      bridge.inSession(scoped, edges),
+      bridge.inSession(scoped, nodes), maxIter)
   }
 
-  private def connectedComponentsImpl(edges: DataFrame, nodes: DataFrame, maxIter: Int): DataFrame = {
+  private def connectedComponentsImpl(
+      edges: DataFrame, nodes: DataFrame, maxIter: Int): DataFrame = {
     // Iterate ONLY over nodes that have at least one edge: an isolated node
     // is trivially its own component and its label can never change, so
     // carrying the full corpus through every propagation round (as before)
@@ -342,24 +361,39 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val viaNeighbors = edges.join(labels, edges("src") === labels("node"))
         .select(edges("dst").as("node"), labels("label"))
-      val next = labels.select("node", "label").union(viaNeighbors)
+      val propagated = labels.select("node", "label").union(viaNeighbors)
         .groupBy("node").agg(min(col("label")).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // pointer doubling: follow node → label → label-of-label. Labels are
+      // always ids of active nodes (mins over initial self-labels), so the
+      // parent lookup is a self-join; left + coalesce guards the root rows.
+      val parents = propagated.select(col("node").as("p_node"), col("label").as("p_label"))
+      // localCheckpoint (not persist): the self-join references `propagated`
+      // twice, so without lineage truncation the logical plan doubles every
+      // round — 2^rounds plan nodes OOMs the driver before the data ever
+      // would. The checkpoint pins each round's labels as a LogicalRDD,
+      // keeping the plan constant-size across rounds.
+      val next = propagated.join(parents, propagated("label") === parents("p_node"), "left")
+        .select(propagated("node"),
+          least(propagated("label"), coalesce(col("p_label"), propagated("label"))).as("label"))
+        .localCheckpoint(eager = true)
       val nextSum = labelSum(next)
-      labels.unpersist()
+      release(labels)
       labels = next
       converged = nextSum == prevSum
       prevSum = nextSum
       iter += 1
     }
-    // Unconverged labels are WRONG labels (a >maxIter-diameter chain splits a
-    // component silently) — fail loudly rather than return them.
+    // Unconverged labels are WRONG labels (splitting a component silently) —
+    // fail loudly rather than return them. With pointer doubling this needs
+    // diameter > ~2^maxIter, i.e. unreachable in practice.
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — graph diameter exceeds " +
-        s"maxIter; raise maxIter or switch to large-star/small-star (O(log n) rounds)")
+        s"2^$maxIter; raise maxIter")
     val isolated = nodes.join(active, Seq("node"), "left_anti")
       .select(col("node"), col("node").as("label"))
+    // unpersisting the re-bound edges copy removes the shared CacheManager
+    // entry the caller registered (uncache matches by canonicalized plan)
     materializeAndRelease(labels.union(isolated), edges, labels)
   }
 

@@ -27,10 +27,17 @@ object Sampling {
     * correctly-rounded across libms; +,-,*,/ are).
     *
     * Key-range bound: the product stays inside int64 for keys < 2³¹; past
-    * that Spark wraps while ANSI engines raise — for wider key spaces use
-    * the md5-prefix predicate (p5/p6/w8), which has no overflow regime. */
-  private def keyUniform(key: Column): Column =
-    (key * lit(2654435761L) % lit(2147483648L)).cast("double") / lit(2147483648.0)
+    * that Spark would silently wrap (a biased sample with no error), so the
+    * key is range-guarded with raise_error — misuse fails loudly. For wider
+    * key spaces use the md5-prefix predicate (p5/p6/w8), which has no
+    * overflow regime. */
+  private[graft] def keyUniform(key: Column): Column = {
+    val guarded = when(key < 0 || key >= lit(2147483648L),
+      raise_error(concat(
+        lit("keyUniform: key outside [0, 2^31): "), key.cast("string"))))
+      .otherwise(key)
+    (guarded * lit(2654435761L) % lit(2147483648L)).cast("double") / lit(2147483648.0)
+  }
 
   val entries: Seq[QueryDef] = Seq(
     // ~10% deterministic hash sample: keep rows whose md5 hex (lowercase in

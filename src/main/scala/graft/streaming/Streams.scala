@@ -174,6 +174,27 @@ object Streams {
       runToTable(s, agg, "complete")
     },
 
+    // T3 (streaming): sliding 1-hour window, 30-minute slide — each event
+    // contributes to two window states in the store; complete-mode drain on
+    // the bounded replay equals the batch analog st_sliding_window (same
+    // oracle). At scale the same plan runs append-mode with a watermark so
+    // closed windows emit once and the store holds only open windows.
+    QueryDef("st_stream_sliding",
+      """WITH e AS (
+        |  SELECT unnest([
+        |    make_timestamp((epoch_us(ts) // 1800000000) * 1800000000),
+        |    make_timestamp((epoch_us(ts) // 1800000000) * 1800000000 - 1800000000)
+        |  ]) AS window_start, value FROM events)
+        |SELECT window_start, count(*) AS n,
+        |       round(CAST(sum(CAST(value AS DECIMAL(22,8))) AS DOUBLE), 2) AS total
+        |FROM e GROUP BY 1""".stripMargin) { (s, d) =>
+      val agg = eventsStream(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total"))
+        .select(col("window.start").as("window_start"), col("n"), col("total"))
+      runToTable(s, agg, "complete")
+    },
+
     // T5: watermark + streaming dropDuplicates — at-least-once heartbeat
     // dedup (reference: maggy/trial.py:98-102). The watermark bounds the
     // dedup state store: keys older than 1 hour of event time are evicted,

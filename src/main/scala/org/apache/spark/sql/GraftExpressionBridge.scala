@@ -11,6 +11,16 @@ object GraftExpressionBridge {
   def columnOf(e: Expression): Column = ExpressionUtils.column(e)
   def expressionOf(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Re-bind a DataFrame's logical plan to another session of the SAME
+    * SparkContext (Dataset.ofRows is private[sql]). Used to scope SQLConf
+    * (e.g. shuffle sizing) to one plan via `spark.newSession()` without
+    * mutating the caller's session. The CacheManager lives in shared state,
+    * so persisted plans keep reading their cached blocks. */
+  def inSession(s: SparkSession, df: DataFrame): DataFrame =
+    classic.Dataset.ofRows(
+      s.asInstanceOf[classic.SparkSession],
+      df.queryExecution.logical)
+
   /** Register a function builder on a live session's FunctionRegistry
     * (sessionState is private[sql]; SparkSessionExtensions covers the
     * build-time path, this covers sessions the caller didn't construct). */

@@ -266,4 +266,33 @@ class DataPlaneSpec extends AnyFunSuite {
     assert(sampled.getLong(0) == direct.getLong(0) && sampled.getLong(1) == direct.getLong(1),
       "hash sample changed under repartitioning")
   }
+
+  test("connectedComponents converges on a 50-long chain and leaves session conf untouched") {
+    import spark.implicits._
+    // a 50-diameter path graph: plain min-label propagation needs 50 rounds,
+    // pointer doubling must close it well inside maxIter=20
+    val pairs = (0L until 49L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val nodes = ((0L to 49L) ++ (100L to 104L)).toDF("node")
+    val confBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    val labels = Dedup.connectedComponents(pairs, nodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == confBefore,
+      "connectedComponents mutated the caller session's shuffle partitions")
+    assert((0L to 49L).forall(labels(_) == 0L), s"chain not fully labeled: $labels")
+    assert((100L to 104L).forall(i => labels(i) == i), "isolated nodes mislabeled")
+  }
+
+  test("keyUniform raises loudly for keys outside [0, 2^31)") {
+    import spark.implicits._
+    val ok = Seq(0L, 1L, 2147483647L).toDF("k")
+      .select(graft.llm.Sampling.keyUniform(col("k")).as("u")).collect()
+    assert(ok.forall(r => r.getDouble(0) >= 0.0 && r.getDouble(0) < 1.0))
+    val boom = intercept[Exception] {
+      Seq(2147483648L).toDF("k")
+        .select(graft.llm.Sampling.keyUniform(col("k")).as("u")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(boom).exists(_.contains("keyUniform")), s"wrong error: $boom")
+  }
 }
