@@ -205,6 +205,30 @@ object Scans {
         sum(when(col("_corrupt_record").isNull, col("doc_id"))).as("good_id_sum"))
     },
 
+    // S12: TFRecord round-trip — the reference's ablation path consumes
+    // feature-store TFRecord datasets (reference: maggy/ablation/ablator/
+    // loco.py:53-74; dataset plumbing maggy/core/config/
+    // hyperparameter_optimization.py:52-55). Write a slice as framed
+    // tf.train.Example records through the DSv2 sink, read it back with an
+    // explicit schema, aggregate; oracle aggregates the source directly.
+    // Long/string features are lossless (floats would pass through float32).
+    QueryDef("s12_tfrecord_roundtrip",
+      """SELECT source, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM documents GROUP BY source""".stripMargin) { (s, d) =>
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_s12_${math.abs(d.hashCode)}"
+      Tables(s, d, "documents")
+        .select("doc_id", "source", "n_chars")
+        .write.mode("overwrite").format("tfrecord").save(tmp)
+      s.read.format("tfrecord")
+        .schema("doc_id BIGINT, n_chars BIGINT, source STRING")
+        .load(tmp)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(col("n_chars")).as("chars_sum"))
+    },
+
     // S6: in-memory generated dataset (deterministic, seedless — id-derived),
     // standing in for sampled-config generation (reference: maggy/searchspace.py:180-208).
     QueryDef("s6_generated_configs",
