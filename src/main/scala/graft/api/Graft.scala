@@ -55,6 +55,29 @@ object Graft {
       case c: AblationConfig => runAblation(spark, c, trainFn)
     }
 
+  /** Distributed gang-training experiment — the TorchDistributedConfig
+    * analog (reference: experiment.lagom(train_fn, TorchDistributedConfig)
+    * → torch_distributed_training_driver.py:35-44; per-worker results
+    * averaged :49-70,130-143). Typed separately from [[lagom]] because the
+    * gang train fn sees collective context (rank, world, peers, all-reduce),
+    * not a per-trial context. See [[graft.exec.Gang]] for the barrier-mode
+    * rendezvous design. */
+  def gang(spark: SparkSession, config: DistributedConfig)(fn: Gang.GangTrainFn): Gang.GangResult = {
+    val r = Gang.run(spark, config.worldSize, config.params, fn)
+    config.logDir.foreach { d =>
+      val workers = r.workers
+        .map(w => s"""{"rank": ${w.rank}, "metric": ${w.metric}}""")
+        .mkString("[", ", ", "]")
+      val json = s"""{"name": ${HV.S(config.name).jsonRender}, """ +
+        s""""world_size": ${config.worldSize}, "avg_metric": ${r.mean}, """ +
+        s""""duration_ms": ${r.durationMs}, "workers": $workers}"""
+      val dir = java.nio.file.Paths.get(d)
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.writeString(dir.resolve("result.json"), json)
+    }
+    r
+  }
+
   private def runHpo(spark: SparkSession, c: HyperparameterOptConfig, trainFn: TrainFn): ExperimentResult = {
     val optimizer = Optimizer.forName(c.optimizer, c.optimizerArgs)
     val esRule = c.esPolicy match {

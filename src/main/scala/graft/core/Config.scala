@@ -44,3 +44,14 @@ final case class SingleRunConfig(
     name: String = "single",
     hbIntervalMs: Long = 200,
     logDir: Option[String] = None) extends LagomConfig
+
+/** Distributed gang-training experiment (reference: TorchDistributedConfig,
+  * maggy/config/torch_distributed.py). Not part of the [[LagomConfig]]
+  * dispatch: the gang train fn sees collective context (rank/world/peers),
+  * not a per-trial context, so it gets its own typed entry point
+  * ([[graft.api.Graft.gang]]). */
+final case class DistributedConfig(
+    worldSize: Int,
+    params: Map[String, HV] = Map.empty,
+    name: String = "distributed",
+    logDir: Option[String] = None)

@@ -1,0 +1,166 @@
+package graft.exec
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.{InetAddress, ServerSocket, Socket}
+
+import graft.core.HV
+import org.apache.spark.BarrierTaskContext
+import org.apache.spark.sql.SparkSession
+
+/** Barrier-mode gang execution: every worker of one distributed job starts
+  * together, rendezvouses, exchanges addresses, trains in lockstep, and
+  * completes together.
+  *
+  * This is the Spark-native analog of the reference's reservation-based
+  * all-up rendezvous for distributed training (reference: executor
+  * registration + `await_reservations` barrier, maggy/core/rpc.py:282-305,
+  * client poll :708-714; cluster init exchanging MASTER_ADDR/MASTER_PORT/
+  * WORLD_SIZE/RANK env vars, maggy/core/executors/
+  * torch_dist_executor.py:247-285). Where the reference hand-rolls the
+  * barrier over its RPC channel, Spark ships the whole facility:
+  * `RDD.barrier()` gang-schedules the stage (all tasks launch together or
+  * none do — no partial-gang deadlock under slot shortage, the scheduler
+  * fails fast instead), and `BarrierTaskContext.allGather` IS the
+  * reservation barrier + address exchange in one call.
+  *
+  * The data path stays executor↔executor: [[GangContext.allReduceSum]] moves
+  * values over raw TCP against the rendezvous'd master address, not through
+  * the driver — mirroring the reference's boundary where NCCL traffic runs
+  * outside the maggy RPC channel (SURVEY §3.3 boundary note). At 100 TB /
+  * 1000 executors the coordinator only ever sees O(worldSize) small strings
+  * per gather; gradients-sized payloads never touch it.
+  *
+  * Fault model: a barrier stage retries as a whole on task failure (Spark
+  * semantics) — exactly the reference's all-or-nothing gang restart.
+  */
+object Gang {
+
+  /** User-supplied distributed train function — one invocation per worker,
+    * all workers concurrent. Must be Serializable: ships in the closure. */
+  trait GangTrainFn extends Serializable {
+    def apply(ctx: GangContext): Double
+  }
+
+  /** The env-var contract the reference exports before
+    * `dist.init_process_group` (torch_dist_executor.py:126-134), as data. */
+  final case class GangEnv(masterAddr: String, masterPort: Int, worldSize: Int, rank: Int) {
+    def asMap: Map[String, String] = Map(
+      "MASTER_ADDR" -> masterAddr,
+      "MASTER_PORT" -> masterPort.toString,
+      "WORLD_SIZE" -> worldSize.toString,
+      "RANK" -> rank.toString)
+  }
+
+  /** What one gang worker sees: identity, the full rendezvous'd address
+    * list, typed hyperparameters, and collective primitives. */
+  final class GangContext private[exec] (
+      val rank: Int,
+      val worldSize: Int,
+      val env: GangEnv,
+      val peers: IndexedSeq[String],
+      val params: Map[String, HV],
+      tc: BarrierTaskContext,
+      server: Option[ServerSocket]) {
+
+    /** Global barrier — the `dist.barrier()` analog
+      * (torch_dist_executor.py:175). */
+    def barrier(): Unit = tc.barrier()
+
+    /** Exchange one small string with every peer via the barrier
+      * coordinator (control-plane metadata only — keep payloads tiny). */
+    def allGather(msg: String): IndexedSeq[String] =
+      tc.allGather(msg).toIndexedSeq
+
+    /** Sum all-reduce over a TCP star on the rendezvous'd master address:
+      * workers push their value to rank 0, rank 0 reduces and pushes the
+      * total back. Data moves executor↔executor, outside the coordinator —
+      * the reference's NCCL boundary. Multiple sequential calls are safe:
+      * a worker only enters call k+1 after receiving call k's total, so the
+      * master's worldSize-1 accepts per call can only be same-call peers. */
+    def allReduceSum(value: Double): Double =
+      if (worldSize == 1) value
+      else if (rank == 0) {
+        val ss = server.get
+        val socks = IndexedSeq.fill(worldSize - 1)(ss.accept())
+        try {
+          val total = value + socks.map { s =>
+            new DataInputStream(s.getInputStream).readDouble()
+          }.sum
+          socks.foreach { s =>
+            val out = new DataOutputStream(s.getOutputStream)
+            out.writeDouble(total)
+            out.flush()
+          }
+          total
+        } finally socks.foreach(_.close())
+      } else {
+        val s = new Socket(env.masterAddr, env.masterPort)
+        try {
+          s.setTcpNoDelay(true)
+          val out = new DataOutputStream(s.getOutputStream)
+          out.writeDouble(value)
+          out.flush()
+          new DataInputStream(s.getInputStream).readDouble()
+        } finally s.close()
+      }
+  }
+
+  /** Per-worker outcome plus rendezvous timestamps (same-JVM nanoTime in
+    * local mode; on a real cluster they are per-host and only ordering
+    * within a host is meaningful). `gatherNs` happens-after EVERY worker's
+    * `startNs` by allGather semantics — the all-up-start proof. */
+  final case class GangWorkerResult(rank: Int, metric: Double, startNs: Long, gatherNs: Long)
+
+  final case class GangResult(
+      workers: IndexedSeq[GangWorkerResult],
+      mean: Double,
+      durationMs: Long)
+
+  /** Run `fn` as a gang of `worldSize` barrier tasks. The driver averages
+    * per-worker metrics (reference: torch_distributed_training_driver.py:
+    * 49-70,130-143 averages worker results). */
+  def run(
+      spark: SparkSession,
+      worldSize: Int,
+      params: Map[String, HV],
+      fn: GangTrainFn): GangResult = {
+    require(worldSize >= 1, s"worldSize must be >= 1, got $worldSize")
+    val t0 = System.currentTimeMillis()
+    val collected = spark.sparkContext
+      .parallelize(0 until worldSize, worldSize)
+      .barrier()
+      .mapPartitions { _ =>
+        val tc = BarrierTaskContext.get()
+        val rank = tc.partitionId()
+        // rank 0 binds its all-reduce endpoint BEFORE the gather so every
+        // peer that learns the address finds it listening (no connect race)
+        val server =
+          if (rank == 0) Some {
+            val ss = new ServerSocket(0)
+            ss.setSoTimeout(120000)
+            ss
+          } else None
+        try {
+          val host = InetAddress.getLocalHost.getHostAddress
+          val startNs = System.nanoTime()
+          // THE rendezvous: publish address, block until all workers arrive
+          val peers = tc
+            .allGather(s"$host:${server.fold(0)(_.getLocalPort)}")
+            .toIndexedSeq
+          val gatherNs = System.nanoTime()
+          val Array(mh, mp) = peers.head.split(":")
+          val env = GangEnv(mh, mp.toInt, worldSize, rank)
+          val ctx = new GangContext(rank, worldSize, env, peers, params, tc, server)
+          val metric = fn(ctx)
+          tc.barrier() // all-up completion before FINAL (dist.barrier analog)
+          Iterator.single(GangWorkerResult(rank, metric, startNs, gatherNs))
+        } finally server.foreach(_.close())
+      }
+      .collect()
+      .sortBy(_.rank)
+      .toIndexedSeq
+    GangResult(collected,
+      collected.map(_.metric).sum / collected.size,
+      System.currentTimeMillis() - t0)
+  }
+}

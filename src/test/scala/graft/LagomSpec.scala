@@ -4,7 +4,7 @@ import graft.api.{Graft, TrialRow}
 import graft.ablate.AblationStudy
 import graft.core._
 import graft.core.HParam._
-import graft.exec.{TrainFn, TrialContext}
+import graft.exec.{Gang, TrainFn, TrialContext}
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -254,5 +254,40 @@ class LagomSpec extends AnyFunSuite {
     }
     val batchMs = System.currentTimeMillis() - t1
     assert(asyncMs < batchMs, s"async $asyncMs ms vs batch $batchMs ms")
+  }
+
+  test("gang (barrier) execution: all-up start, address exchange, TCP all-reduce") {
+    // Synthetic distributed train fn: two all-reduce rounds over the
+    // rendezvous'd master address prove the exchanged endpoints carry real
+    // executor<->executor traffic (the reference's NCCL boundary —
+    // torch_dist_executor.py:247-285 exchanges MASTER_ADDR then moves data
+    // outside the RPC channel).
+    object AllReduceFn extends Gang.GangTrainFn {
+      def apply(ctx: Gang.GangContext): Double = {
+        require(ctx.peers.size == ctx.worldSize, "rendezvous must list every worker")
+        require(ctx.env.asMap("RANK") == ctx.rank.toString)
+        require(ctx.env.asMap("MASTER_ADDR") + ":" + ctx.env.asMap("MASTER_PORT")
+          == ctx.peers.head)
+        val round1 = ctx.allReduceSum((ctx.rank + 1).toDouble) // 1+2 = 3
+        val round2 = ctx.allReduceSum(round1) // 3+3 = 6: every worker agreed
+        ctx.barrier()
+        round2
+      }
+    }
+    val res = Graft.gang(spark, DistributedConfig(worldSize = 2,
+      logDir = Some(s"${sys.props("java.io.tmpdir")}/graft_gang_test")))(AllReduceFn)
+    assert(res.workers.map(_.rank) == IndexedSeq(0, 1))
+    // both all-reduce rounds produced the same agreed total on every worker
+    assert(res.workers.forall(_.metric == 6.0), res.workers.toString)
+    assert(res.mean == 6.0)
+    // all-up start: the rendezvous completed on every worker only after
+    // EVERY worker had launched (allGather happens-after all starts)
+    val maxStart = res.workers.map(_.startNs).max
+    assert(res.workers.forall(_.gatherNs >= maxStart),
+      s"gather finished before some worker started: $res")
+    // persisted like any experiment (reference writes result.json)
+    val json = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"${sys.props("java.io.tmpdir")}/graft_gang_test/result.json"))
+    assert(json.contains("\"world_size\": 2") && json.contains("\"avg_metric\": 6.0"))
   }
 }
