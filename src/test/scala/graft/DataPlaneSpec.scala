@@ -169,6 +169,35 @@ class DataPlaneSpec extends AnyFunSuite {
     } finally index.unpersist()
   }
 
+  test("persisted IVF index round-trips: load serves probes with no refit, same results") {
+    val emb = Tables(spark, sf, "embeddings")
+    val probes = emb.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double, Int)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val built = IvfIndex.build(emb, nClusters = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_rt").toString
+    try {
+      val inMem = rows(IvfIndex.search(built, probes, k = 10, nProbe = 4)
+        .select(col("probe_id"), col("cand_id"), col("cosine"), col("rn").cast("int")))
+      IvfIndex.save(built, dir)
+      val loaded = IvfIndex.load(spark, dir)
+      // centroids survive parquet exactly (doubles are bit-preserved)
+      assert(loaded.centroids.map(_._1) == built.centroids.map(_._1))
+      (loaded.centroids zip built.centroids).foreach { case ((_, a), (_, b)) =>
+        assert(a.toSeq == b.toSeq)
+      }
+      // probe results off the on-disk, cell-partitioned layout are identical
+      val fromDisk = rows(IvfIndex.search(loaded, probes, k = 10, nProbe = 4)
+        .select(col("probe_id"), col("cand_id"), col("cosine"), col("rn").cast("int")))
+      assert(fromDisk == inMem)
+      // the loaded corpus is the partitioned layout (one dir per cell), so
+      // probe-time cell routing reads a pruned subset of files at scale
+      val cellDirs = new java.io.File(s"$dir/corpus").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      assert(cellDirs.length == 8, s"expected 8 cell partitions, got ${cellDirs.length}")
+    } finally built.unpersist()
+  }
+
   test("approx_percentile lands within the exact per-group quantile neighborhood") {
     val cust = Tables(spark, sf, "customer")
     val exact = cust.groupBy("c_nationkey")
