@@ -94,6 +94,47 @@ object Analytics {
         .select(col("user_id"), col("ts"), col("event_id"),
           sum(when(col("rn") === 1, 1).otherwise(0)).over(running)
             .cast("long").as("distinct_types_so_far"))
+    },
+
+    // X3: the LLM training-data prep pipeline end-to-end in ONE declared
+    // query — quality gate → exact dedup (keep lowest doc_id per text hash)
+    // → deterministic ~50% hash sample of the keepers → per-language corpus
+    // summary. The composition a data-curation run actually executes, not
+    // isolated operators. Scale shape: the gate and the sample predicate
+    // are map-side (no shuffle), dedup is ONE shuffle on the high-
+    // cardinality text hash, the final rollup shuffles a few rows by lang.
+    // Dedup groups by (lang, text-hash) rather than arg_min-ing lang per
+    // hash: n_tokens is text-derived (identical across copies), and keeping
+    // lang IN the group key keeps every aggregation buffer numeric — the
+    // whole pipeline stays in HashAggregate (min_by over a string column
+    // would demote the dedup to SortAggregate with per-partition sorts).
+    QueryDef("x3_corpus_prep",
+      """WITH gated AS (
+        |  SELECT doc_id, lang, text,
+        |         len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 8),
+        |dedup AS (
+        |  SELECT lang, min(doc_id) AS keeper, min(n_tokens) AS n_tokens
+        |  FROM gated GROUP BY lang, md5(text)),
+        |sampled AS (
+        |  SELECT * FROM dedup WHERE md5(CAST(keeper AS VARCHAR)) < '80')
+        |SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |       CAST(sum(keeper) AS BIGINT) AS keeper_sum
+        |FROM sampled GROUP BY lang""".stripMargin) { (s, d) =>
+      val nTok = size(split(col("text"), " "))
+      Tables(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("text"), nTok.as("n_tokens"))
+        .filter(col("n_tokens") >= 8)
+        .groupBy(col("lang"), md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keeper"),
+          min(col("n_tokens")).as("n_tokens"))
+        .filter(md5(col("keeper").cast("string")) < "80")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("keeper")).as("keeper_sum"))
     }
   )
 }

@@ -185,4 +185,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"as-of fell back to a pair-explosion join:\n$p")
   }
+
+  test("x3 corpus-prep pipeline: pruned scan, gate+sample map-side, two shuffles") {
+    val p = plan("x3_corpus_prep")
+    // scan reads only the pipeline's columns
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("n_chars") && !readSchema.contains("source"),
+      s"scan reads pruned columns: $readSchema")
+    // exactly two shuffle boundaries: dedup-by-hash and the per-lang rollup
+    assert("Exchange".r.findAllIn(p).size == 2, s"x3: expected 2 exchanges:\n$p")
+    // partial aggregation on both shuffles
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"x3: expected partial+final HashAggregate pairs:\n$p")
+  }
+
+  test("s12 tfrecord aggregate prunes the text-free read down to three features") {
+    val p = plan("s12_tfrecord_roundtrip")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && !readSchema.contains("text"),
+      s"tfrecord scan not pruned: $readSchema")
+  }
 }
