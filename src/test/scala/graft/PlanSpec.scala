@@ -205,4 +205,13 @@ class PlanSpec extends AnyFunSuite {
     assert(readSchema.contains("doc_id") && !readSchema.contains("text"),
       s"tfrecord scan not pruned: $readSchema")
   }
+
+  test("loaded IVF index probe dynamically prunes to the routed cells' partitions") {
+    // the persisted layout's payoff: the corpus scan carries a dynamic
+    // partition filter on `cell` fed by the broadcast routing side, so only
+    // routed cells' files are read (sim_ivf_ann uses the same path)
+    val p = plan("sim_ivf_ann")
+    assert(p.contains("dynamicpruning"),
+      s"probe scan reads all cells (no dynamic partition pruning):\n$p")
+  }
 }
