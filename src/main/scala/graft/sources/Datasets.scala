@@ -43,14 +43,20 @@ object Datasets {
       .sorted
   }
 
+  /** Rank's slice of a sorted file list: `fileIndex % worldSize == rank`.
+    * Pure — usable executor-side inside a gang task (where launching Spark
+    * jobs is off-limits), with the listing shipped from the driver. */
+  def shardFiles(files: Seq[String], rank: Int, worldSize: Int): Seq[String] = {
+    require(worldSize >= 1 && rank >= 0 && rank < worldSize,
+      s"rank $rank outside [0, $worldSize)")
+    files.zipWithIndex.collect { case (f, i) if i % worldSize == rank => f }
+  }
+
   /** Worker `rank`'s shard of the dataset: data files where
     * `fileIndex % worldSize == rank`. Shards are disjoint and cover the
     * directory; only the shard's files are ever opened. */
   def readShard(spark: SparkSession, dir: String, rank: Int, worldSize: Int): DataFrame = {
-    require(worldSize >= 1 && rank >= 0 && rank < worldSize,
-      s"rank $rank outside [0, $worldSize)")
-    val mine = dataFiles(spark, dir).zipWithIndex
-      .collect { case (f, i) if i % worldSize == rank => f }
+    val mine = shardFiles(dataFiles(spark, dir), rank, worldSize)
     if (mine.isEmpty) spark.read.parquet(dir).limit(0)
     else spark.read.parquet(mine: _*)
   }

@@ -47,7 +47,9 @@ import TfRecordFormat._
   * array<string>/array<binary>. A feature absent from a record reads NULL.
   *
   * Options: `verifyCrc` (default true) — validate the per-record CRC32C;
-  * `inferLimit` (default 100) — records sampled for schema inference.
+  * `inferLimit` (default 100) — records sampled for schema inference;
+  * `compression` (write; `gzip` or `none`, default none) — gzip'd shards
+  * are named `*.tfrecord.gz` and decompress transparently on read.
   */
 class TfRecordSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "tfrecord"
@@ -85,6 +87,13 @@ object TfRecordTable {
       .sorted
   }
 
+  /** Gzip-compressed shards (`*.tfrecord.gz` — the common feature-store
+    * layout) decompress transparently on read; detection is by extension,
+    * matching TensorFlow's own reader option semantics. A gzip stream is
+    * not splittable, but TFRecord files are one-partition-per-file anyway. */
+  private[sources] def maybeGunzip(file: String, raw: java.io.InputStream): java.io.InputStream =
+    if (file.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw, 1 << 16) else raw
+
   /** Schema inference: sample the first records of the first file. A feature
     * whose list ever carries more than one value infers as an array; bytes
     * infer as string (the common Example usage; pass an explicit schema for
@@ -93,8 +102,8 @@ object TfRecordTable {
     require(files.nonEmpty, "cannot infer TFRecord schema: no input files")
     val conf = hadoopConf
     val path = new Path(files.head)
-    val in = new java.io.DataInputStream(
-      new java.io.BufferedInputStream(path.getFileSystem(conf).open(path), 1 << 16))
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      maybeGunzip(files.head, path.getFileSystem(conf).open(path)), 1 << 16))
     val seen = scala.collection.mutable.LinkedHashMap.empty[String, (DataType, Boolean)]
     try {
       var n = 0
@@ -176,8 +185,8 @@ final class TfRecordReaderFactory(schema: StructType,
 final class TfRecordPartitionReader(file: String, schema: StructType,
     conf: Configuration, verifyCrc: Boolean) extends PartitionReader[InternalRow] {
   private val path = new Path(file)
-  private val in = new java.io.DataInputStream(
-    new java.io.BufferedInputStream(path.getFileSystem(conf).open(path), 1 << 16))
+  private val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+    TfRecordTable.maybeGunzip(file, path.getFileSystem(conf).open(path)), 1 << 16))
   private val wanted = schema.fieldNames.toSet
   private var current: InternalRow = _
 
@@ -236,15 +245,16 @@ final class TfRecordWrite(info: LogicalWriteInfo, truncateFirst: Boolean) extend
     if (truncateFirst && fs.exists(dir))
       fs.listStatus(dir).foreach(st => fs.delete(st.getPath, true))
     fs.mkdirs(dir)
+    val gzip = "gzip".equalsIgnoreCase(info.options.getOrDefault("compression", "none"))
     new TfRecordBatchWrite(dir.toString, info.queryId(), info.schema(),
-      new SerializableConfiguration(conf))
+      new SerializableConfiguration(conf), gzip)
   }
 }
 
 final class TfRecordBatchWrite(dir: String, queryId: String, schema: StructType,
-    conf: SerializableConfiguration) extends BatchWrite {
+    conf: SerializableConfiguration, gzip: Boolean) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new TfRecordWriterFactory(dir, queryId, schema, conf)
+    new TfRecordWriterFactory(dir, queryId, schema, conf, gzip)
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
@@ -252,18 +262,20 @@ final class TfRecordBatchWrite(dir: String, queryId: String, schema: StructType,
 final case class TfRecordCommit(file: String) extends WriterCommitMessage
 
 final class TfRecordWriterFactory(dir: String, queryId: String, schema: StructType,
-    conf: SerializableConfiguration) extends DataWriterFactory {
+    conf: SerializableConfiguration, gzip: Boolean) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new TfRecordDataWriter(
-      new Path(dir, f"part-$partitionId%05d-$taskId-$queryId.tfrecord"),
-      schema, conf.value)
+      new Path(dir,
+        f"part-$partitionId%05d-$taskId-$queryId.tfrecord" + (if (gzip) ".gz" else "")),
+      schema, conf.value, gzip)
 }
 
-final class TfRecordDataWriter(file: Path, schema: StructType, conf: Configuration)
-    extends DataWriter[InternalRow] {
+final class TfRecordDataWriter(file: Path, schema: StructType, conf: Configuration,
+    gzip: Boolean) extends DataWriter[InternalRow] {
   private val fs = file.getFileSystem(conf)
-  private val out = new java.io.DataOutputStream(
-    new java.io.BufferedOutputStream(fs.create(file, true), 1 << 16))
+  private val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+    if (gzip) new java.util.zip.GZIPOutputStream(fs.create(file, true), 1 << 16)
+    else fs.create(file, true), 1 << 16))
 
   override def write(row: InternalRow): Unit = {
     val features = schema.fields.iterator.zipWithIndex.flatMap { case (field, i) =>

@@ -146,6 +146,23 @@ class TfRecordSpec extends AnyFunSuite {
     assert(s.read.format("tfrecord").schema("id BIGINT").load(dir).count() === 5)
   }
 
+  test("gzip shards round-trip: .tfrecord.gz named, transparently decompressed") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("gzip")
+    (1L to 200L).map(i => (i, s"doc-$i")).toDF("id", "name").repartition(3)
+      .write.mode("overwrite").option("compression", "gzip")
+      .format("tfrecord").save(dir)
+    val files = Files.list(Paths.get(dir)).toArray.map(_.toString)
+    assert(files.count(_.endsWith(".tfrecord.gz")) === 3, files.mkString(", "))
+    // explicit-schema read and inference both see through the compression
+    val back = s.read.format("tfrecord").schema("id BIGINT, name STRING").load(dir)
+    assert(back.count() === 200)
+    assert(back.agg(sum("id")).collect().head.getLong(0) === 20100L)
+    assert(s.read.format("tfrecord").load(dir).schema.fieldNames.toSeq
+      === Seq("id", "name"))
+  }
+
   test("a torn shard fails the read loudly instead of truncating the dataset") {
     val s = spark
     import s.implicits._
