@@ -65,11 +65,14 @@ object Graft {
   def gang(spark: SparkSession, config: DistributedConfig)(fn: Gang.GangTrainFn): Gang.GangResult = {
     val r = Gang.run(spark, config.worldSize, config.params, fn)
     config.logDir.foreach { d =>
+      // NaN/Infinity are not JSON — a diverged train fn must not corrupt
+      // the experiment record
+      def num(v: Double): String = if (java.lang.Double.isFinite(v)) v.toString else "null"
       val workers = r.workers
-        .map(w => s"""{"rank": ${w.rank}, "metric": ${w.metric}}""")
+        .map(w => s"""{"rank": ${w.rank}, "metric": ${num(w.metric)}}""")
         .mkString("[", ", ", "]")
       val json = s"""{"name": ${HV.S(config.name).jsonRender}, """ +
-        s""""world_size": ${config.worldSize}, "avg_metric": ${r.mean}, """ +
+        s""""world_size": ${config.worldSize}, "avg_metric": ${num(r.mean)}, """ +
         s""""duration_ms": ${r.durationMs}, "workers": $workers}"""
       val dir = java.nio.file.Paths.get(d)
       java.nio.file.Files.createDirectories(dir)

@@ -1,7 +1,7 @@
 package graft.exec
 
 import java.io.{DataInputStream, DataOutputStream}
-import java.net.{InetAddress, ServerSocket, Socket}
+import java.net.{ServerSocket, Socket}
 
 import graft.core.HV
 import org.apache.spark.BarrierTaskContext
@@ -81,8 +81,11 @@ object Gang {
       if (worldSize == 1) value
       else if (rank == 0) {
         val ss = server.get
-        val socks = IndexedSeq.fill(worldSize - 1)(ss.accept())
+        val socks = scala.collection.mutable.ArrayBuffer.empty[Socket]
         try {
+          // accept INSIDE the try: an accept timeout (a dead worker) must
+          // still close the sockets already accepted this round
+          (1 until worldSize).foreach(_ => socks += ss.accept())
           val total = value + socks.map { s =>
             new DataInputStream(s.getInputStream).readDouble()
           }.sum
@@ -133,23 +136,31 @@ object Gang {
         val tc = BarrierTaskContext.get()
         val rank = tc.partitionId()
         // rank 0 binds its all-reduce endpoint BEFORE the gather so every
-        // peer that learns the address finds it listening (no connect race)
+        // peer that learns the address finds it listening (no connect race);
+        // backlog sized to the world so a 1000-worker SYN burst isn't
+        // dropped by the JDK default of 50
         val server =
           if (rank == 0) Some {
-            val ss = new ServerSocket(0)
+            val ss = new ServerSocket(0, math.max(50, worldSize))
             ss.setSoTimeout(120000)
             ss
           } else None
         try {
-          val host = InetAddress.getLocalHost.getHostAddress
+          // the executor's ADVERTISED host, not InetAddress.getLocalHost —
+          // /etc/hosts commonly maps the hostname to 127.0.x.x, which would
+          // make every remote peer dial itself. Spark already solved host
+          // resolution for its own block transfers; reuse its answer.
+          val host = org.apache.spark.SparkEnv.get.blockManager.blockManagerId.host
           val startNs = System.nanoTime()
           // THE rendezvous: publish address, block until all workers arrive
           val peers = tc
             .allGather(s"$host:${server.fold(0)(_.getLocalPort)}")
             .toIndexedSeq
           val gatherNs = System.nanoTime()
-          val Array(mh, mp) = peers.head.split(":")
-          val env = GangEnv(mh, mp.toInt, worldSize, rank)
+          // split on the LAST colon: IPv6 literals contain colons themselves
+          val cut = peers.head.lastIndexOf(':')
+          val env = GangEnv(peers.head.substring(0, cut),
+            peers.head.substring(cut + 1).toInt, worldSize, rank)
           val ctx = new GangContext(rank, worldSize, env, peers, params, tc, server)
           val metric = fn(ctx)
           tc.barrier() // all-up completion before FINAL (dist.barrier analog)

@@ -112,7 +112,12 @@ object IvfIndex {
   def annSearchCached(cacheKey: String, probes: DataFrame, corpus: DataFrame,
       k: Int, nClusters: Int, nProbe: Int): DataFrame = {
     val index = indexCache.getOrElseUpdate((cacheKey, nClusters), {
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_ivf_${math.abs(cacheKey.hashCode)}_$nClusters"
+      // md5 of the key, not hashCode: distinct corpora must never collide
+      // on the same on-disk path (overwrite would corrupt the other's
+      // cached, still-lazily-scanned index)
+      val keyHex = java.security.MessageDigest.getInstance("MD5")
+        .digest(cacheKey.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_ivf_${keyHex}_$nClusters"
       val built = build(corpus, nClusters)
       save(built, dir)
       built.unpersist()

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Dataset-layout plumbing for training-data directories.
@@ -29,17 +29,26 @@ object Datasets {
     path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
   }
 
-  /** The sorted data files of a parquet/petastorm directory (summary and
-    * hidden files excluded). Sorted so the rank→files assignment is
-    * deterministic across listings. */
+  /** Recursively list the data files under `status` (summary/hidden files
+    * and directories — `_`/`.`-prefixed — excluded). Shared by the shard
+    * reader and the TFRecord source so listing semantics can't diverge. */
+  private[sources] def listDataFiles(fs: FileSystem, status: FileStatus): Seq[FileStatus] = {
+    val name = status.getPath.getName
+    if (name.startsWith("_") || name.startsWith(".")) Seq.empty
+    else if (status.isFile) Seq(status)
+    else fs.listStatus(status.getPath).toSeq.flatMap(listDataFiles(fs, _))
+  }
+
+  /** The sorted data files of a parquet/petastorm directory, recursing into
+    * partition subdirectories (a `partitionBy` layout is directories all the
+    * way down — a flat listing would shard it to zero files). Sorted so the
+    * rank→files assignment is deterministic across listings. */
   def dataFiles(spark: SparkSession, dir: String): Seq[String] = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.listStatus(path).toSeq
-      .filter(_.isFile)
-      .map(_.getPath)
-      .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
-      .map(_.toString)
+      .flatMap(listDataFiles(fs, _))
+      .map(_.getPath.toString)
       .sorted
   }
 
@@ -57,7 +66,9 @@ object Datasets {
     * directory; only the shard's files are ever opened. */
   def readShard(spark: SparkSession, dir: String, rank: Int, worldSize: Int): DataFrame = {
     val mine = shardFiles(dataFiles(spark, dir), rank, worldSize)
-    if (mine.isEmpty) spark.read.parquet(dir).limit(0)
-    else spark.read.parquet(mine: _*)
+    // basePath keeps partition-directory columns (cell=…/) in the schema
+    // when reading an explicit leaf-file list from a partitionBy layout
+    if (mine.isEmpty) spark.read.option("basePath", dir).parquet(dir).limit(0)
+    else spark.read.option("basePath", dir).parquet(mine: _*)
   }
 }

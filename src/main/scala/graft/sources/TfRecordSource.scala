@@ -68,8 +68,9 @@ object TfRecordTable {
   private def hadoopConf: Configuration =
     SparkSession.active.sparkContext.hadoopConfiguration
 
-  /** Expand the path option to concrete data files (glob → dirs → files,
-    * hidden/underscore files skipped — the parquet convention). */
+  /** Expand the path option to concrete data files (glob → recursive dir
+    * walk → files, hidden/underscore entries skipped — the parquet
+    * convention; listing semantics shared with [[Datasets.listDataFiles]]). */
   def paths(options: CaseInsensitiveStringMap): Seq[String] = {
     val raw = Option(options.get("path")).toSeq ++
       Option(options.get("paths")).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
@@ -78,13 +79,12 @@ object TfRecordTable {
     raw.flatMap { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
-      val matched = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty)
-      matched.flatMap { st =>
-        if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile) else Seq(st)
-      }
-    }.map(_.getPath.toString)
-      .filterNot { p => val n = new Path(p).getName; n.startsWith("_") || n.startsWith(".") }
-      .sorted
+      Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty)
+        .flatMap { st => // the root the user pointed at is never skipped
+          if (st.isFile) Seq(st)
+          else fs.listStatus(st.getPath).toSeq.flatMap(Datasets.listDataFiles(fs, _))
+        }
+    }.map(_.getPath.toString).sorted
   }
 
   /** Gzip-compressed shards (`*.tfrecord.gz` — the common feature-store

@@ -59,6 +59,24 @@ class DatasetsSpec extends AnyFunSuite {
     assert(Datasets.readShard(spark, dir, 0, world).inputFiles.length <= 3)
   }
 
+  test("partitionBy layouts: listing recurses, shards cover, partition column survives") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_ds_part").toString
+    (1L to 300L).map(i => (i, (i % 3).toString)).toDF("id", "p")
+      .repartition(4).write.mode("overwrite").partitionBy("p").parquet(dir)
+    val files = Datasets.dataFiles(spark, dir)
+    assert(files.nonEmpty, "flat listing would see only partition directories")
+    assert(files.forall(_.contains("/p=")), files.take(3).mkString(", "))
+    val world = 2
+    val shards = (0 until world).map(r => Datasets.readShard(spark, dir, r, world))
+    // partition column readable from a leaf-file shard (basePath)
+    assert(shards.head.columns.toSeq.contains("p"))
+    val ids = shards.map(_.select("id").collect().map(_.getLong(0)).toSet)
+    assert((ids(0) & ids(1)).isEmpty)
+    assert((ids(0) ++ ids(1)) === (1L to 300L).toSet)
+  }
+
   test("a world larger than the file count still covers without failing") {
     val dir = writeDataset("small", 2)
     val world = 5
