@@ -73,12 +73,40 @@ object Bench {
         }
         name -> (System.nanoTime() - t0) / 1e9
       }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jnum(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + jnum(v) }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1)).getOrElse("0")
+    // Full per-query map: one line for log readers, plus a file for offline
+    // analysis. This line is ~3.4 KB — LONGER than the 2000-char tail window
+    // the driver keeps, so it must NOT be the line the driver parses.
+    val full = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":$sfNum,"sf_dir":"$sfDir"}"""
+    println(full)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_full.json"),
+      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => }
+    // Headline JSON line, printed LAST: a representative cross-section of
+    // the suite, sized (~700 chars) to survive the driver's 2000-char tail
+    // intact so it parses. Full suite numbers: line above + bench_full.json.
+    val headline = Seq(
+      "x2_local_supplier_volume", "x3_corpus_prep", "a1_groupby_agg",
+      "j2_join_shuffle", "j3_star_join", "w1_topk_per_group", "o1_sort_limit",
+      "d1_exact_dedup", "d4_ngram_jaccard", "d6_neardup_groups",
+      "d7_contamination", "j9_knn_cosine", "sim_ivf_ann", "t4_fingerprint",
+      "st_stream_tumbling", "s12_tfrecord_roundtrip")
+    val hq = headline.flatMap(k => results.get(k).map(v => s"\"" + k + "\":" + jnum(v)))
+      .mkString("{", ",", "}")
+    // errors must stay visible in the parsed line (a broken operator must
+    // look broken), but bounded so a cascade can't blow the tail window
+    val he = errors.take(3)
+      .map { case (k, v) => s"\"" + k + "\":\"" + v.take(60) + "\"" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"queries":$hq,"errors":$he,"sf":$sfNum}""")
     graft.llm.Dedup.releaseCaches()
     spark.stop()
   }
