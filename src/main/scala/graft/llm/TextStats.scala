@@ -196,6 +196,75 @@ object TextStats {
         regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), "  +", " "))
       Tables(s, d, "documents").select(
         col("doc_id"), md5(clean).as("clean_hash"), length(clean).as("clean_len"))
+    },
+
+    // Sequence packing: concat-and-chunk documents into fixed token-budget
+    // bins (the GPT-style pretraining batch layout). Docs are ordered
+    // deterministically (doc_id) inside (source, shard) and a doc's bin is
+    // where its exclusive running token offset lands; a doc straddling a
+    // boundary belongs to the bin its first token falls in, so bins can
+    // overflow by at most one document — exactly concat-then-chunk
+    // semantics. 100 TB note: a single running sum per source would
+    // serialize each source into one partition; the shard key (doc_id % 4
+    // here; hash-bucket count sized to corpus/partition-target in
+    // deployment) bounds every window partition while leaving bin quality
+    // unchanged — packing loses nothing by being computed per shard.
+    QueryDef("t9_pack_sequences",
+      """WITH t AS (
+        |  SELECT source, doc_id % 4 AS shard, doc_id,
+        |         len(string_split(text,' ')) AS tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, shard, doc_id, tok,
+        |         coalesce(sum(tok) OVER (PARTITION BY source, shard ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM t)
+        |SELECT source, shard, off // 512 AS bin_id,
+        |       count(*) AS n_docs, sum(tok) AS bin_tokens
+        |FROM c GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("source", "shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables(s, d, "documents")
+        .select(col("source"), (col("doc_id") % 4).as("shard"),
+          col("doc_id"), size(toks).cast("long").as("tok"))
+        .withColumn("off", coalesce(sum(col("tok")).over(w), lit(0L)))
+        .withColumn("bin_id", expr("off div 512"))
+        .groupBy("source", "shard", "bin_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("bin_tokens"))
+    },
+
+    // Gopher-style intra-document repetition features: top-bigram fraction
+    // and duplicate-bigram fraction, plus the keep decision pipelines
+    // threshold on (published rule: drop when the top 2-gram exceeds a
+    // fixed share; threshold here is 0.05 so both outcomes occur on the
+    // synthetic corpus). The shuffle carries (doc_id, bigram) pairs — the
+    // same explode-group shape as t3 — and the per-doc reduction is a
+    // plain hash aggregate; no all-pairs or per-doc sort anywhere.
+    QueryDef("t10_repetition",
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents
+        |           WHERE len(string_split(text,' ')) >= 2),
+        |b AS (
+        |  SELECT doc_id, bg FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+        |                          i -> ts[i] || ' ' || ts[i+1])) AS bg
+        |    FROM t)),
+        |g AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2)
+        |SELECT doc_id, sum(c) AS n_bigrams,
+        |       round(CAST(max(c) AS DOUBLE)/sum(c), 6) AS top_bigram_frac,
+        |       round(1.0 - CAST(count(*) AS DOUBLE)/sum(c), 6) AS dup_bigram_frac,
+        |       (CAST(max(c) AS DOUBLE)/sum(c) < 0.05) AS keep
+        |FROM g GROUP BY doc_id""".stripMargin) { (s, d) =>
+      val bigrams = transform(
+        sequence(lit(0), size(toks) - 2),
+        i => concat(element_at(toks, i + 1), lit(" "), element_at(toks, i + 2)))
+      val g = Tables(s, d, "documents").filter(size(toks) >= 2)
+        .select(col("doc_id"), explode(bigrams).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      g.groupBy("doc_id").agg(
+        sum(col("c")).as("n_bigrams"),
+        round(max(col("c")).cast("double") / sum(col("c")), 6).as("top_bigram_frac"),
+        round(lit(1.0) - count(lit(1)).cast("double") / sum(col("c")), 6).as("dup_bigram_frac"),
+        (max(col("c")).cast("double") / sum(col("c")) < 0.05).as("keep"))
     }
   )
 }

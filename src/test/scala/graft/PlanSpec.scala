@@ -214,4 +214,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("dynamicpruning"),
       s"probe scan reads all cells (no dynamic partition pruning):\n$p")
   }
+
+  test("t9 sequence packing: the bin rollup reuses the window's (source,shard) partitioning") {
+    val p = plan("t9_pack_sequences")
+    // one exchange total — the running-sum window shuffles on (source,shard)
+    // and the groupBy(source,shard,bin_id) is satisfied by that partitioning
+    assert("Exchange".r.findAllIn(p).size == 1, s"t9: expected 1 exchange:\n$p")
+    assert(p.contains("Window"), s"t9: running token offset lost its window:\n$p")
+  }
+
+  test("t10 repetition combines bigram counts map-side (skew-robust on repetitive docs)") {
+    val p = plan("t10_repetition")
+    // partial+final HashAggregate on BOTH aggs: a pathologically repetitive
+    // doc (the very thing this filter hunts) collapses to one row per
+    // distinct bigram before the shuffle instead of flooding one reducer
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"t10: expected partial+final pairs on both aggs:\n$p")
+    assert(!p.contains("Window"), s"t10: regressed to a window plan:\n$p")
+  }
 }
