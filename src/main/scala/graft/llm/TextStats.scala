@@ -219,8 +219,8 @@ object TextStats {
         |         coalesce(sum(tok) OVER (PARTITION BY source, shard ORDER BY doc_id
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
         |  FROM t)
-        |SELECT source, shard, off // 512 AS bin_id,
-        |       count(*) AS n_docs, sum(tok) AS bin_tokens
+        |SELECT source, shard, CAST(off // 512 AS BIGINT) AS bin_id,
+        |       count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS bin_tokens
         |FROM c GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
       val w = Window.partitionBy("source", "shard").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -249,16 +249,29 @@ object TextStats {
         |                          i -> ts[i] || ' ' || ts[i+1])) AS bg
         |    FROM t)),
         |g AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2)
-        |SELECT doc_id, sum(c) AS n_bigrams,
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
         |       round(CAST(max(c) AS DOUBLE)/sum(c), 6) AS top_bigram_frac,
         |       round(1.0 - CAST(count(*) AS DOUBLE)/sum(c), 6) AS dup_bigram_frac,
         |       (CAST(max(c) AS DOUBLE)/sum(c) < 0.05) AS keep
         |FROM g GROUP BY doc_id""".stripMargin) { (s, d) =>
-      val bigrams = transform(
-        sequence(lit(0), size(toks) - 2),
-        i => concat(element_at(toks, i + 1), lit(" "), element_at(toks, i + 2)))
+      // Stage the token array, then the bigram array, each as its own
+      // projection, and explode only a bound column: Generate evaluates
+      // complex generators interpreted, and an inlined `split()` inside the
+      // lambda would re-run per element (O(tokens²) per doc — the pathology
+      // round 4 fixed in Dedup.sharedTokens). CollapseProject keeps the
+      // stages separate because `ts` is referenced more than once.
+      // explode_outer, not explode: InferFiltersFromGenerate would add a
+      // `size(bgs) > 0` filter and push it below the projections, re-inlining
+      // the whole split-per-element tree into the scan filter; the outer
+      // variant is skipped by that rule, and `size(toks) >= 2` already
+      // guarantees a non-empty non-null bigram array, so results are equal.
       val g = Tables(s, d, "documents").filter(size(toks) >= 2)
-        .select(col("doc_id"), explode(bigrams).as("bg"))
+        .select(col("doc_id"), toks.as("ts"))
+        .select(col("doc_id"),
+          transform(sequence(lit(0), size(col("ts")) - 2), i =>
+            concat(element_at(col("ts"), i + 1), lit(" "),
+              element_at(col("ts"), i + 2))).as("bgs"))
+        .select(col("doc_id"), explode_outer(col("bgs")).as("bg"))
         .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
       g.groupBy("doc_id").agg(
         sum(col("c")).as("n_bigrams"),
