@@ -61,19 +61,28 @@ object Bench {
     // for the one-line JSON) rather than swallowed — a broken operator must
     // look broken, not fast
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, _) =>
-        val t0 = System.nanoTime()
-        try materialize(name) catch {
-          case e: Throwable =>
-            val msg = e.getClass.getSimpleName + ": " +
-              Option(e.getMessage).getOrElse("")
-            errors(name) = msg.replaceAll("""["\\\n\r\t]""", " ").take(200)
-        }
-        name -> (System.nanoTime() - t0) / 1e9
-      }
-    def jnum(v: Double): String = f"$v%.3f"
+    // iterate allEntries in DECLARATION order, not the unordered queries
+    // HashMap: map iteration reshuffles whenever the key set changes, which
+    // moved one-time costs (caches, JIT) between named lines round-over-round
+    // and made per-query numbers incomparable
+    val results: scala.collection.immutable.ListMap[String, Double] =
+      scala.collection.immutable.ListMap.from(
+        SparkEntry.allEntries.map(_.name)
+          .filter(name => only.forall(_.contains(name)))
+          .map { name =>
+            val t0 = System.nanoTime()
+            try materialize(name) catch {
+              case e: Throwable =>
+                val msg = e.getClass.getSimpleName + ": " +
+                  Option(e.getMessage).getOrElse("")
+                errors(name) = msg.replaceAll("""["\\\n\r\t]""", " ").take(200)
+            }
+            name -> (System.nanoTime() - t0) / 1e9
+          })
+    // Locale.ROOT: the f interpolator uses the JVM default locale, so a
+    // comma-decimal locale would emit 0,468 and break the driver's JSON parse
+    def jnum(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + jnum(v) }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
@@ -96,7 +105,7 @@ object Bench {
     val headline = Seq(
       "x2_local_supplier_volume", "x3_corpus_prep", "a1_groupby_agg",
       "j2_join_shuffle", "j3_star_join", "w1_topk_per_group", "o1_sort_limit",
-      "d1_exact_dedup", "d4_ngram_jaccard", "d6_neardup_groups",
+      "d0_cache_build", "d1_exact_dedup", "d4_ngram_jaccard", "d6_neardup_groups",
       "d7_contamination", "j9_knn_cosine", "sim_ivf_ann", "t4_fingerprint",
       "st_stream_tumbling", "s12_tfrecord_roundtrip")
     val hq = headline.flatMap(k => results.get(k).map(v => s"\"" + k + "\":" + jnum(v)))

@@ -89,7 +89,7 @@ object Graft {
     }
     runExperiment(spark, optimizer, c.searchspace, c.numTrials, c.direction, esRule,
       c.esIntervalSteps, c.esMin, c.hbIntervalMs, c.seed, parallelism(spark, c.numTrials),
-      c.logDir)(trainFn)
+      c.logDir, c.logSink)(trainFn)
   }
 
   private def runAblation(spark: SparkSession, c: AblationConfig, trainFn: TrainFn): ExperimentResult = {
@@ -127,11 +127,13 @@ object Graft {
       hbIntervalMs: Long,
       seed: Long,
       numExecutors: Int,
-      logDir: Option[String] = None)(trainFn: TrainFn): ExperimentResult = {
+      logDir: Option[String] = None,
+      logSink: Option[(String, String) => Unit] = None)(trainFn: TrainFn): ExperimentResult = {
 
     val t0 = System.currentTimeMillis()
     optimizer.initialize(searchspace, numTrials, direction, seed)
-    val server = new DriverServer(optimizer, direction, esRule, esIntervalSteps, esMin, logDir)
+    val server = new DriverServer(optimizer, direction, esRule, esIntervalSteps, esMin, logDir,
+      logSink.getOrElse(DriverServer.consoleSink))
     server.start()
     try {
       val (host, port, secret) = (server.host, server.port, server.authSecret)

@@ -29,7 +29,11 @@ final case class HyperparameterOptConfig(
     hbIntervalMs: Long = 200,
     seed: Long = 42L,
     optimizerArgs: Map[String, Double] = Map.empty,
-    logDir: Option[String] = None) extends LagomConfig
+    logDir: Option[String] = None,
+    // live per-trial log relay: called on the driver as each executor
+    // train-fn log line arrives over the heartbeat channel; None = print
+    // to the driver console under a trial prefix (DriverServer.consoleSink)
+    logSink: Option[(String, String) => Unit] = None) extends LagomConfig
 
 final case class AblationConfig(
     study: graft.ablate.AblationStudy,

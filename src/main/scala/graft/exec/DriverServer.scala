@@ -27,7 +27,8 @@ final class DriverServer(
     esRule: EarlyStopRule,
     esIntervalSteps: Long = 1,
     esMin: Int = 10,
-    logDir: Option[String] = None) {
+    logDir: Option[String] = None,
+    logSink: (String, String) => Unit = DriverServer.consoleSink) {
 
   private val secret: String = {
     val bytes = new Array[Byte](16)
@@ -173,6 +174,11 @@ final class DriverServer(
     }
 
     case MsgType.Log =>
+      // live relay FIRST: a user watching a long experiment sees executor
+      // train-fn lines as they arrive on the heartbeat channel, under a
+      // trial prefix (reference: reporter.py:137-170 ships log lines per
+      // heartbeat; rpc.py:500-511 LOG path) — then the per-trial log file
+      logSink(msg("trial_id"), msg.getOrElse("text", ""))
       // per-trial log files (reference: trial_executor.py:137-142 log dirs)
       logDir.foreach { root =>
         val dir = java.nio.file.Paths.get(root, "trials")
@@ -209,4 +215,12 @@ final class DriverServer(
         }
       }
     }
+}
+
+object DriverServer {
+  /** Default live log relay: print each executor train-fn line on the
+    * driver console under its trial prefix as it arrives (the reference's
+    * executor-print experience, reporter.py:166-170, surfaced driver-side). */
+  val consoleSink: (String, String) => Unit =
+    (trialId, line) => Console.out.println(s"[$trialId] $line")
 }

@@ -51,6 +51,35 @@ object Gang {
       "RANK" -> rank.toString)
   }
 
+  /** One worker's TF cluster-spec task assignment. */
+  final case class TfTask(taskType: String, index: Int)
+
+  /** TF cluster role calc, mirroring the reference's TF_CONFIG construction
+    * (reference: maggy/core/executors/tf_dist_executor.py:129-144): rank 0
+    * is the chief; the LAST worker (highest rank, when the gang has one) is
+    * demoted to the dedicated evaluator; the remaining ranks are workers
+    * indexed from 0 in rank order. A MultiWorkerMirroredStrategy +
+    * sidecar-evaluation user gets the same role table the reference
+    * computes, without hand-rolling the demotion. */
+  def tfRole(rank: Int, worldSize: Int): TfTask = {
+    require(rank >= 0 && rank < worldSize, s"rank $rank outside world of $worldSize")
+    if (rank == 0) TfTask("chief", 0)
+    else if (rank == worldSize - 1) TfTask("evaluator", 0)
+    else TfTask("worker", rank - 1)
+  }
+
+  /** Cluster half of TF_CONFIG from the rendezvous'd peer addresses — the
+    * same demotion as [[tfRole]]: peers(0) chief, middle peers workers,
+    * last peer the evaluator. A 1-gang is chief-only; a 2-gang is
+    * chief + evaluator with an (explicit) empty worker list, exactly the
+    * post-`del` shape the reference leaves behind. */
+  def tfClusterSpec(peers: IndexedSeq[String]): Map[String, IndexedSeq[String]] =
+    if (peers.size == 1) Map("chief" -> peers)
+    else Map(
+      "chief" -> IndexedSeq(peers.head),
+      "worker" -> peers.slice(1, peers.size - 1),
+      "evaluator" -> IndexedSeq(peers.last))
+
   /** What one gang worker sees: identity, the full rendezvous'd address
     * list, typed hyperparameters, and collective primitives. */
   final class GangContext private[exec] (
@@ -65,6 +94,24 @@ object Gang {
     /** Global barrier — the `dist.barrier()` analog
       * (torch_dist_executor.py:175). */
     def barrier(): Unit = tc.barrier()
+
+    /** This worker's TF cluster role (chief / worker / evaluator) —
+      * see [[Gang.tfRole]]. */
+    def tfTask: TfTask = tfRole(rank, worldSize)
+
+    /** The TF_CONFIG env-var JSON for this worker, built from the
+      * rendezvous'd peers and [[tfTask]] — what the reference exports via
+      * `_setup_tf_config` (tf_dist_executor.py:146-148). Addresses are
+      * host:port strings (no JSON metacharacters), so plain quoting is
+      * sufficient. */
+    def tfConfigJson: String = {
+      def arr(xs: Seq[String]): String =
+        xs.map(x => "\"" + x + "\"").mkString("[", ",", "]")
+      val cluster = tfClusterSpec(peers)
+      val c = Seq("chief", "worker", "evaluator").filter(cluster.contains)
+        .map(k => "\"" + k + "\":" + arr(cluster(k))).mkString("{", ",", "}")
+      s"""{"cluster":$c,"task":{"type":"${tfTask.taskType}","index":${tfTask.index}}}"""
+    }
 
     /** Exchange one small string with every peer via the barrier
       * coordinator (control-plane metadata only — keep payloads tiny). */

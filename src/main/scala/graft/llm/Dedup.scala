@@ -20,6 +20,31 @@ object Dedup {
   private def tokens = split(col("text"), " ")
 
   val entries: Seq[QueryDef] = Seq(
+    // d0: explicit build step for the shared per-corpus caches (the
+    // localCheckpoint'ed shingle arrays + the threshold-independent scored
+    // pair table) that the whole dedup family reuses. Declared FIRST in the
+    // family so a declaration-ordered run charges the one-time build to this
+    // named line instead of whichever dedup query happens to run first — the
+    // sim_ivf_build precedent. Output (and oracle) is d4's pair count, so
+    // the build is still a fully oracle-checked query.
+    QueryDef("d0_cache_build",
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(
+        |           range(1, len(string_split(text,' ')) - 1),
+        |           i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS shingles
+        |  FROM documents
+        |  WHERE len(string_split(text,' ')) >= 3)
+        |SELECT count(*) AS n_pairs FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |               (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.1""".stripMargin) { (s, d) =>
+      exactNgramJaccardPairs(Tables(s, d, "documents"), 0.1)
+        .agg(count(lit(1)).as("n_pairs"))
+    },
+
     // Exact dedup: md5(text) as the group key; keeper = lowest doc_id.
     QueryDef("d1_exact_dedup",
       """SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keeper

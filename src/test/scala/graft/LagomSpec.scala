@@ -8,6 +8,13 @@ import graft.exec.{Gang, TrainFn, TrialContext}
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
+/** Static holder for cross-JVM-boundary-free markers: local-mode tasks
+  * deserialize their closures, so an instance field would be a copy — a
+  * static survives because the executor shares the JVM. */
+object LagomSpec {
+  @volatile var trainReturnNs: Long = 0L
+}
+
 /** End-to-end lagom experiments on local[2] (SURVEY §5.2.4): deterministic
   * train fns with analytically known optima; assertions are set-level
   * (async assignment is timing-dependent — SURVEY §7.4.4). */
@@ -268,6 +275,14 @@ class LagomSpec extends AnyFunSuite {
         require(ctx.env.asMap("RANK") == ctx.rank.toString)
         require(ctx.env.asMap("MASTER_ADDR") + ":" + ctx.env.asMap("MASTER_PORT")
           == ctx.peers.head)
+        // TF role contract inside a live gang: a 2-gang is chief + evaluator
+        // (the reference demotes the last worker), and TF_CONFIG carries the
+        // rendezvous'd addresses
+        val role = ctx.tfTask
+        require((ctx.rank == 0 && role == Gang.TfTask("chief", 0)) ||
+          (ctx.rank == 1 && role == Gang.TfTask("evaluator", 0)), role.toString)
+        require(ctx.tfConfigJson.contains("\"chief\":[\"" + ctx.peers.head + "\"]"),
+          ctx.tfConfigJson)
         val round1 = ctx.allReduceSum((ctx.rank + 1).toDouble) // 1+2 = 3
         val round2 = ctx.allReduceSum(round1) // 3+3 = 6: every worker agreed
         ctx.barrier()
@@ -329,5 +344,54 @@ class LagomSpec extends AnyFunSuite {
     // disjoint shards covering the dataset => the all-reduced total on every
     // worker is the full-corpus sum
     assert(res.workers.forall(_.metric == 500500.0), res.workers.toString)
+  }
+
+  test("train-fn log lines stream live to the driver before the trial finishes") {
+    // the reference relays executor print/log lines driver-side per
+    // heartbeat (reporter.py:137-170, rpc.py LOG path) — prove the line
+    // arrives at the driver WHILE the trial is still running, not with FINAL
+    val arrived = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, Long)]()
+    object ChattyFn extends TrainFn {
+      def apply(ctx: TrialContext): Double = {
+        ctx.reporter.log(s"epoch 0 of ${ctx.trialId}")
+        Thread.sleep(600) // several heartbeat intervals — the relay must win
+        LagomSpec.trainReturnNs = System.nanoTime()
+        1.0
+      }
+    }
+    LagomSpec.trainReturnNs = 0L
+    val res = Graft.lagom(spark, HyperparameterOptConfig(
+      numTrials = 1, optimizer = "randomsearch", searchspace = space,
+      direction = Direction.Max, esPolicy = "none", hbIntervalMs = 100,
+      logSink = Some((id, line) => arrived.add((id, line, System.nanoTime())))))(ChattyFn)
+    assert(res.numTrials == 1)
+    val lines = arrived.toArray(Array.empty[(String, String, Long)])
+    assert(lines.exists(_._2.startsWith("epoch 0 of ")), s"no relayed line: ${lines.toSeq}")
+    val firstArrival = lines.map(_._3).min
+    assert(LagomSpec.trainReturnNs > 0L)
+    assert(firstArrival < LagomSpec.trainReturnNs,
+      "log line reached the driver only after the train fn returned")
+  }
+
+  test("TF cluster roles mirror the reference's chief/worker/evaluator table") {
+    import Gang.{tfRole, tfClusterSpec, TfTask}
+    // reference demotion (tf_dist_executor.py:129-144): rank 0 chief, last
+    // worker becomes the evaluator, remaining ranks are workers from index 0
+    assert(tfRole(0, 1) == TfTask("chief", 0))
+    assert(tfRole(0, 2) == TfTask("chief", 0))
+    assert(tfRole(1, 2) == TfTask("evaluator", 0))
+    assert((0 until 4).map(tfRole(_, 4)) == Seq(
+      TfTask("chief", 0), TfTask("worker", 0), TfTask("worker", 1),
+      TfTask("evaluator", 0)))
+    assertThrows[IllegalArgumentException](tfRole(4, 4))
+    // cluster half: single node is chief-only; a 2-gang keeps the explicit
+    // empty worker list (the post-demotion shape the reference leaves)
+    assert(tfClusterSpec(IndexedSeq("a:1")) == Map("chief" -> IndexedSeq("a:1")))
+    assert(tfClusterSpec(IndexedSeq("a:1", "b:2")) == Map(
+      "chief" -> IndexedSeq("a:1"), "worker" -> IndexedSeq.empty,
+      "evaluator" -> IndexedSeq("b:2")))
+    assert(tfClusterSpec(IndexedSeq("a:1", "b:2", "c:3", "d:4")) == Map(
+      "chief" -> IndexedSeq("a:1"), "worker" -> IndexedSeq("b:2", "c:3"),
+      "evaluator" -> IndexedSeq("d:4")))
   }
 }
