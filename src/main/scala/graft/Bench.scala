@@ -37,6 +37,18 @@ object Bench {
       // RocksDB native library extraction+load (~several seconds, once per
       // JVM) otherwise lands on st_stream_tws
       try org.rocksdb.RocksDB.loadLibrary() catch { case _: Throwable => }
+      // sink-writer init (output committer, codec, writer JIT) is a one-time
+      // JVM cost — a 2-row write per format keeps it off the first timed
+      // sink query (s5 absorbed ~4 s of it otherwise)
+      {
+        import spark.implicits._
+        val tiny = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+        val warmDir = s"${sys.props("java.io.tmpdir")}/graft_bench_warm"
+        tiny.write.mode("overwrite").parquet(s"$warmDir/p")
+        spark.read.parquet(s"$warmDir/p").count()
+        tiny.write.mode("overwrite").orc(s"$warmDir/o")
+        tiny.write.mode("overwrite").json(s"$warmDir/j")
+      }
       // JIT/codegen warm for the hash/string-heavy dedup path on a 2000-doc
       // slice, run twice — first-evaluation JIT (~1s) otherwise lands on
       // whichever dedup query the map ordering runs first. The slice's plan

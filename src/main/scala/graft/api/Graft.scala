@@ -132,6 +132,11 @@ object Graft {
 
     val t0 = System.currentTimeMillis()
     optimizer.initialize(searchspace, numTrials, direction, seed)
+    // the hparams CONFIG is written before training starts, like the
+    // reference (_write_hparams_config runs at experiment setup), so a
+    // dashboard can render the table while trials stream in
+    if (searchspace.params.nonEmpty)
+      logDir.foreach(writeTbHparamsConfig(_, searchspace))
     val server = new DriverServer(optimizer, direction, esRule, esIntervalSteps, esMin, logDir,
       logSink.getOrElse(DriverServer.consoleSink))
     server.start()
@@ -196,6 +201,33 @@ object Graft {
     java.nio.file.Files.createDirectories(dir)
     java.nio.file.Files.writeString(dir.resolve("hparams.jsonl"),
       lines.mkString("", "\n", "\n"))
+  }
+
+  /** Persist the experiment-LEVEL hparams config as `<logDir>/tb_hparams.json`
+    * — the domain/metric declaration the reference writes through the
+    * TensorBoard hparams plugin before training starts
+    * (maggy/tensorboard.py:47-107: DOUBLE→RealInterval, INTEGER→IntInterval,
+    * DISCRETE/CATEGORICAL→Discrete, plus metric descriptors), rendered as
+    * plain JSON (no TF/TB dependency) so a dashboard can build the same
+    * hparams table; the per-trial records live in hparams.jsonl. */
+  private[graft] def writeTbHparamsConfig(logDir: String, space: Searchspace): Unit = {
+    import graft.core.HParam._
+    def js(s: String): String = HV.S(s).jsonRender
+    val hparams = space.params.map {
+      case DoubleParam(n, lo, hi) =>
+        s"""{"name": ${js(n)}, "type": "REAL_INTERVAL", "min": $lo, "max": $hi}"""
+      case IntParam(n, lo, hi) =>
+        s"""{"name": ${js(n)}, "type": "INT_INTERVAL", "min": $lo, "max": $hi}"""
+      case DiscreteParam(n, vs) =>
+        s"""{"name": ${js(n)}, "type": "DISCRETE", "values": [${vs.mkString(", ")}]}"""
+      case CategoricalParam(n, vs) =>
+        s"""{"name": ${js(n)}, "type": "DISCRETE", "values": [${vs.map(js).mkString(", ")}]}"""
+    }.mkString("[", ", ", "]")
+    val metrics = """[{"tag": "metric", "display_name": "objective"}]"""
+    val dir = java.nio.file.Paths.get(logDir)
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.writeString(dir.resolve("tb_hparams.json"),
+      s"""{"hparams": $hparams, "metrics": $metrics}""")
   }
 
   /** Persist the experiment summary as `<logDir>/result.json` (reference:

@@ -176,6 +176,13 @@ class LagomSpec extends AnyFunSuite {
     assert(hdf.columns.toSet == Set("trial_id", "hparams", "metric", "budget"))
     assert(hdf.select("trial_id").collect().map(_.getString(0)).toSet ==
       res.trials.map(_.trial_id).toSet)
+    // tb_hparams.json: the experiment-LEVEL domain config (reference
+    // tensorboard.py:47-107) — searchspace domains + metric descriptor
+    val tb = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(logDir, "tb_hparams.json"))
+    assert(tb.contains("\"name\": \"x\", \"type\": \"REAL_INTERVAL\", \"min\": 0.0, \"max\": 5.0"), tb)
+    assert(tb.contains("\"name\": \"y\", \"type\": \"REAL_INTERVAL\""), tb)
+    assert(tb.contains("\"metrics\": [{\"tag\": \"metric\""), tb)
   }
 
   test("throwing train fn marks its trial ERROR; experiment still completes") {
