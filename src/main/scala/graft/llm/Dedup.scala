@@ -185,6 +185,69 @@ object Dedup {
         .filter(col("n_shared") >= 2)
     },
 
+    // d8: INCREMENTAL dedup — a new crawl batch deduped against the EXISTING
+    // corpus, the operator a production ingestion pipeline runs on every
+    // shard (dedup-before-append), not the all-pairs pass. Batch stands in
+    // as doc_id % 7 = 0. Per batch doc: dup_exact (md5 matches any corpus
+    // doc), dup_near (3-shingle jaccard ≥ 0.8 with any corpus doc — from
+    // the shared posting join, restricted to batch×corpus pairs), and the
+    // keep decision. 100 TB shape: the corpus side is a PERSISTED
+    // fingerprint store — a hash-bucketed table of (md5, shingle postings)
+    // like IvfIndex's saved layout — so the exact check is a bucket-
+    // co-located join on 32-byte keys and the batch never rescans corpus
+    // text; here the store is derived in-query because testdata is one
+    // table. Anti-join keep-list + posting-join near check both reuse the
+    // d0-built caches.
+    QueryDef("d8_incremental_dedup",
+      """WITH ex AS (
+        |  SELECT DISTINCT b.doc_id
+        |  FROM documents b JOIN documents c
+        |    ON b.doc_id % 7 = 0 AND c.doc_id % 7 <> 0 AND md5(b.text) = md5(c.text)),
+        |sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(
+        |           range(1, len(string_split(text,' ')) - 1),
+        |           i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS shingles
+        |  FROM documents
+        |  WHERE len(string_split(text,' ')) >= 3),
+        |near AS (
+        |  SELECT DISTINCT b.doc_id
+        |  FROM sh b JOIN sh c ON b.doc_id % 7 = 0 AND c.doc_id % 7 <> 0
+        |  WHERE CAST(len(list_intersect(b.shingles, c.shingles)) AS DOUBLE) /
+        |        (len(b.shingles) + len(c.shingles) - len(list_intersect(b.shingles, c.shingles))) >= 0.8)
+        |SELECT doc_id,
+        |       doc_id IN (SELECT doc_id FROM ex) AS dup_exact,
+        |       doc_id IN (SELECT doc_id FROM near) AS dup_near,
+        |       NOT (doc_id IN (SELECT doc_id FROM ex)
+        |            OR doc_id IN (SELECT doc_id FROM near)) AS keep
+        |FROM documents WHERE doc_id % 7 = 0""".stripMargin) { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      val isBatch = col("doc_id") % 7 === 0
+      // exact: 32-byte keys only cross the wire — never text
+      val corpusHashes = docs.filter(!isBatch)
+        .select(md5(col("text")).as("h")).distinct()
+      val exactDup = docs.filter(isBatch)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .join(corpusHashes, Seq("h"), "left_semi")
+        .select(col("doc_id"), lit(true).as("dup_exact"))
+      // near: the shared threshold-independent pair table, restricted to
+      // cross-side pairs (doc_a < doc_b covers both orientations)
+      val pairs = sharedScoredPairs(docs).filter(col("jaccard") >= 0.8)
+      val nearDup = pairs
+        .select(col("doc_a").as("doc_id"), col("doc_b").as("other"))
+        .union(pairs.select(col("doc_b").as("doc_id"), col("doc_a").as("other")))
+        .filter(col("doc_id") % 7 === 0 && col("other") % 7 =!= 0)
+        .select("doc_id").distinct()
+        .select(col("doc_id"), lit(true).as("dup_near"))
+      docs.filter(isBatch).select("doc_id")
+        .join(exactDup, Seq("doc_id"), "left_outer")
+        .join(nearDup, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("dup_exact"), lit(false)).as("dup_exact"),
+          coalesce(col("dup_near"), lit(false)).as("dup_near"))
+        .withColumn("keep", !col("dup_exact") && !col("dup_near"))
+    },
+
     // MinHash + banded AND/OR LSH near-dup pairs (probabilistic recall →
     // rows-only; DataPlaneSpec proves recall vs d4's exact Jaccard).
     // NOTE (schema change vs round 1): output column is `jaccard`

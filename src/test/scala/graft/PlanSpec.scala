@@ -72,10 +72,12 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("w2_global_topk").contains("TakeOrderedAndProject"))
   }
 
-  test("d4 inverted index plans no cartesian or nested-loop join") {
-    val p = plan("d4_ngram_jaccard")
-    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
-      s"d4 fell back to a quadratic join:\n$p")
+  test("d4/d8 inverted index plans no cartesian or nested-loop join") {
+    for (q <- Seq("d4_ngram_jaccard", "d8_incremental_dedup")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q fell back to a quadratic join:\n$p")
+    }
   }
 
   test("scalar-heavy queries stay inside whole-stage codegen") {
