@@ -39,8 +39,9 @@ object Bench {
       try org.rocksdb.RocksDB.loadLibrary() catch { case _: Throwable => }
       // sink-writer init (output committer, codec, writer JIT) is a one-time
       // JVM cost — a 2-row write per format keeps it off the first timed
-      // sink query (s5 absorbed ~4 s of it otherwise)
-      {
+      // sink query (s5 absorbed ~4 s of it otherwise). Own try so a /tmp
+      // problem here can't silently skip the dedup JIT warmup below.
+      try {
         import spark.implicits._
         val tiny = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
         val warmDir = s"${sys.props("java.io.tmpdir")}/graft_bench_warm"
@@ -48,6 +49,8 @@ object Bench {
         spark.read.parquet(s"$warmDir/p").count()
         tiny.write.mode("overwrite").orc(s"$warmDir/o")
         tiny.write.mode("overwrite").json(s"$warmDir/j")
+      } catch { case e: Throwable =>
+        Console.err.println(s"[bench] sink warmup failed (continuing): $e")
       }
       // JIT/codegen warm for the hash/string-heavy dedup path on a 2000-doc
       // slice, run twice — first-evaluation JIT (~1s) otherwise lands on
@@ -105,7 +108,10 @@ object Bench {
     // Full per-query map: one line for log readers, plus a file for offline
     // analysis. This line is ~3.4 KB — LONGER than the 2000-char tail window
     // the driver keeps, so it must NOT be the line the driver parses.
-    val full = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":$sfNum,"sf_dir":"$sfDir"}"""
+    // cpus recorded so a run under different local[N] conditions can't be
+    // mistaken for a like-for-like regression; quoted because the env value
+    // may be non-numeric ("*" for local[*]) and must not break the JSON
+    val full = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":$sfNum,"sf_dir":"$sfDir","cpus":"$cpus"}"""
     println(full)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
@@ -127,7 +133,7 @@ object Bench {
     val he = errors.take(3)
       .map { case (k, v) => s"\"" + k + "\":\"" + v.take(60) + "\"" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"queries":$hq,"errors":$he,"sf":$sfNum}""")
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"queries":$hq,"errors":$he,"sf":$sfNum,"cpus":"$cpus"}""")
     graft.llm.Dedup.releaseCaches()
     spark.stop()
   }

@@ -213,9 +213,11 @@ object Graft {
   private[graft] def writeTbHparamsConfig(logDir: String, space: Searchspace): Unit = {
     import graft.core.HParam._
     def js(s: String): String = HV.S(s).jsonRender
+    // Double bounds aren't validated finite; Infinity/NaN are not JSON
+    def num(v: Double): String = if (java.lang.Double.isFinite(v)) v.toString else "null"
     val hparams = space.params.map {
       case DoubleParam(n, lo, hi) =>
-        s"""{"name": ${js(n)}, "type": "REAL_INTERVAL", "min": $lo, "max": $hi}"""
+        s"""{"name": ${js(n)}, "type": "REAL_INTERVAL", "min": ${num(lo)}, "max": ${num(hi)}}"""
       case IntParam(n, lo, hi) =>
         s"""{"name": ${js(n)}, "type": "INT_INTERVAL", "min": $lo, "max": $hi}"""
       case DiscreteParam(n, vs) =>

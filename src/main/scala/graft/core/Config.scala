@@ -32,7 +32,9 @@ final case class HyperparameterOptConfig(
     logDir: Option[String] = None,
     // live per-trial log relay: called on the driver as each executor
     // train-fn log line arrives over the heartbeat channel; None = print
-    // to the driver console under a trial prefix (DriverServer.consoleSink)
+    // to the driver console under a trial prefix (DriverServer.consoleSink).
+    // Called concurrently from one handler thread per executor — the sink
+    // must be thread-safe; exceptions it throws are caught and logged.
     logSink: Option[(String, String) => Unit] = None) extends LagomConfig
 
 final case class AblationConfig(

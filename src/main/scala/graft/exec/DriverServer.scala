@@ -177,8 +177,14 @@ final class DriverServer(
       // live relay FIRST: a user watching a long experiment sees executor
       // train-fn lines as they arrive on the heartbeat channel, under a
       // trial prefix (reference: reporter.py:137-170 ships log lines per
-      // heartbeat; rpc.py:500-511 LOG path) — then the per-trial log file
-      logSink(msg("trial_id"), msg.getOrElse("text", ""))
+      // heartbeat; rpc.py:500-511 LOG path) — then the per-trial log file.
+      // Guarded: a throwing user sink must not kill the heartbeat
+      // connection (no ack → executor hb thread dies → STOP undeliverable,
+      // and the post-trial drain would fail the whole partition task).
+      try logSink(msg("trial_id"), msg.getOrElse("text", ""))
+      catch { case e: Throwable =>
+        Console.err.println(s"[graft-server] logSink threw: $e")
+      }
       // per-trial log files (reference: trial_executor.py:137-142 log dirs)
       logDir.foreach { root =>
         val dir = java.nio.file.Paths.get(root, "trials")

@@ -11,6 +11,16 @@ import org.apache.spark.sql.functions._
   * so Catalyst gets pushdown/pruning for free.
   */
 object Scans {
+
+  /** Tmp-dir key for one-time derived layouts (s8 partitioned, s11 ORC):
+    * sfDir plus the SOURCE file's size+mtime, so regenerated testdata
+    * invalidates the cached layout instead of silently serving stale rows
+    * against a live oracle. */
+  private def layoutKey(d: String, table: String): String = {
+    val f = new java.io.File(s"$d/$table.parquet")
+    math.abs((d, f.length, f.lastModified).hashCode).toString
+  }
+
   val entries: Seq[QueryDef] = Seq(
     // S1: bare parquet scan; count aggregates at the scan (no row materialization).
     QueryDef("s1_scan_count",
@@ -118,7 +128,7 @@ object Scans {
     QueryDef("s8_partition_layout",
       """SELECT o_orderpriority, count(*) AS n
         |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_s8_${math.abs(d.hashCode)}"
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_s8_${layoutKey(d, "orders")}"
       if (!new java.io.File(tmp, "_SUCCESS").exists())
         Tables(s, d, "orders")
           .write.mode("overwrite").partitionBy("o_orderpriority").parquet(tmp)
@@ -139,7 +149,7 @@ object Scans {
         |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(22,8))) AS DOUBLE), 2) AS total
         |FROM orders WHERE o_orderpriority = '1-URGENT'
         |GROUP BY o_orderstatus""".stripMargin) { (s, d) =>
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_s8_${math.abs(d.hashCode)}"
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_s8_${layoutKey(d, "orders")}"
       if (!new java.io.File(tmp, "_SUCCESS").exists())
         Tables(s, d, "orders")
           .write.mode("overwrite").partitionBy("o_orderpriority").parquet(tmp)
@@ -156,7 +166,7 @@ object Scans {
     QueryDef("s11_orc_write",
       """SELECT count(*) AS n_rows
         |FROM lineitem WHERE l_shipdate >= DATE '1997-01-01'""".stripMargin) { (s, d) =>
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_s11_${math.abs(d.hashCode)}"
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_s11_${layoutKey(d, "lineitem")}"
       if (!new java.io.File(tmp, "_SUCCESS").exists())
         Tables(s, d, "lineitem")
           .filter(col("l_shipdate") >= lit("1997-01-01").cast("date"))
@@ -175,7 +185,7 @@ object Scans {
         |       round(CAST(sum(CAST(l_quantity AS DECIMAL(22,8))) AS DOUBLE), 2) AS sum_qty
         |FROM lineitem WHERE l_shipdate >= DATE '1997-01-01'
         |GROUP BY l_returnflag""".stripMargin) { (s, d) =>
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_s11_${math.abs(d.hashCode)}"
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_s11_${layoutKey(d, "lineitem")}"
       if (!new java.io.File(tmp, "_SUCCESS").exists())
         Tables(s, d, "lineitem")
           .filter(col("l_shipdate") >= lit("1997-01-01").cast("date"))
