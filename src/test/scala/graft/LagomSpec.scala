@@ -361,7 +361,9 @@ class LagomSpec extends AnyFunSuite {
     object ChattyFn extends TrainFn {
       def apply(ctx: TrialContext): Double = {
         ctx.reporter.log(s"epoch 0 of ${ctx.trialId}")
-        Thread.sleep(600) // several heartbeat intervals — the relay must win
+        // many heartbeat intervals of margin: the relay must win even if a
+        // GC pause stalls the heartbeat thread on a loaded test JVM
+        Thread.sleep(1500)
         LagomSpec.trainReturnNs = System.nanoTime()
         1.0
       }
