@@ -55,6 +55,49 @@ object Graft {
       case c: AblationConfig => runAblation(spark, c, trainFn)
     }
 
+  /** `lagom` WITHOUT a Spark cluster — the reference's "python mode"
+    * (maggy/experiment/experiment_python.py dispatching to
+    * core/experiment_driver/python_driver.py, which runs executor loops on
+    * local threads instead of Spark tasks). The wire protocol, async trial
+    * scheduling, early stop, persistence, and log relay are IDENTICAL to
+    * the Spark path — the only difference is the launcher: one daemon
+    * thread per slot running the same TrialExecutor socket loop. For
+    * laptop/CI experiments; the Spark path is the deployment path. */
+  def lagomLocal(config: LagomConfig,
+      parallelism: Int = Runtime.getRuntime.availableProcessors())(
+      trainFn: TrainFn): ExperimentResult = {
+    require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
+    def slots(numTrials: Int): Int =
+      if (numTrials <= 0) parallelism else math.max(1, math.min(parallelism, numTrials))
+    config match {
+      case c: HyperparameterOptConfig =>
+        val esRule = c.esPolicy match {
+          case "median" => MedianStoppingRule
+          case _ => NoStoppingRule
+        }
+        runExperimentCore(Optimizer.forName(c.optimizer, c.optimizerArgs),
+          c.searchspace, c.numTrials, c.direction, esRule, c.esIntervalSteps,
+          c.esMin, c.seed, c.logDir, c.logSink)(
+          threadLauncher(slots(c.numTrials), c.hbIntervalMs, trainFn))
+      case c: SingleRunConfig =>
+        runExperimentCore(new SingleRun(), Searchspace(Seq.empty), c.numTrials,
+          Direction.Max, NoStoppingRule, 1, Int.MaxValue, 42L, c.logDir, None)(
+          threadLauncher(slots(c.numTrials), c.hbIntervalMs, trainFn))
+      case c: AblationConfig =>
+        val trials = graft.ablate.Loco.trials(c.study)
+        val optimizer = new Optimizer {
+          private val queue = scala.collection.mutable.Queue(trials: _*)
+          def getSuggestion(completed: Option[Trial]): Suggestion =
+            if (queue.nonEmpty) NewTrial(queue.dequeue())
+            else if (trialStore.nonEmpty) Idle
+            else Done
+        }
+        runExperimentCore(optimizer, Searchspace(Seq.empty), trials.size,
+          Direction.Max, NoStoppingRule, 1, Int.MaxValue, 42L, c.logDir, None)(
+          threadLauncher(slots(trials.size), c.hbIntervalMs, trainFn))
+    }
+  }
+
   /** Distributed gang-training experiment — the TorchDistributedConfig
     * analog (reference: experiment.lagom(train_fn, TorchDistributedConfig)
     * → torch_distributed_training_driver.py:35-44; per-worker results
@@ -128,7 +171,53 @@ object Graft {
       seed: Long,
       numExecutors: Int,
       logDir: Option[String] = None,
-      logSink: Option[(String, String) => Unit] = None)(trainFn: TrainFn): ExperimentResult = {
+      logSink: Option[(String, String) => Unit] = None)(trainFn: TrainFn): ExperimentResult =
+    runExperimentCore(optimizer, searchspace, numTrials, direction, esRule,
+      esIntervalSteps, esMin, seed, logDir, logSink) { (host, port, secret) =>
+      val sc = spark.sparkContext
+      sc.setJobGroup(s"graft-lagom", s"experiment numTrials=$numTrials", interruptOnCancel = true)
+      // one long-running task per executor slot (reference spark_driver.py:136-145)
+      sc.parallelize(0 until numExecutors, numExecutors).foreachPartition { it =>
+        val pid = it.next()
+        TrialExecutor.run(pid, host, port, secret, hbIntervalMs, pollIntervalMs = 50, trainFn)
+      }
+      sc.clearJobGroup()
+    }
+
+  /** Cluster-free executor pool: each slot is a daemon thread running the
+    * SAME TrialExecutor loop (it is pure sockets — no Spark dependency)
+    * against the in-process DriverServer. The first executor failure is
+    * rethrown after all slots drain, like a failed Spark job would be. */
+  private def threadLauncher(numExecutors: Int, hbIntervalMs: Long, trainFn: TrainFn)(
+      host: String, port: Int, secret: String): Unit = {
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val threads = (0 until numExecutors).map { pid =>
+      val t = new Thread(() => {
+        try TrialExecutor.run(pid, host, port, secret, hbIntervalMs, pollIntervalMs = 50, trainFn)
+        catch { case e: Throwable => failure.compareAndSet(null, e) }
+      }, s"graft-local-exec-$pid")
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+    threads.foreach(_.join())
+    if (failure.get() != null) throw failure.get()
+  }
+
+  /** The experiment core shared by the Spark and local paths: server up,
+    * launch the executor slots, summarize, persist. */
+  private def runExperimentCore(
+      optimizer: Optimizer,
+      searchspace: Searchspace,
+      numTrials: Int,
+      direction: Direction.Value,
+      esRule: EarlyStopRule,
+      esIntervalSteps: Long,
+      esMin: Int,
+      seed: Long,
+      logDir: Option[String],
+      logSink: Option[(String, String) => Unit])(
+      launch: (String, Int, String) => Unit): ExperimentResult = {
 
     val t0 = System.currentTimeMillis()
     optimizer.initialize(searchspace, numTrials, direction, seed)
@@ -141,17 +230,7 @@ object Graft {
       logSink.getOrElse(DriverServer.consoleSink))
     server.start()
     try {
-      val (host, port, secret) = (server.host, server.port, server.authSecret)
-      val hb = hbIntervalMs
-      val sc = spark.sparkContext
-      sc.setJobGroup(s"graft-lagom", s"experiment numTrials=$numTrials", interruptOnCancel = true)
-      // one long-running task per executor slot (reference spark_driver.py:136-145)
-      sc.parallelize(0 until numExecutors, numExecutors).foreachPartition { it =>
-        val pid = it.next()
-        TrialExecutor.run(pid, host, port, secret, hb, pollIntervalMs = 50, trainFn)
-      }
-      sc.clearJobGroup()
-
+      launch(server.host, server.port, server.authSecret)
       val result = summarize(optimizer.finalStore.toSeq, direction,
         server.earlyStoppedCount, server.erroredCount, t0)
       logDir.foreach { d => writeResultJson(d, result); writeHparamsLog(d, result) }

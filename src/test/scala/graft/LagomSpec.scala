@@ -382,6 +382,48 @@ class LagomSpec extends AnyFunSuite {
       "log line reached the driver only after the train fn returned")
   }
 
+  test("lagomLocal runs the whole experiment without a Spark cluster (python-mode analog)") {
+    // reference experiment_python.py / python_driver.py: same protocol,
+    // executor loops on local threads. No SparkSession is touched.
+    object LocalObjective extends TrainFn {
+      def apply(ctx: TrialContext): Double = {
+        val x = ctx.double("x"); val y = ctx.double("y")
+        -(x - 3.2) * (x - 3.2) - (y - 2) * (y - 2)
+      }
+    }
+    val res = Graft.lagomLocal(HyperparameterOptConfig(
+      numTrials = 12, optimizer = "randomsearch", searchspace = space,
+      direction = Direction.Max, esPolicy = "none"), parallelism = 3)(LocalObjective)
+    assert(res.numTrials == 12)
+    assert(res.trials.map(_.trial_id).distinct.size == 12)
+    assert(res.bestMetric >= res.worstMetric)
+    // grid search local: exact product enumeration, same as the Spark path
+    val gridSpace = Searchspace(Seq(
+      DiscreteParam("x", Seq(1, 2, 3)), CategoricalParam("mode", Seq("a", "b"))))
+    object GridFn extends TrainFn {
+      def apply(ctx: TrialContext): Double =
+        ctx.double("x") + (if (ctx.string("mode") == "a") 10 else 0)
+    }
+    val grid = Graft.lagomLocal(HyperparameterOptConfig(
+      numTrials = 0, optimizer = "gridsearch", searchspace = gridSpace,
+      direction = Direction.Max, esPolicy = "none"), parallelism = 2)(GridFn)
+    assert(grid.numTrials == 6)
+    assert(grid.bestMetric == 13.0)
+    // a throwing train fn fails its trial, not the experiment — same
+    // contract as the Spark path
+    object FlakyLocal extends TrainFn {
+      def apply(ctx: TrialContext): Double = {
+        if (ctx.double("x") == 2.0 && ctx.string("mode") == "b")
+          throw new IllegalStateException("injected local train failure")
+        ctx.double("x")
+      }
+    }
+    val flaky = Graft.lagomLocal(HyperparameterOptConfig(
+      numTrials = 0, optimizer = "gridsearch", searchspace = gridSpace,
+      direction = Direction.Max, esPolicy = "none"), parallelism = 2)(FlakyLocal)
+    assert(flaky.numTrials == 5 && flaky.errored == 1)
+  }
+
   test("TF cluster roles mirror the reference's chief/worker/evaluator table") {
     import Gang.{tfRole, tfClusterSpec, TfTask}
     // reference demotion (tf_dist_executor.py:129-144): rank 0 chief, last
