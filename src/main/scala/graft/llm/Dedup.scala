@@ -221,31 +221,7 @@ object Dedup {
         |       NOT (doc_id IN (SELECT doc_id FROM ex)
         |            OR doc_id IN (SELECT doc_id FROM near)) AS keep
         |FROM documents WHERE doc_id % 7 = 0""".stripMargin) { (s, d) =>
-      val docs = Tables(s, d, "documents")
-      val isBatch = col("doc_id") % 7 === 0
-      // exact: 32-byte keys only cross the wire — never text
-      val corpusHashes = docs.filter(!isBatch)
-        .select(md5(col("text")).as("h")).distinct()
-      val exactDup = docs.filter(isBatch)
-        .select(col("doc_id"), md5(col("text")).as("h"))
-        .join(corpusHashes, Seq("h"), "left_semi")
-        .select(col("doc_id"), lit(true).as("dup_exact"))
-      // near: the shared threshold-independent pair table, restricted to
-      // cross-side pairs (doc_a < doc_b covers both orientations)
-      val pairs = sharedScoredPairs(docs).filter(col("jaccard") >= 0.8)
-      val nearDup = pairs
-        .select(col("doc_a").as("doc_id"), col("doc_b").as("other"))
-        .union(pairs.select(col("doc_b").as("doc_id"), col("doc_a").as("other")))
-        .filter(col("doc_id") % 7 === 0 && col("other") % 7 =!= 0)
-        .select("doc_id").distinct()
-        .select(col("doc_id"), lit(true).as("dup_near"))
-      docs.filter(isBatch).select("doc_id")
-        .join(exactDup, Seq("doc_id"), "left_outer")
-        .join(nearDup, Seq("doc_id"), "left_outer")
-        .select(col("doc_id"),
-          coalesce(col("dup_exact"), lit(false)).as("dup_exact"),
-          coalesce(col("dup_near"), lit(false)).as("dup_near"))
-        .withColumn("keep", !col("dup_exact") && !col("dup_near"))
+      incrementalDedup(Tables(s, d, "documents"), col("doc_id") % 7 === 0)
     },
 
     // MinHash + banded AND/OR LSH near-dup pairs (probabilistic recall →
@@ -259,6 +235,45 @@ object Dedup {
       bandedLshPairs(Tables(s, d, "documents"), jaccardThreshold = 0.8)
     }
   )
+
+  /** Incremental dedup: flag each BATCH doc (rows where `isBatch` is true)
+    * that duplicates any CORPUS doc (the rest) — see the d8 comment for the
+    * operator rationale and the 100 TB fingerprint-store shape. Output:
+    * (doc_id, dup_exact, dup_near, keep) for batch docs only.
+    * `nearThreshold` is 3-shingle jaccard; the exact check is md5(text). */
+  def incrementalDedup(docs: DataFrame, isBatch: Column,
+      nearThreshold: Double = 0.8): DataFrame = {
+    // exact: 32-byte keys only cross the wire — never text
+    val corpusHashes = docs.filter(!isBatch)
+      .select(md5(col("text")).as("h")).distinct()
+    val exactDup = docs.filter(isBatch)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .join(corpusHashes, Seq("h"), "left_semi")
+      .select(col("doc_id"), lit(true).as("dup_exact"))
+    // near: the shared threshold-independent pair table, restricted to
+    // cross-side pairs. The caller's predicate is re-bound to the pair
+    // table's id columns via semi-joins against the batch/corpus id sets,
+    // so ANY isBatch expression over the docs columns stays valid (a
+    // broadcast of ids at realistic batch sizes).
+    val batchIds = docs.filter(isBatch).select("doc_id")
+    val corpusIds = docs.filter(!isBatch).select("doc_id")
+    val pairs = sharedScoredPairs(docs).filter(col("jaccard") >= nearThreshold)
+    val oriented = pairs
+      .select(col("doc_a").as("doc_id"), col("doc_b").as("other"))
+      .union(pairs.select(col("doc_b").as("doc_id"), col("doc_a").as("other")))
+    val nearDup = oriented
+      .join(batchIds, Seq("doc_id"), "left_semi")
+      .join(corpusIds.select(col("doc_id").as("other")), Seq("other"), "left_semi")
+      .select("doc_id").distinct()
+      .select(col("doc_id"), lit(true).as("dup_near"))
+    docs.filter(isBatch).select("doc_id")
+      .join(exactDup, Seq("doc_id"), "left_outer")
+      .join(nearDup, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("dup_exact"), lit(false)).as("dup_exact"),
+        coalesce(col("dup_near"), lit(false)).as("dup_near"))
+      .withColumn("keep", !col("dup_exact") && !col("dup_near"))
+  }
 
   /** Exact all-pairs n-gram Jaccard ≥ threshold via the inverted shingle
     * index (see the d4 comment for the plan rationale). Output:
