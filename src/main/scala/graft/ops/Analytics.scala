@@ -135,6 +135,37 @@ object Analytics {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("total_tokens"),
           sum(col("keeper")).as("keeper_sum"))
+    },
+
+    // x4: the export "last mile" of a training-data pipeline — gate the
+    // corpus, assign every doc a DETERMINISTIC shard by content-independent
+    // hash (md5 of doc_id: reproducible across runs/retries, decorrelates
+    // adjacent ids so each shard is an unbiased sample), cluster by shard,
+    // and land gzip TFRecord shards a training job's gang loader streams
+    // (Datasets.shardFiles). The declared result re-reads the sink and
+    // rolls up per-shard counts/id-sums — the roundtrip must be the
+    // identity and the shard function must match the oracle exactly.
+    // 100 TB: the shard hash is map-side; the single shuffle is the
+    // repartition on shard_id, moving each row once to its output shard.
+    QueryDef("x4_shard_export",
+      """SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 8 AS shard_id,
+        |       count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents
+        |WHERE len(string_split(text, ' ')) >= 8
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_x4_${math.abs(d.hashCode)}"
+      Tables(s, d, "documents")
+        .filter(size(split(col("text"), " ")) >= 8)
+        .select(col("doc_id"),
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+            .cast("long") % 8).as("shard_id"))
+        .repartition(8, col("shard_id"))
+        .write.mode("overwrite").format("tfrecord")
+        .option("compression", "gzip").save(tmp)
+      s.read.format("tfrecord")
+        .schema("doc_id BIGINT, shard_id BIGINT").load(tmp)
+        .groupBy("shard_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
     }
   )
 }
