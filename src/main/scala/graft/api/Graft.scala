@@ -55,6 +55,40 @@ object Graft {
       case c: AblationConfig => runAblation(spark, c, trainFn)
     }
 
+  /** Multi-metric HPO: the reference lets a train fn return a metric DICT,
+    * with `config.optimization_key` selecting the value that drives the
+    * optimizer (maggy/util.py:159-199 `handle_return_val`; missing key
+    * raises). The non-driving metrics are shipped through the per-trial
+    * log relay (`metric <k>=<v>` lines), so they land live on the driver
+    * console and in the trial's log file. */
+  trait MultiTrainFn extends Serializable {
+    def apply(ctx: TrialContext): Map[String, Double]
+  }
+
+  def lagomMulti(spark: SparkSession, config: HyperparameterOptConfig)(
+      fn: MultiTrainFn): ExperimentResult =
+    lagom(spark, config)(selectMetric(config.optimizationKey, fn))
+
+  /** [[lagomMulti]] for the cluster-free path. */
+  def lagomMultiLocal(config: HyperparameterOptConfig,
+      parallelism: Int = Runtime.getRuntime.availableProcessors())(
+      fn: MultiTrainFn): ExperimentResult =
+    lagomLocal(config, parallelism)(selectMetric(config.optimizationKey, fn))
+
+  private def selectMetric(key: String, fn: MultiTrainFn): TrainFn = new TrainFn {
+    def apply(ctx: TrialContext): Double = {
+      val metrics = fn(ctx)
+      // reference semantics: a missing optimization key is a USER error and
+      // fails the trial (ERROR status), not the experiment
+      require(metrics.contains(key),
+        s"train fn returned metrics ${metrics.keys.mkString(",")} without optimization key '$key'")
+      metrics.foreach { case (k, v) =>
+        if (k != key) ctx.reporter.log(s"metric $k=$v")
+      }
+      metrics(key)
+    }
+  }
+
   /** `lagom` WITHOUT a Spark cluster — the reference's "python mode"
     * (maggy/experiment/experiment_python.py dispatching to
     * core/experiment_driver/python_driver.py, which runs executor loops on

@@ -424,6 +424,39 @@ class LagomSpec extends AnyFunSuite {
     assert(flaky.numTrials == 5 && flaky.errored == 1)
   }
 
+  test("multi-metric train fn: optimizationKey drives the search, extras relay as logs") {
+    // reference handle_return_val (util.py:159-199): dict return + key
+    // selection; missing key fails the trial, not the experiment
+    val relayed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    object MultiFn extends Graft.MultiTrainFn {
+      def apply(ctx: TrialContext): Map[String, Double] = {
+        val x = ctx.double("x")
+        Map("val_acc" -> -(x - 3.2) * (x - 3.2), "train_loss" -> x * 0.1)
+      }
+    }
+    val res = Graft.lagomMultiLocal(HyperparameterOptConfig(
+      numTrials = 6, optimizer = "randomsearch", searchspace = space,
+      direction = Direction.Max, optimizationKey = "val_acc", esPolicy = "none",
+      hbIntervalMs = 50,
+      logSink = Some((_, line) => relayed.add(line))), parallelism = 2)(MultiFn)
+    assert(res.numTrials == 6)
+    assert(res.bestMetric <= 0.0) // val_acc is ≤ 0 by construction
+    assert(relayed.toArray(Array.empty[String]).exists(_.startsWith("metric train_loss=")),
+      s"non-driving metric not relayed: ${relayed.toArray.toSeq}")
+    // a fn that omits the key fails ITS trial (ERROR), experiment completes
+    object MissingKeyFn extends Graft.MultiTrainFn {
+      def apply(ctx: TrialContext): Map[String, Double] =
+        if (ctx.double("x") < 2.5) Map("wrong_key" -> 1.0)
+        else Map("val_acc" -> ctx.double("x"))
+    }
+    val res2 = Graft.lagomMultiLocal(HyperparameterOptConfig(
+      numTrials = 8, optimizer = "randomsearch", searchspace = space,
+      direction = Direction.Max, optimizationKey = "val_acc",
+      esPolicy = "none"), parallelism = 2)(MissingKeyFn)
+    assert(res2.errored > 0 && res2.numTrials + res2.errored == 8,
+      s"expected errored+finalized == 8: $res2")
+  }
+
   test("TF cluster roles mirror the reference's chief/worker/evaluator table") {
     import Gang.{tfRole, tfClusterSpec, TfTask}
     // reference demotion (tf_dist_executor.py:129-144): rank 0 chief, last
