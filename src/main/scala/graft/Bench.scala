@@ -15,9 +15,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_CPUS may be "*" (local[*]) — a valid master but not a
+    // valid shuffle-partition count; fall back to the machine's cores
+    val shufflePartitions = scala.util.Try(cpus.trim.toInt).toOption
+      .getOrElse(Runtime.getRuntime.availableProcessors()).toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -44,16 +44,23 @@ final case class ExperimentResult(
   */
 object Graft {
 
-  def lagom(spark: SparkSession, config: LagomConfig)(trainFn: TrainFn): ExperimentResult =
-    config match {
-      case c: HyperparameterOptConfig => runHpo(spark, c, trainFn)
-      case c: SingleRunConfig =>
-        runExperiment(spark, new SingleRun(),
-          Searchspace(Seq.empty), c.numTrials, Direction.Max, NoStoppingRule,
-          1, Int.MaxValue, c.hbIntervalMs, 42L, parallelism(spark, c.numTrials),
-          c.logDir)(trainFn)
-      case c: AblationConfig => runAblation(spark, c, trainFn)
+  def lagom(spark: SparkSession, config: LagomConfig)(trainFn: TrainFn): ExperimentResult = {
+    val r = resolve(config)
+    val numExecutors = parallelism(spark, r.numTrials)
+    runExperimentCore(r) { (host, port, secret) =>
+      // primitives only in the task closure: Resolved holds the optimizer/
+      // rule/sink, none of which are serializable (or needed) executor-side
+      val hb = r.hbIntervalMs
+      val sc = spark.sparkContext
+      sc.setJobGroup(s"graft-lagom", s"experiment numTrials=${r.numTrials}", interruptOnCancel = true)
+      // one long-running task per executor slot (reference spark_driver.py:136-145)
+      sc.parallelize(0 until numExecutors, numExecutors).foreachPartition { it =>
+        val pid = it.next()
+        TrialExecutor.run(pid, host, port, secret, hb, pollIntervalMs = 50, trainFn)
+      }
+      sc.clearJobGroup()
     }
+  }
 
   /** Multi-metric HPO: the reference lets a train fn return a metric DICT,
     * with `config.optimization_key` selecting the value that drives the
@@ -101,35 +108,11 @@ object Graft {
       parallelism: Int = Runtime.getRuntime.availableProcessors())(
       trainFn: TrainFn): ExperimentResult = {
     require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
-    def slots(numTrials: Int): Int =
-      if (numTrials <= 0) parallelism else math.max(1, math.min(parallelism, numTrials))
-    config match {
-      case c: HyperparameterOptConfig =>
-        val esRule = c.esPolicy match {
-          case "median" => MedianStoppingRule
-          case _ => NoStoppingRule
-        }
-        runExperimentCore(Optimizer.forName(c.optimizer, c.optimizerArgs),
-          c.searchspace, c.numTrials, c.direction, esRule, c.esIntervalSteps,
-          c.esMin, c.seed, c.logDir, c.logSink)(
-          threadLauncher(slots(c.numTrials), c.hbIntervalMs, trainFn))
-      case c: SingleRunConfig =>
-        runExperimentCore(new SingleRun(), Searchspace(Seq.empty), c.numTrials,
-          Direction.Max, NoStoppingRule, 1, Int.MaxValue, 42L, c.logDir, None)(
-          threadLauncher(slots(c.numTrials), c.hbIntervalMs, trainFn))
-      case c: AblationConfig =>
-        val trials = graft.ablate.Loco.trials(c.study)
-        val optimizer = new Optimizer {
-          private val queue = scala.collection.mutable.Queue(trials: _*)
-          def getSuggestion(completed: Option[Trial]): Suggestion =
-            if (queue.nonEmpty) NewTrial(queue.dequeue())
-            else if (trialStore.nonEmpty) Idle
-            else Done
-        }
-        runExperimentCore(optimizer, Searchspace(Seq.empty), trials.size,
-          Direction.Max, NoStoppingRule, 1, Int.MaxValue, 42L, c.logDir, None)(
-          threadLauncher(slots(trials.size), c.hbIntervalMs, trainFn))
-    }
+    val r = resolve(config)
+    val slots =
+      if (r.numTrials <= 0) parallelism
+      else math.max(1, math.min(parallelism, r.numTrials))
+    runExperimentCore(r)(threadLauncher(slots, r.hbIntervalMs, trainFn))
   }
 
   /** Distributed gang-training experiment — the TorchDistributedConfig
@@ -158,30 +141,51 @@ object Graft {
     r
   }
 
-  private def runHpo(spark: SparkSession, c: HyperparameterOptConfig, trainFn: TrainFn): ExperimentResult = {
-    val optimizer = Optimizer.forName(c.optimizer, c.optimizerArgs)
-    val esRule = c.esPolicy match {
-      case "median" => MedianStoppingRule
-      case _ => NoStoppingRule
-    }
-    runExperiment(spark, optimizer, c.searchspace, c.numTrials, c.direction, esRule,
-      c.esIntervalSteps, c.esMin, c.hbIntervalMs, c.seed, parallelism(spark, c.numTrials),
-      c.logDir, c.logSink)(trainFn)
+  /** Experiment parameters resolved from a config — ONE dispatch site, so
+    * the Spark and local launch paths cannot diverge on esPolicy mapping,
+    * ablation trial enumeration, or defaults. */
+  private final case class Resolved(
+      optimizer: Optimizer,
+      searchspace: Searchspace,
+      numTrials: Int,
+      direction: Direction.Value,
+      esRule: EarlyStopRule,
+      esIntervalSteps: Long,
+      esMin: Int,
+      seed: Long,
+      hbIntervalMs: Long,
+      logDir: Option[String],
+      logSink: Option[(String, String) => Unit])
+
+  private def resolve(config: LagomConfig): Resolved = config match {
+    case c: HyperparameterOptConfig =>
+      val esRule = c.esPolicy match {
+        case "median" => MedianStoppingRule
+        case _ => NoStoppingRule
+      }
+      Resolved(Optimizer.forName(c.optimizer, c.optimizerArgs), c.searchspace,
+        c.numTrials, c.direction, esRule, c.esIntervalSteps, c.esMin, c.seed,
+        c.hbIntervalMs, c.logDir, c.logSink)
+    case c: SingleRunConfig =>
+      Resolved(new SingleRun(), Searchspace(Seq.empty), c.numTrials,
+        Direction.Max, NoStoppingRule, 1, Int.MaxValue, 42L, c.hbIntervalMs,
+        c.logDir, None)
+    case c: AblationConfig =>
+      // early stop disabled for ablation (reference ablation_driver.py:52)
+      val trials = graft.ablate.Loco.trials(c.study)
+      Resolved(queueOptimizer(trials), Searchspace(Seq.empty), trials.size,
+        Direction.Max, NoStoppingRule, 1, Int.MaxValue, 42L, c.hbIntervalMs,
+        c.logDir, None)
   }
 
-  private def runAblation(spark: SparkSession, c: AblationConfig, trainFn: TrainFn): ExperimentResult = {
-    val trials = graft.ablate.Loco.trials(c.study)
-    val optimizer = new Optimizer {
-      private val queue = scala.collection.mutable.Queue(trials: _*)
-      def getSuggestion(completed: Option[Trial]): Suggestion =
-        if (queue.nonEmpty) NewTrial(queue.dequeue())
-        else if (trialStore.nonEmpty) Idle
-        else Done
-    }
-    // early stop disabled for ablation (reference ablation_driver.py:52)
-    runExperiment(spark, optimizer, Searchspace(Seq.empty), trials.size, Direction.Max,
-      NoStoppingRule, 1, Int.MaxValue, c.hbIntervalMs, 42L,
-      parallelism(spark, trials.size), c.logDir)(trainFn)
+  /** Fixed-trial-list optimizer (ablation studies): hand out the queue,
+    * then Idle until the running set drains, then Done. */
+  private def queueOptimizer(trials: Seq[Trial]): Optimizer = new Optimizer {
+    private val queue = scala.collection.mutable.Queue(trials: _*)
+    def getSuggestion(completed: Option[Trial]): Suggestion =
+      if (queue.nonEmpty) NewTrial(queue.dequeue())
+      else if (trialStore.nonEmpty) Idle
+      else Done
   }
 
   /** num_executors = min(slots, num_trials) (reference
@@ -192,43 +196,38 @@ object Graft {
     if (numTrials <= 0) slots else math.max(1, math.min(slots, numTrials))
   }
 
-  private def runExperiment(
-      spark: SparkSession,
-      optimizer: Optimizer,
-      searchspace: Searchspace,
-      numTrials: Int,
-      direction: Direction.Value,
-      esRule: EarlyStopRule,
-      esIntervalSteps: Long,
-      esMin: Int,
-      hbIntervalMs: Long,
-      seed: Long,
-      numExecutors: Int,
-      logDir: Option[String] = None,
-      logSink: Option[(String, String) => Unit] = None)(trainFn: TrainFn): ExperimentResult =
-    runExperimentCore(optimizer, searchspace, numTrials, direction, esRule,
-      esIntervalSteps, esMin, seed, logDir, logSink) { (host, port, secret) =>
-      val sc = spark.sparkContext
-      sc.setJobGroup(s"graft-lagom", s"experiment numTrials=$numTrials", interruptOnCancel = true)
-      // one long-running task per executor slot (reference spark_driver.py:136-145)
-      sc.parallelize(0 until numExecutors, numExecutors).foreachPartition { it =>
-        val pid = it.next()
-        TrialExecutor.run(pid, host, port, secret, hbIntervalMs, pollIntervalMs = 50, trainFn)
-      }
-      sc.clearJobGroup()
-    }
-
   /** Cluster-free executor pool: each slot is a daemon thread running the
     * SAME TrialExecutor loop (it is pure sockets — no Spark dependency)
-    * against the in-process DriverServer. The first executor failure is
-    * rethrown after all slots drain, like a failed Spark job would be. */
+    * against the in-process DriverServer. Failure semantics mirror Spark's:
+    * a crashed slot RETRIES once (Spark task retry re-registers and the
+    * driver marks the lost trial ERROR — TrialExecutor.run's REG does the
+    * same here); a slot that dies for good releases its trial via a manual
+    * re-registration so the surviving slots can still drive the experiment
+    * to completion instead of idling forever on a stuck Running trial, and
+    * the first recorded failure is rethrown after all slots drain (a failed
+    * task ultimately fails the job). */
   private def threadLauncher(numExecutors: Int, hbIntervalMs: Long, trainFn: TrainFn)(
       host: String, port: Int, secret: String): Unit = {
     val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val maxAttempts = 2
     val threads = (0 until numExecutors).map { pid =>
       val t = new Thread(() => {
-        try TrialExecutor.run(pid, host, port, secret, hbIntervalMs, pollIntervalMs = 50, trainFn)
-        catch { case e: Throwable => failure.compareAndSet(null, e) }
+        var attempt = 0
+        var done = false
+        while (!done && attempt < maxAttempts) {
+          attempt += 1
+          try { TrialExecutor.run(pid, host, port, secret, hbIntervalMs, pollIntervalMs = 50, trainFn); done = true }
+          catch {
+            case e: Throwable =>
+              if (attempt >= maxAttempts) {
+                failure.compareAndSet(null, e)
+                // free any trial lost with this slot — without Spark's task
+                // retry, nothing else emits the re-registration signal
+                TrialExecutor.releaseSlot(host, port, secret, pid)
+                done = true
+              } // else: the retry's own REG performs the lost-trial cleanup
+          }
+        }
       }, s"graft-local-exec-$pid")
       t.setDaemon(true)
       t.start()
@@ -240,34 +239,24 @@ object Graft {
 
   /** The experiment core shared by the Spark and local paths: server up,
     * launch the executor slots, summarize, persist. */
-  private def runExperimentCore(
-      optimizer: Optimizer,
-      searchspace: Searchspace,
-      numTrials: Int,
-      direction: Direction.Value,
-      esRule: EarlyStopRule,
-      esIntervalSteps: Long,
-      esMin: Int,
-      seed: Long,
-      logDir: Option[String],
-      logSink: Option[(String, String) => Unit])(
+  private def runExperimentCore(r: Resolved)(
       launch: (String, Int, String) => Unit): ExperimentResult = {
-
     val t0 = System.currentTimeMillis()
-    optimizer.initialize(searchspace, numTrials, direction, seed)
+    r.optimizer.initialize(r.searchspace, r.numTrials, r.direction, r.seed)
     // the hparams CONFIG is written before training starts, like the
     // reference (_write_hparams_config runs at experiment setup), so a
     // dashboard can render the table while trials stream in
-    if (searchspace.params.nonEmpty)
-      logDir.foreach(writeTbHparamsConfig(_, searchspace))
-    val server = new DriverServer(optimizer, direction, esRule, esIntervalSteps, esMin, logDir,
-      logSink.getOrElse(DriverServer.consoleSink))
+    if (r.searchspace.params.nonEmpty)
+      r.logDir.foreach(writeTbHparamsConfig(_, r.searchspace))
+    val server = new DriverServer(r.optimizer, r.direction, r.esRule,
+      r.esIntervalSteps, r.esMin, r.logDir,
+      r.logSink.getOrElse(DriverServer.consoleSink))
     server.start()
     try {
       launch(server.host, server.port, server.authSecret)
-      val result = summarize(optimizer.finalStore.toSeq, direction,
+      val result = summarize(r.optimizer.finalStore.toSeq, r.direction,
         server.earlyStoppedCount, server.erroredCount, t0)
-      logDir.foreach { d => writeResultJson(d, result); writeHparamsLog(d, result) }
+      r.logDir.foreach { d => writeResultJson(d, result); writeHparamsLog(d, result) }
       result
     } finally server.stop()
   }
@@ -334,7 +323,7 @@ object Graft {
       case IntParam(n, lo, hi) =>
         s"""{"name": ${js(n)}, "type": "INT_INTERVAL", "min": $lo, "max": $hi}"""
       case DiscreteParam(n, vs) =>
-        s"""{"name": ${js(n)}, "type": "DISCRETE", "values": [${vs.mkString(", ")}]}"""
+        s"""{"name": ${js(n)}, "type": "DISCRETE", "values": [${vs.map(num).mkString(", ")}]}"""
       case CategoricalParam(n, vs) =>
         s"""{"name": ${js(n)}, "type": "DISCRETE", "values": [${vs.map(js).mkString(", ")}]}"""
     }.mkString("[", ", ", "]")

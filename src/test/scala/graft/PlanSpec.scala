@@ -221,10 +221,11 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("t9_pack_sequences")
     // one exchange total — the running-sum window shuffles on (source,shard)
     // and the groupBy(source,shard,bin_id) is satisfied by that partitioning
-    // anchor to the operator-name boundary — a ReusedExchange must not
-    // inflate the count, but a regression adding ANY new shuffle (hash OR
-    // range, e.g. an orderBy slipping in) must still be caught
-    assert("(?<!Reused)Exchange ".r.findAllIn(p).size == 1,
+    // anchor to the operator-name boundary — ReusedExchange and
+    // BroadcastExchange must not inflate the count, but a regression adding
+    // ANY new shuffle (hash OR range, e.g. an orderBy slipping in) must
+    // still be caught
+    assert("(?<!Reused)(?<!Broadcast)Exchange ".r.findAllIn(p).size == 1,
       s"t9: expected 1 shuffle exchange:\n$p")
     assert(p.contains("Window"), s"t9: running token offset lost its window:\n$p")
   }
