@@ -112,6 +112,35 @@ class DataPlaneSpec extends AnyFunSuite {
     assert(banded.nonEmpty, "testdata should contain simhash near-dups")
   }
 
+  test("d8 incrementalDedup accepts arbitrary batch predicates (semi-join re-binding)") {
+    // the declared query uses doc_id % 7; a production caller splits on a
+    // data column — verify the predicate re-binding against independently
+    // derived ground truth for a source-based batch
+    val docs = Tables(spark, sf, "documents")
+    val isBatch = col("source") === "web"
+    val out = Dedup.incrementalDedup(docs, isBatch)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2))).toMap
+    val rows = docs.select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val batchIds = rows.collect { case (id, s, _) if s == "web" => id }.toSet
+    assert(out.keySet == batchIds, "one output row per batch doc, none for corpus")
+    // exact ground truth: md5(text) of batch doc appears in the corpus side
+    val corpusTexts = rows.collect { case (_, s, t) if s != "web" => t }.toSet
+    val expectedExact = rows.collect {
+      case (id, "web", t) if corpusTexts.contains(t) => id
+    }.toSet
+    assert(out.collect { case (id, (true, _)) => id }.toSet == expectedExact,
+      "dup_exact diverges from independent text-equality derivation")
+    // near ground truth: exact jaccard >= 0.8 pairs with one side per set
+    val corpusIds = rows.collect { case (id, s, _) if s != "web" => id }.toSet
+    val expectedNear = exactPairs(0.8).collect {
+      case (a, b) if batchIds(a) && corpusIds(b) => a
+      case (a, b) if batchIds(b) && corpusIds(a) => b
+    }.toSet
+    assert(out.collect { case (id, (_, true)) => id }.toSet == expectedNear,
+      "dup_near diverges from the exact cross-side jaccard pairs")
+  }
+
   test("sim_ivf_ann: recall >= 0.8 vs brute-force top-10") {
     val emb = Tables(spark, sf, "embeddings")
     val probes = emb.filter(col("vec_id") < 5)
