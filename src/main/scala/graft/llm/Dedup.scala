@@ -357,8 +357,20 @@ object Dedup {
     * ~3s per evaluation — the checkpoint turns the generator into a bound
     * attribute. */
   def sharedTokens(docs: DataFrame): DataFrame =
-    tokenCache.getOrElseUpdate(corpusKey(docs), shingleSets(docs).localCheckpoint())
+    tokenCache.getOrElseUpdate(corpusKey(docs), shingleSets(fanOut(docs)).localCheckpoint())
       .select(col("doc_id"), explode(col("sh")).as("h"))
+
+  /** CPU-parallelism guard for the shingle build: a single-row-group input
+    * (row groups are Spark's split unit, so the small test corpus arrives
+    * as ONE partition) would run every split/tokenize/hash in one task
+    * while the rest of the executor idles. The shuffle only fires when the
+    * input has fewer partitions than the session's parallelism — which
+    * bounds the moved data to ~parallelism × maxPartitionBytes (a few GB),
+    * so a deployment-scale corpus (thousands of file splits) never pays it. */
+  private def fanOut(docs: DataFrame): DataFrame = {
+    val target = docs.sparkSession.sparkContext.defaultParallelism
+    if (docs.rdd.getNumPartitions < target) docs.repartition(target) else docs
+  }
 
   private def sharedScoredPairs(docs: DataFrame): DataFrame =
     pairCache.getOrElseUpdate(corpusKey(docs),
