@@ -73,6 +73,28 @@ object Bench {
       }
     } catch { case _: Throwable => }
 
+    // --- contention self-evidence -----------------------------------------
+    // A bench artifact must carry proof of its run conditions: round-6/7
+    // driver-vs-committed gaps (153 vs 63 s, 102 vs 80 s) were diagnosed as
+    // CPU contention only by post-hoc archaeology. Two in-band signals:
+    //   - system 1-min loadavg before/after (anything far above this JVM's
+    //     own usage on an otherwise-idle box = contended run);
+    //   - a fixed calibration query (constant work, no table inputs) timed
+    //     after warmup and again after the last timed query — if machine
+    //     conditions are stable the two times agree; a large ratio flags a
+    //     mid-run shift.
+    def loadavg(): Double =
+      java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(1L << 22).selectExpr("sum(id * 3 + 1) AS s")
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val loadBefore = loadavg()
+    val calibFirst = calibrate()
+
     // optional comma-separated query filter for local iteration; the driver
     // never sets it, so per-round benches always time the full suite
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -98,10 +120,15 @@ object Bench {
             }
             name -> (System.nanoTime() - t0) / 1e9
           })
+    val calibLast = calibrate()
+    val loadAfter = loadavg()
     // Locale.ROOT: the f interpolator uses the JVM default locale, so a
     // comma-decimal locale would emit 0,468 and break the driver's JSON parse
     def jnum(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val contention =
+      s""""loadavg_before":${jnum(loadBefore)},"loadavg_after":${jnum(loadAfter)},""" +
+      s""""calib_first_s":${jnum(calibFirst)},"calib_last_s":${jnum(calibLast)}"""
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + jnum(v) }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
@@ -115,7 +142,7 @@ object Bench {
     // cpus recorded so a run under different local[N] conditions can't be
     // mistaken for a like-for-like regression; quoted because the env value
     // may be non-numeric ("*" for local[*]) and must not break the JSON
-    val full = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":$sfNum,"sf_dir":"$sfDir","cpus":"$cpus"}"""
+    val full = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":$sfNum,"sf_dir":"$sfDir","cpus":"$cpus",$contention}"""
     println(full)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
@@ -137,7 +164,7 @@ object Bench {
     val he = errors.take(3)
       .map { case (k, v) => s"\"" + k + "\":\"" + v.take(60) + "\"" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"queries":$hq,"errors":$he,"sf":$sfNum,"cpus":"$cpus"}""")
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"queries":$hq,"errors":$he,"sf":$sfNum,"cpus":"$cpus",$contention}""")
     graft.llm.Dedup.releaseCaches()
     spark.stop()
   }

@@ -16,7 +16,9 @@ final case class TrialRow(
     sample_type: String,
     early_stopped: Boolean,
     duration_ms: Long,
-    metric_history: Seq[(Long, Double)])
+    metric_history: Seq[(Long, Double)],
+    // non-driving metrics of a dict-returning train fn (Reporter.logMetric)
+    extras: Map[String, Double] = Map.empty)
 
 /** Experiment summary (reference result dict,
   * maggy/core/experiment_driver/optimization_driver.py:360-376). */
@@ -90,7 +92,7 @@ object Graft {
       require(metrics.contains(key),
         s"train fn returned metrics ${metrics.keys.mkString(",")} without optimization key '$key'")
       metrics.foreach { case (k, v) =>
-        if (k != key) ctx.reporter.log(s"metric $k=$v")
+        if (k != key) ctx.reporter.logMetric(k, v)
       }
       metrics(key)
     }
@@ -297,13 +299,22 @@ object Graft {
     val lines = r.trials.map { t =>
       s"""{"trial_id": ${js(t.trial_id)}, "hparams": ${t.params_json}, """ +
         s""""metric": ${t.metric.map(_.toString).getOrElse("null")}, """ +
-        s""""budget": ${t.budget.map(_.toString).getOrElse("null")}}"""
+        s""""budget": ${t.budget.map(_.toString).getOrElse("null")}, """ +
+        s""""extras": ${extrasJson(t.extras)}}"""
     }
     val dir = java.nio.file.Paths.get(logDir)
     java.nio.file.Files.createDirectories(dir)
     java.nio.file.Files.writeString(dir.resolve("hparams.jsonl"),
       lines.mkString("", "\n", "\n"))
   }
+
+  /** The full non-driving metric map of a dict-returning train fn
+    * (NaN/Infinity are not JSON — render as null like gang's result.json). */
+  private def extrasJson(extras: Map[String, Double]): String =
+    extras.map { case (k, v) =>
+      val num = if (java.lang.Double.isFinite(v)) v.toString else "null"
+      s"${HV.S(k).jsonRender}: $num"
+    }.mkString("{", ", ", "}")
 
   /** Persist the experiment-LEVEL hparams config as `<logDir>/tb_hparams.json`
     * — the domain/metric declaration the reference writes through the
@@ -345,7 +356,8 @@ object Graft {
         s""""budget": ${t.budget.map(_.toString).getOrElse("null")}, """ +
         s""""sample_type": ${js(t.sample_type)}, """ +
         s""""early_stopped": ${t.early_stopped}, """ +
-        s""""duration_ms": ${t.duration_ms}}"""
+        s""""duration_ms": ${t.duration_ms}, """ +
+        s""""extras": ${extrasJson(t.extras)}}"""
     }.mkString("[", ", ", "]")
     val json =
       s"""{"best_id": ${js(r.bestId)}, "best_config": ${Trial.canonicalJson(r.bestConfig)}, """ +
@@ -367,7 +379,8 @@ object Graft {
     sample_type = t.sampleType,
     early_stopped = t.earlyStop,
     duration_ms = t.durationMs,
-    metric_history = t.metricHistory.map(p => (p.step, p.value)))
+    metric_history = t.metricHistory.map(p => (p.step, p.value)),
+    extras = t.extras)
 
   /** Finished trials as a Dataset for data-plane analytics (A1/A4/W1 shapes
     * over experiment results). */

@@ -33,6 +33,14 @@ final class Trial(
   @volatile var durationMs: Long = 0L
 
   private val history = scala.collection.mutable.ArrayBuffer.empty[MetricPoint]
+  // non-driving metrics from a dict-returning train fn (Reporter.logMetric);
+  // LinkedHashMap so persistence order matches arrival order
+  private val extrasMap = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+  def putExtra(key: String, value: Double): Unit = synchronized { extrasMap(key) = value }
+  def extras: Map[String, Double] = synchronized {
+    scala.collection.immutable.ListMap.from(extrasMap)
+  }
 
   def appendMetric(step: Long, value: Double): Unit = synchronized {
     // drop duplicate steps (at-least-once heartbeats), require monotone steps

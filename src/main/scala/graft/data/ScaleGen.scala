@@ -1,0 +1,170 @@
+package graft.data
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic scale-up generator for the driver testdata family.
+  *
+  * Purpose: the repo's central performance claim — Spark's fixed per-query
+  * local-mode floor amortizes while distributed plans win wherever data
+  * volume dominates — needs a measurement at a scale factor the driver does
+  * not ship. This main writes a `factor`× corpus (default 10×, i.e. "sf1"
+  * relative to sf0.1) that continues the SAME generative family as the
+  * driver's seed-42 tables, so per-query scaling factors are attributable to
+  * data volume, not a distribution shift:
+  *
+  *   - facts (`orders`, `lineitem`): replicated `factor`× with order-key
+  *     offsets, preserving the exact 1:N orders↔lineitem fan-out and all
+  *     value distributions; `o_custkey`/`l_partkey`/`l_suppkey` stay in the
+  *     original dim ranges (facts grow, dims don't — the realistic shape,
+  *     and it keeps the star-join dims broadcastable at any factor);
+  *   - dims + `events`: copied as-is;
+  *   - `documents`: synthesized from scratch (replication would give every
+  *     doc `factor` exact copies and destroy dedup semantics) with the
+  *     observed sf0.1 statistics: the same 30-word base vocabulary, uniform
+  *     10..100 words/doc, empirical language weights, `src0..src19` sources,
+  *     and the driver's planted-duplicate structure at identical per-capita
+  *     rates — an exact-dup pair every 640 docs (sf0.1: 8/5000) and a
+  *     near-dup pair every 20 docs (sf0.01: 25/500; appending one trailing
+  *     "dup" token adds exactly one 3-shingle, so planted pairs land at
+  *     jaccard = (n-2)/(n-1) ≥ 0.88 — the ≥ 0.8 regime d6/d8 cut at);
+  *   - `embeddings`: 10 seeded unit centroids on the 64-d sphere, points =
+  *     normalize(3·center + N(0,1) noise), labels uniform — matching the
+  *     observed L2-normalized 10-cluster structure.
+  *
+  * Every row is a pure function of (SEED, row id): near-dup planting
+  * re-derives its base text from the neighbouring id instead of joining,
+  * so generation is one embarrassingly-parallel pass at any factor.
+  *
+  * Usage: runMain graft.data.ScaleGen [srcSfDir] [outDir] [factor]
+  */
+object ScaleGen {
+  private val SEED = 1042L
+
+  /** splitmix64 — decorrelates java.util.Random streams seeded by
+    * consecutive row ids. */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/tmp/graft_scale/sf1")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+
+    val spark = SparkSession.builder()
+      .appName("graft-scalegen")
+      .master(s"local[${Runtime.getRuntime.availableProcessors()}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def write(df: DataFrame, name: String, files: Int): Unit =
+      df.repartition(files).write.mode("overwrite")
+        .parquet(s"$out/$name.parquet")
+
+    // --- dims + events: copy unchanged -----------------------------------
+    for (t <- Seq("region", "nation", "customer", "supplier", "part"))
+      write(spark.read.parquet(s"$src/$t.parquet"), t, 1)
+    // events.ts is TIMESTAMP(NANOS); with nanosAsLong it round-trips as int64
+    // and Tables' ns→µs conversion still applies on read.
+    write(spark.read.parquet(s"$src/events.parquet"), "events", 2)
+
+    // --- facts: replicate with key offsets --------------------------------
+    val orders = spark.read.parquet(s"$src/orders.parquet")
+    val lineitem = spark.read.parquet(s"$src/lineitem.parquet")
+    val span = orders.agg(max("o_orderkey")).as[Long].head() + 1L
+    val replicas = spark.range(factor).select(col("id").as("rep"))
+    write(
+      orders.crossJoin(broadcast(replicas))
+        .withColumn("o_orderkey", col("o_orderkey") + col("rep") * span)
+        .drop("rep").select(orders.columns.map(col).toSeq: _*),
+      "orders", 4)
+    write(
+      lineitem.crossJoin(broadcast(replicas))
+        .withColumn("l_orderkey", col("l_orderkey") + col("rep") * span)
+        .drop("rep").select(lineitem.columns.map(col).toSeq: _*),
+      "lineitem", 8)
+
+    // --- documents: synthesize at observed statistics ---------------------
+    val srcDocs = spark.read.parquet(s"$src/documents.parquet")
+    val nDocs = srcDocs.count() * factor
+    // base vocab = observed tokens minus the "dup" mutation marker
+    val vocab = srcDocs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "dup").distinct().as[String].collect().sorted
+    // empirical language weights → cumulative thresholds
+    val langCum: Array[(Double, String)] = {
+      val counts = srcDocs.groupBy("lang").count()
+        .as[(String, Long)].collect().sortBy(_._1)
+      val total = counts.map(_._2).sum.toDouble
+      var acc = 0.0
+      counts.map { case (l, c) => acc += c / total; (acc, l) }
+    }
+    val nSources = srcDocs.select("source").distinct().count().toInt
+
+    val vocabB = spark.sparkContext.broadcast(vocab)
+    val langB = spark.sparkContext.broadcast(langCum)
+    val docs = spark.range(nDocs).mapPartitions { it =>
+      val vocab = vocabB.value
+      val langCum = langB.value
+      def gen(id: Long): (Array[String], String, String) = {
+        val rng = new java.util.Random(mix(SEED ^ id))
+        val n = 10 + rng.nextInt(91)
+        val words = Array.fill(n)(vocab(rng.nextInt(vocab.length)))
+        val u = rng.nextDouble()
+        val lang = langCum.find(_._1 >= u).map(_._2).getOrElse(langCum.last._2)
+        val source = "src" + rng.nextInt(nSources)
+        (words, lang, source)
+      }
+      it.map { id =>
+        val (_, lang, source) = gen(id)
+        val words =
+          if (id % 640 == 1) gen(id - 1)._1            // exact-dup pair
+          else if (id % 20 == 3) gen(id - 1)._1 :+ "dup" // near-dup pair
+          else gen(id)._1
+        val text = words.mkString(" ")
+        (id, text, lang, source, text.length.toLong)
+      }
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    write(docs, "documents", 8)
+
+    // --- embeddings: 10 seeded spherical clusters -------------------------
+    val srcEmb = spark.read.parquet(s"$src/embeddings.parquet")
+    val nVecs = srcEmb.count() * factor
+    val dim = 64
+    val centers: Array[Array[Double]] = {
+      val r = new java.util.Random(mix(SEED + 7))
+      Array.fill(10) {
+        val c = Array.fill(dim)(r.nextGaussian())
+        val n = math.sqrt(c.map(x => x * x).sum)
+        c.map(_ / n)
+      }
+    }
+    val centersB = spark.sparkContext.broadcast(centers)
+    val embs = spark.range(nVecs).mapPartitions { it =>
+      val centers = centersB.value
+      it.map { id =>
+        val rng = new java.util.Random(mix(SEED ^ (id + 0x5eed)))
+        val label = (id % 10).toInt
+        val v = centers(label).map(c => 3.0 * c + rng.nextGaussian())
+        val n = math.sqrt(v.map(x => x * x).sum)
+        (id, v.map(x => (x / n).toFloat), label)
+      }
+    }.toDF("vec_id", "embedding", "label")
+    write(embs, "embeddings", 4)
+
+    // summary line for the generation log
+    val counts = Tables.names.map { t =>
+      t -> spark.read.parquet(s"$out/$t.parquet").count()
+    }
+    println("SCALEGEN " + counts.map { case (t, c) => s"$t=$c" }.mkString(" "))
+    spark.stop()
+  }
+}

@@ -185,6 +185,18 @@ final class DriverServer(
       catch { case e: Throwable =>
         Console.err.println(s"[graft-server] logSink threw: $e")
       }
+      // `metric <k>=<v>` lines (Reporter.logMetric — the non-driving metrics
+      // of a dict-returning train fn) ALSO parse back into the trial's
+      // extras map so the full metric dict persists per trial (reference:
+      // util.py handle_return_val writes the whole return dict), not just
+      // the console relay
+      msg.getOrElse("text", "") match {
+        case DriverServer.MetricLine(k, v) =>
+          val value = try v.toDouble catch { case _: NumberFormatException => Double.NaN }
+          if (!value.isNaN)
+            lock.synchronized(trials.get(msg("trial_id")).foreach(_.putExtra(k, value)))
+        case _ =>
+      }
       // per-trial log files (reference: trial_executor.py:137-142 log dirs)
       logDir.foreach { root =>
         val dir = java.nio.file.Paths.get(root, "trials")
@@ -224,6 +236,9 @@ final class DriverServer(
 }
 
 object DriverServer {
+  /** The wire shape Reporter.logMetric emits. */
+  private[exec] val MetricLine = """metric ([^=\n]+)=(\S+)""".r
+
   /** Default live log relay: print each executor train-fn line on the
     * driver console under its trial prefix as it arrives (the reference's
     * executor-print experience, reporter.py:166-170, surfaced driver-side). */

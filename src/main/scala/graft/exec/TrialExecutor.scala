@@ -32,6 +32,17 @@ final class Reporter(trialId: String, sink: (Long, Double) => Unit = (_, _) => (
     if (stopFlag) throw new EarlyStopException(metric)
   }
   def log(msg: String): Unit = logQueue.add(msg)
+
+  /** Attach a NON-DRIVING metric to this trial (reference: the extra keys of
+    * a dict-returning train fn, util.py:159-199 handle_return_val persists
+    * the full return dict per trial). Ships as a `metric <k>=<v>` line on
+    * the log channel; the driver parses it back into the trial's `extras`
+    * map, which lands in hparams.jsonl and result.json. */
+  def logMetric(key: String, value: Double): Unit = {
+    require(!key.contains("=") && !key.contains("\n"),
+      s"metric key must not contain '=' or newline: '$key'")
+    log(s"metric $key=$value")
+  }
   def id: String = trialId
 }
 

@@ -213,8 +213,8 @@ object Dedup {
         |near AS (
         |  SELECT DISTINCT b.doc_id
         |  FROM sh b JOIN sh c ON b.doc_id % 7 = 0 AND c.doc_id % 7 <> 0
-        |  WHERE CAST(len(list_intersect(b.shingles, c.shingles)) AS DOUBLE) /
-        |        (len(b.shingles) + len(c.shingles) - len(list_intersect(b.shingles, c.shingles))) >= 0.8)
+        |  WHERE round(CAST(len(list_intersect(b.shingles, c.shingles)) AS DOUBLE) /
+        |        (len(b.shingles) + len(c.shingles) - len(list_intersect(b.shingles, c.shingles))), 6) >= 0.8)
         |SELECT doc_id,
         |       doc_id IN (SELECT doc_id FROM ex) AS dup_exact,
         |       doc_id IN (SELECT doc_id FROM near) AS dup_near,
@@ -240,13 +240,19 @@ object Dedup {
     * that duplicates any CORPUS doc (the rest) — see the d8 comment for the
     * operator rationale and the 100 TB fingerprint-store shape. Output:
     * (doc_id, dup_exact, dup_near, keep) for batch docs only.
-    * `nearThreshold` is 3-shingle jaccard; the exact check is md5(text). */
+    * `nearThreshold` is 3-shingle jaccard; the exact check is md5(text).
+    * A row where `isBatch` evaluates to NULL is treated as CORPUS (the
+    * conservative side: an of-unknown-membership doc can still mark batch
+    * docs as duplicates but is never itself flagged or kept-listed). */
   def incrementalDedup(docs: DataFrame, isBatch: Column,
       nearThreshold: Double = 0.8): DataFrame = {
+    // NULL-predicate rows must land on exactly one side: filter(pred) and
+    // filter(!pred) BOTH drop NULLs, silently losing such docs entirely
+    val isBatch0 = coalesce(isBatch, lit(false))
     // exact: 32-byte keys only cross the wire — never text
-    val corpusHashes = docs.filter(!isBatch)
+    val corpusHashes = docs.filter(!isBatch0)
       .select(md5(col("text")).as("h")).distinct()
-    val exactDup = docs.filter(isBatch)
+    val exactDup = docs.filter(isBatch0)
       .select(col("doc_id"), md5(col("text")).as("h"))
       .join(corpusHashes, Seq("h"), "left_semi")
       .select(col("doc_id"), lit(true).as("dup_exact"))
@@ -255,8 +261,8 @@ object Dedup {
     // table's id columns via semi-joins against the batch/corpus id sets,
     // so ANY isBatch expression over the docs columns stays valid (a
     // broadcast of ids at realistic batch sizes).
-    val batchIds = docs.filter(isBatch).select("doc_id")
-    val corpusIds = docs.filter(!isBatch).select("doc_id")
+    val batchIds = docs.filter(isBatch0).select("doc_id")
+    val corpusIds = docs.filter(!isBatch0).select("doc_id")
     val pairs = sharedScoredPairs(docs).filter(col("jaccard") >= nearThreshold)
     val oriented = pairs
       .select(col("doc_a").as("doc_id"), col("doc_b").as("other"))
@@ -266,7 +272,7 @@ object Dedup {
       .join(corpusIds.select(col("doc_id").as("other")), Seq("other"), "left_semi")
       .select("doc_id").distinct()
       .select(col("doc_id"), lit(true).as("dup_near"))
-    docs.filter(isBatch).select("doc_id")
+    docs.filter(isBatch0).select("doc_id")
       .join(exactDup, Seq("doc_id"), "left_outer")
       .join(nearDup, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
@@ -296,10 +302,17 @@ object Dedup {
     * a boilerplate-heavy corpus and proves the join-row reduction plus
     * near-dup recall. */
   def boundedScoredPairs(docs: DataFrame, maxDf: Int): DataFrame = {
+    // the exploded (doc_id, h) token table from the shared cache; set sizes
+    // come from a per-doc count over it (shingle hashes are distinct per
+    // doc) and are taken BEFORE pruning so they stay exact
     val tok = sharedTokens(docs)
-    val keep = tok.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("h")
-    val tokKept = tok.join(keep, "h")
+    val tokKept =
+      if (maxDf == Int.MaxValue) tok // unbounded = the exact d4/d6 pair table
+      else {
+        val keep = tok.groupBy("h").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf).select("h")
+        tok.join(keep, "h")
+      }
     val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = tokKept.select(col("doc_id").as("doc_a"), col("h"))
       .join(tokKept.select(col("doc_id").as("doc_b"), col("h")), "h")
@@ -314,23 +327,8 @@ object Dedup {
         round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 6).as("jaccard"))
   }
 
-  private def scoredNgramPairs(docs: DataFrame): DataFrame = {
-    // the exploded (doc_id, h) token table from the shared cache; set sizes
-    // come from a per-doc count over it (shingle hashes are distinct per doc)
-    val tok = sharedTokens(docs)
-    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = tok.select(col("doc_id").as("doc_a"), col("h"))
-      .join(tok.select(col("doc_id").as("doc_b"), col("h")), "h")
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).cast("double").as("n_inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
-      .select(
-        col("doc_a"), col("doc_b"),
-        round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 6).as("jaccard"))
-  }
+  private def scoredNgramPairs(docs: DataFrame): DataFrame =
+    boundedScoredPairs(docs, Int.MaxValue)
 
   // ---- shared per-corpus caches -------------------------------------------
   // Two tracked caches serve the whole dedup family:

@@ -440,15 +440,34 @@ class LagomSpec extends AnyFunSuite {
         Map("val_acc" -> -(x - 3.2) * (x - 3.2), "train_loss" -> x * 0.1)
       }
     }
+    val logDir = java.nio.file.Files.createTempDirectory("graft-multi").toString
     val res = Graft.lagomMultiLocal(HyperparameterOptConfig(
       numTrials = 6, optimizer = "randomsearch", searchspace = space,
       direction = Direction.Max, optimizationKey = "val_acc", esPolicy = "none",
-      hbIntervalMs = 50,
+      hbIntervalMs = 50, logDir = Some(logDir),
       logSink = Some((_, line) => relayed.add(line))), parallelism = 2)(MultiFn)
     assert(res.numTrials == 6)
     assert(res.bestMetric <= 0.0) // val_acc is ≤ 0 by construction
     assert(relayed.toArray(Array.empty[String]).exists(_.startsWith("metric train_loss=")),
       s"non-driving metric not relayed: ${relayed.toArray.toSeq}")
+    // the full metric dict PERSISTS per trial (reference handle_return_val
+    // writes the whole return dict): extras land on the in-memory rows and
+    // in hparams.jsonl / result.json, with values matching the train fn
+    assert(res.trials.forall(t => t.extras.keySet == Set("train_loss")),
+      s"extras missing on trial rows: ${res.trials.map(_.extras)}")
+    res.trials.foreach { t =>
+      val x = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+        .readTree(t.params_json).get("x").asDouble()
+      assert(math.abs(t.extras("train_loss") - x * 0.1) < 1e-9)
+    }
+    val hparamsLines = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(logDir, "hparams.jsonl")).trim.split("\n")
+    assert(hparamsLines.length == 6 &&
+      hparamsLines.forall(_.contains(""""extras": {"train_loss": """)),
+      s"extras not persisted in hparams.jsonl: ${hparamsLines.head}")
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(logDir, "result.json"))
+      .contains(""""extras": {"train_loss": """))
     // a fn that omits the key fails ITS trial (ERROR), experiment completes
     object MissingKeyFn extends Graft.MultiTrainFn {
       def apply(ctx: TrialContext): Map[String, Double] =
