@@ -247,18 +247,29 @@ object Graft {
     r.optimizer.initialize(r.searchspace, r.numTrials, r.direction, r.seed)
     // the hparams CONFIG is written before training starts, like the
     // reference (_write_hparams_config runs at experiment setup), so a
-    // dashboard can render the table while trials stream in
-    if (r.searchspace.params.nonEmpty)
-      r.logDir.foreach(writeTbHparamsConfig(_, r.searchspace))
+    // dashboard can render the table while trials stream in — both the
+    // plain-JSON rendering and the real TensorBoard hparams-plugin event
+    // file (reference tensorboard.py:76-103)
+    if (r.searchspace.params.nonEmpty) r.logDir.foreach { d =>
+      writeTbHparamsConfig(d, r.searchspace)
+      TbHparams.writeExperiment(d, r.searchspace)
+    }
     val server = new DriverServer(r.optimizer, r.direction, r.esRule,
       r.esIntervalSteps, r.esMin, r.logDir,
       r.logSink.getOrElse(DriverServer.consoleSink))
     server.start()
     try {
       launch(server.host, server.port, server.authSecret)
-      val result = summarize(r.optimizer.finalStore.toSeq, r.direction,
+      val finals = r.optimizer.finalStore.toSeq
+      val result = summarize(finals, r.direction,
         server.earlyStoppedCount, server.erroredCount, t0)
-      r.logDir.foreach { d => writeResultJson(d, result); writeHparamsLog(d, result) }
+      r.logDir.foreach { d =>
+        writeResultJson(d, result); writeHparamsLog(d, result)
+        // per-trial TB hparams sessions (reference tensorboard.py:105-107)
+        if (r.searchspace.params.nonEmpty) finals.foreach { t =>
+          TbHparams.writeSession(d, t.trialId, t.paramsSansBudget, t.finalMetric)
+        }
+      }
       result
     } finally server.stop()
   }

@@ -21,7 +21,7 @@ object Dedup {
 
   val entries: Seq[QueryDef] = Seq(
     // d0: explicit build step for the shared per-corpus caches (the
-    // localCheckpoint'ed shingle arrays + the threshold-independent scored
+    // localCheckpoint'ed shingle arrays + the ≥ PairCacheFloor scored
     // pair table) that the whole dedup family reuses. Declared FIRST in the
     // family so a declaration-ordered run charges the one-time build to this
     // named line instead of whichever dedup query happens to run first — the
@@ -263,7 +263,7 @@ object Dedup {
     // broadcast of ids at realistic batch sizes).
     val batchIds = docs.filter(isBatch0).select("doc_id")
     val corpusIds = docs.filter(!isBatch0).select("doc_id")
-    val pairs = sharedScoredPairs(docs).filter(col("jaccard") >= nearThreshold)
+    val pairs = exactNgramJaccardPairs(docs, nearThreshold)
     val oriented = pairs
       .select(col("doc_a").as("doc_id"), col("doc_b").as("other"))
       .union(pairs.select(col("doc_b").as("doc_id"), col("doc_a").as("other")))
@@ -290,7 +290,23 @@ object Dedup {
     * same posting join with different final filters — exactly the pattern a
     * production pipeline uses (materialize pairs once, filter downstream). */
   def exactNgramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame =
-    sharedScoredPairs(docs).filter(col("jaccard") >= threshold)
+    if (threshold >= PairCacheFloor)
+      sharedScoredPairs(docs).filter(col("jaccard") >= threshold)
+    else // below the cache floor: full pair space, recomputed uncached
+      scoredNgramPairs(docs).filter(col("jaccard") >= threshold)
+
+  /** Lowest jaccard the shared pair cache retains. Pairs below 0.1 never
+    * serve a dedup decision (d4 reports ≥ 0.1, d6/d8/d3 cut at ≥ 0.8), but
+    * at scale they dominate the pair space: with a bounded vocabulary the
+    * ≥1-shared-shingle candidate set grows ~quadratically in corpus size
+    * (measured on the 10× ScaleGen corpus: 50k docs → ~1.2×10⁸ candidates,
+    * ~5 GB persisted — block-store churn that moved OTHER bench lines by
+    * tens of seconds), while the ≥ 0.1 set stays ~linear. Filtering before
+    * the persist keeps the one-time build CPU (the posting join + count
+    * aggregation — the exact algorithm's irreducible cost) but shrinks the
+    * retained cache by ~5 orders of magnitude. Requests below the floor
+    * (analysis / tests) recompute the full table, uncached. */
+  val PairCacheFloor: Double = 0.1
 
   /** Posting join with STOP-SHINGLE pruning — the 100 TB guard: a
     * boilerplate shingle with document frequency k contributes k²/2 join
@@ -336,8 +352,9 @@ object Dedup {
   //     exploded (doc_id, shingle-hash) view (see sharedTokens). Consumers:
   //     the posting join (d4/d6), the contamination scan (d7), and the
   //     minhash signatures (d3).
-  //   pairCache   — the threshold-independent scored pair table (d4 reports
-  //     ≥ 0.1, d6 clusters ≥ 0.8, d3 verifies its LSH candidates against it).
+  //   pairCache   — the scored pair table at jaccard ≥ PairCacheFloor (d4
+  //     reports ≥ 0.1, d6 clusters ≥ 0.8, d3 verifies its LSH candidates
+  //     against it; see PairCacheFloor for why sub-floor pairs are not kept).
   // Tracked so the lifecycle is explicit: callers done with a corpus call
   // releaseCaches() — the round-3 version persisted per call and never
   // unpersisted, accumulating untracked blocks across a Verify/Bench run.
@@ -372,7 +389,8 @@ object Dedup {
 
   private def sharedScoredPairs(docs: DataFrame): DataFrame =
     pairCache.getOrElseUpdate(corpusKey(docs),
-      scoredNgramPairs(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      scoredNgramPairs(docs).filter(col("jaccard") >= PairCacheFloor)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Release every tracked token/pair cache (end of a Verify/Bench run, or
     * between corpora in a long-lived session). The token cache holds
@@ -639,8 +657,7 @@ object Dedup {
           b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
-    cands.join(sharedScoredPairs(docs), Seq("doc_a", "doc_b"))
-      .filter(col("jaccard") >= jaccardThreshold)
+    cands.join(exactNgramJaccardPairs(docs, jaccardThreshold), Seq("doc_a", "doc_b"))
       .select("doc_a", "doc_b", "jaccard")
   }
 }

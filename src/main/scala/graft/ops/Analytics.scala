@@ -146,7 +146,9 @@ object Analytics {
     // rolls up per-shard counts/id-sums — the roundtrip must be the
     // identity and the shard function must match the oracle exactly.
     // 100 TB: the shard hash is map-side; the single shuffle is the
-    // repartition on shard_id, moving each row once to its output shard.
+    // value-aligned repartition (Partitioning.alignByValue — partition
+    // index == shard_id, so shard ↔ output file is 1:1 and loader ranks
+    // align with shard files), moving each row once to its output shard.
     QueryDef("x4_shard_export",
       """SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 8 AS shard_id,
         |       count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
@@ -159,7 +161,7 @@ object Analytics {
         .select(col("doc_id"),
           (conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
             .cast("long") % 8).as("shard_id"))
-        .repartition(8, col("shard_id"))
+        .transform(Partitioning.alignByValue(_, col("shard_id"), 8))
         .write.mode("overwrite").format("tfrecord")
         .option("compression", "gzip").save(tmp)
       s.read.format("tfrecord")

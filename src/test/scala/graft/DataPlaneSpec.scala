@@ -353,4 +353,36 @@ class DataPlaneSpec extends AnyFunSuite {
       Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
     assert(messages(boom).exists(_.contains("keyUniform")), s"wrong error: $boom")
   }
+
+  test("alignByValue: partition index == shard value, 1:1 shard -> output file") {
+    import spark.implicits._
+    import org.apache.spark.TaskContext
+    val n = 8
+    // every shard value present with skewed counts (the regime where plain
+    // hash repartition collides shards into shared files)
+    val df = (0 until 2000).map(i => (i.toLong, (i % n).toLong)).toDF("doc_id", "shard_id")
+    val aligned = graft.ops.Partitioning.alignByValue(df, col("shard_id"), n)
+    val placed = aligned
+      .select(col("shard_id"))
+      .mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        it.map(r => (pid, r.getLong(0)))
+      }.distinct().collect()
+    assert(placed.length == n, s"expected $n (partition, shard) placements: ${placed.toSeq}")
+    assert(placed.forall { case (pid, shard) => pid.toLong == shard },
+      s"partition index != shard value: ${placed.toSeq.sorted}")
+
+    // and through the x4 sink: exactly one TFRecord file per shard, file k
+    // holding only shard k (sorted listing == shard order for the loader)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-align").toString
+    aligned.write.mode("overwrite").format("tfrecord").save(tmp)
+    val files = graft.sources.Datasets.dataFiles(spark, tmp)
+    assert(files.length == n, s"expected $n shard files, got ${files.length}")
+    files.zipWithIndex.foreach { case (f, k) =>
+      val shards = spark.read.format("tfrecord")
+        .schema("doc_id BIGINT, shard_id BIGINT").load(f)
+        .select("shard_id").distinct().as[Long].collect().toSeq
+      assert(shards == Seq(k.toLong), s"file $f holds shards $shards, expected $k")
+    }
+  }
 }

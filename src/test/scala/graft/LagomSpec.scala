@@ -160,7 +160,10 @@ class LagomSpec extends AnyFunSuite {
     assert(txt.contains("\"best_id\": \"" + res.bestId + "\""))
     assert(txt.contains("\"num_trials\": 4"))
     val trialsDir = java.nio.file.Paths.get(logDir, "trials")
+    // trials/ holds <id>.log files plus one TB-session directory per trial
+    // (TbHparams.writeSession) — count only the logs here
     val logFiles = java.nio.file.Files.list(trialsDir).toArray.map(_.toString)
+      .filter(_.endsWith(".log"))
     assert(logFiles.length == 4, s"expected 4 trial logs, got ${logFiles.toSeq}")
     res.trials.foreach { t =>
       val content = java.nio.file.Files.readString(
@@ -480,6 +483,54 @@ class LagomSpec extends AnyFunSuite {
       esPolicy = "none"), parallelism = 2)(MissingKeyFn)
     assert(res2.errored > 0 && res2.numTrials + res2.errored == 8,
       s"expected errored+finalized == 8: $res2")
+  }
+
+  test("TensorBoard hparams event files: framing, plugin headers, domains, sessions") {
+    import graft.exec.TbHparams
+    val logDir = java.nio.file.Files.createTempDirectory("graft-tb").toString
+    val mixedSpace = Searchspace(Seq(
+      DoubleParam("lr", 0.001, 0.1), IntParam("layers", 1, 4),
+      CategoricalParam("opt", Seq("sgd", "adam"))))
+    val res = Graft.lagomLocal(HyperparameterOptConfig(
+      numTrials = 4, optimizer = "randomsearch", searchspace = mixedSpace,
+      direction = Direction.Max, esPolicy = "none", logDir = Some(logDir)),
+      parallelism = 2) { (ctx: TrialContext) => ctx.double("lr") * 10 }
+    assert(res.numTrials == 4)
+
+    // experiment-level file: TFRecord framing + file_version + the
+    // hparams-plugin header carrying the Experiment message with the domains
+    val expFile = new java.io.File(logDir).listFiles()
+      .filter(_.getName.contains("tfevents")).map(_.getPath).toSeq
+    assert(expFile.size == 1, s"expected one experiment tfevents file: $expFile")
+    val expRecords = TbHparams.readEvents(expFile.head)
+    assert(expRecords.head.fileVersion.contains("brain.Event:2"))
+    val expRec = expRecords.find(_.tag.contains(TbHparams.ExperimentTag))
+    assert(expRec.isDefined, s"no ${TbHparams.ExperimentTag} record: $expRecords")
+    assert(expRec.get.pluginName.contains(TbHparams.PluginName))
+    val content = new String(expRec.get.pluginContent.get,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    for (name <- Seq("lr", "layers", "opt", "sgd", "adam", "metric"))
+      assert(content.contains(name), s"experiment plugin data missing '$name'")
+
+    // per-trial session files: start info (with the hparam names), the
+    // final-metric scalar, end info — all under trials/<id>/
+    res.trials.foreach { t =>
+      val dir = java.nio.file.Paths.get(logDir, "trials", t.trial_id).toFile
+      val sessFiles = dir.listFiles().filter(_.getName.contains("tfevents"))
+      assert(sessFiles.length == 1, s"expected one session file in $dir")
+      val recs = TbHparams.readEvents(sessFiles.head.getPath)
+      val start = recs.find(_.tag.contains(TbHparams.SessionStartTag))
+      assert(start.isDefined && start.get.pluginName.contains(TbHparams.PluginName))
+      val sc = new String(start.get.pluginContent.get,
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      for (name <- Seq("lr", "layers", "opt", t.trial_id))
+        assert(sc.contains(name), s"session start info missing '$name'")
+      assert(recs.exists(_.tag.contains(TbHparams.SessionEndTag)))
+      val scalar = recs.find(_.tag.contains("metric"))
+      assert(scalar.isDefined && scalar.get.simpleValue.isDefined)
+      assert(math.abs(scalar.get.simpleValue.get - t.metric.get) < 1e-4,
+        s"metric scalar ${scalar.get.simpleValue} != ${t.metric}")
+    }
   }
 
   test("TF cluster roles mirror the reference's chief/worker/evaluator table") {
