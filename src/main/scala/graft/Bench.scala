@@ -22,6 +22,14 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+      // NOTE on AQE sizing, measured on the 10× scale corpus: widening
+      // every shuffle (initialPartitionNum=16×cpus, advisory=16m) stabilized
+      // the one huge-cardinality aggregation (d0's ~1.2×10⁸-group posting
+      // join: 43-234 s swings at 32 GB heap → steady ~40 s) but taxed every
+      // iterative small-shuffle operator 2-5× (d6's CC rounds checkpoint
+      // hundreds of near-empty partitions per iteration). Session conf
+      // stays at Spark defaults; the posting join sizes its OWN pair-agg
+      // shuffle instead (Dedup.boundedScoredPairs).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

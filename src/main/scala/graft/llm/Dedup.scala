@@ -330,9 +330,21 @@ object Dedup {
         tok.join(keep, "h")
       }
     val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // The pair-count aggregation has ~quadratic group cardinality (every
+    // pair sharing ≥1 shingle — ~1.2×10⁸ groups on the 10× ScaleGen
+    // corpus), so it sizes its OWN shuffle instead of inheriting the
+    // session's reducer count: at `cpus` reducers each task builds a
+    // multi-GB hash map whose memory churn made the build swing 43-234 s
+    // run-to-run at large heaps; 8× keeps per-task state cache-sized
+    // (measured steady ~40 s) while costing small corpora only ~0.2 s of
+    // extra task launches. The explicit (doc_a, doc_b) repartition is the
+    // agg's own exchange — the groupBy reuses the distribution, so rows
+    // still move exactly once.
+    val pairAggParts = docs.sparkSession.sparkContext.defaultParallelism * 8
     val inter = tokKept.select(col("doc_id").as("doc_a"), col("h"))
       .join(tokKept.select(col("doc_id").as("doc_b"), col("h")), "h")
       .filter(col("doc_a") < col("doc_b"))
+      .repartition(pairAggParts, col("doc_a"), col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).cast("double").as("n_inter"))
     inter

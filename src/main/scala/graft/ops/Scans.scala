@@ -15,10 +15,18 @@ object Scans {
   /** Tmp-dir key for one-time derived layouts (s8 partitioned, s11 ORC):
     * sfDir plus the SOURCE file's size+mtime, so regenerated testdata
     * invalidates the cached layout instead of silently serving stale rows
-    * against a live oracle. */
+    * against a live oracle — plus this JVM's id, so the skip-if-built
+    * shortcut only applies WITHIN a process: a layout surviving from a
+    * previous run would turn the named setup lines (s8_partition_layout,
+    * s11_orc_write) into read-back-only timings and make round-over-round
+    * bench numbers not like-for-like. Within one run the shortcut still
+    * holds (the layout query builds, the prune/roundtrip queries reuse). */
+  private val jvmId: String =
+    java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+      .replaceAll("[^0-9a-zA-Z]", "")
   private def layoutKey(d: String, table: String): String = {
     val f = new java.io.File(s"$d/$table.parquet")
-    math.abs((d, f.length, f.lastModified).hashCode).toString
+    math.abs((d, f.length, f.lastModified).hashCode).toString + "_" + jvmId
   }
 
   val entries: Seq[QueryDef] = Seq(

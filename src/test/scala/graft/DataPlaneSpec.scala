@@ -354,6 +354,59 @@ class DataPlaneSpec extends AnyFunSuite {
     assert(messages(boom).exists(_.contains("keyUniform")), s"wrong error: $boom")
   }
 
+  test("AQE splits a planted 100x-skewed key on the lineitem-orders join shape") {
+    // The j2/j3 fact-dim joins rely on AQE's skew-join handling when a hot
+    // key appears at scale (one key holding ~half the fact rows — the
+    // regime where a static shuffle plan serializes on one straggler task).
+    // Plant that regime small and assert the runtime actually re-plans:
+    // the finalized adaptive plan must mark the join skew-handled.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> conf.getOption(k))
+    try {
+      // force a shuffle join (no broadcast) and thresholds small enough
+      // that the planted hot partition counts as skewed at test size
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "131072")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+      // fact: 200k rows, HALF on key 1 (the hot customer), rest uniform.
+      // The payload must be high-entropy: AQE sizes partitions from
+      // COMPRESSED shuffle bytes, and a constant pad (or the pruned-away
+      // key alone) compresses the planted skew out of existence.
+      val fact = spark.range(200000).select(
+        when(col("id") % 2 === 0, lit(1L)).otherwise(col("id") % 10000).as("k"),
+        col("id").as("v"), md5(col("id").cast("string")).as("pad"))
+      val dim = spark.range(10000).select(col("id").as("k"), col("id").as("w"))
+      // global agg downstream: a groupBy on the join key would pin the
+      // join's output partitioning (AQE refuses to split a skewed partition
+      // another operator still requires) — the j2/x-composition shapes
+      // aggregate on OTHER columns, which is the regime being locked here
+      // max(pad) keeps the payload column alive through the join's column
+      // pruning, so the shuffled rows carry their real width
+      val joined = fact.join(dim, "k")
+        .agg(count(lit(1)).as("n"), sum(col("w") === 1L cast "long").as("n_hot"),
+          max(col("pad")).as("p"))
+      val row = joined.collect().head
+      // correctness under the re-plan: every fact row matches exactly one
+      // dim row; the hot key keeps all 100020 rows (100k even ids + the 20
+      // odd ids ≡ 1 mod 10000)
+      assert(row.getLong(0) == 200000L && row.getLong(1) == 100020L, s"wrong agg: $row")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join (plan:\n${plan.take(2000)})")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("alignByValue: partition index == shard value, 1:1 shard -> output file") {
     import spark.implicits._
     import org.apache.spark.TaskContext
