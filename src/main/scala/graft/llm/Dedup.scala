@@ -384,8 +384,13 @@ object Dedup {
     * ~3s per evaluation — the checkpoint turns the generator into a bound
     * attribute. */
   def sharedTokens(docs: DataFrame): DataFrame =
+    sharedShingles(docs).select(col("doc_id"), explode(col("sh")).as("h"))
+
+  /** The cached (doc_id, sh: array<long>) shingle-set rows themselves —
+    * for consumers that need per-doc SETS (candidate verification's
+    * array_intersect) rather than the exploded posting view. */
+  private def sharedShingles(docs: DataFrame): DataFrame =
     tokenCache.getOrElseUpdate(corpusKey(docs), shingleSets(fanOut(docs)).localCheckpoint())
-      .select(col("doc_id"), explode(col("sh")).as("h"))
 
   /** CPU-parallelism guard for the shingle build: a single-row-group input
     * (row groups are Spark's split unit, so the small test corpus arrives
@@ -635,10 +640,16 @@ object Dedup {
     *      true near-dup pairs, not n² (vs the previous MLlib
     *      approxSimilarityJoin at distance 0.6, which passed ~85% of all
     *      pairs and was quadratic);
-    *   3. exact-Jaccard verification joins the candidates against the
-    *      shared scored-pair table (computed once per corpus for d4/d6) —
-    *      a candidate pair sharing zero shingles simply doesn't join and is
-    *      dropped, which is correct at any threshold > 0.
+    *   3. exact-Jaccard verification of the CANDIDATES ONLY: each pair
+    *      joins back to the cached shingle arrays and intersects directly —
+    *      O(candidates × doc-shingles), with NO dependence on the full
+    *      scored-pair table, so the LSH path stays feasible at corpus
+    *      sizes where the exact all-pairs ground truth (quadratic
+    *      candidate growth) no longer is. (Through round 7 this step
+    *      joined the shared pair table instead, silently pulling the whole
+    *      exact computation into d3's lineage.) A candidate pair sharing
+    *      zero shingles scores jaccard 0 and is dropped — correct at any
+    *      threshold > 0.
     *   Hot-bucket guard: a boilerplate-heavy corpus can put m docs in one
     *   bucket, whose m²/2 in-bucket pairs are generated inside ONE task —
     *   `maxBucketSize` caps the ids considered per bucket (other bands still
@@ -669,7 +680,14 @@ object Dedup {
           b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
-    cands.join(exactNgramJaccardPairs(docs, jaccardThreshold), Seq("doc_a", "doc_b"))
+    val sh = sharedShingles(docs)
+    cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", round(col("n_inter") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")), 6))
+      .filter(col("jaccard") >= jaccardThreshold)
       .select("doc_a", "doc_b", "jaccard")
   }
 }
