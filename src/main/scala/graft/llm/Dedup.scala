@@ -45,6 +45,17 @@ object Dedup {
         .agg(count(lit(1)).as("n_pairs"))
     },
 
+    // d0b: build step for the shingle/token cache ALONE — the ≥100× regime
+    // where the exact pair table (d0) has left the feasible set but the
+    // LSH/incremental/contamination operators still need the cached shingle
+    // arrays. A declaration-ordered run that excludes d0 charges the build
+    // here; after d0 it is a cache hit (~0 s). Output: corpus shingle
+    // totals (rows-only check; the cache's consumers are oracle-checked).
+    QueryDef.noOracle("d0b_shingle_cache") { (s, d) =>
+      sharedShingles(Tables(s, d, "documents"))
+        .agg(count(lit(1)).as("n_docs"), sum(size(col("sh"))).as("n_shingles"))
+    },
+
     // Exact dedup: md5(text) as the group key; keeper = lowest doc_id.
     QueryDef("d1_exact_dedup",
       """SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keeper
@@ -196,8 +207,9 @@ object Dedup {
     // like IvfIndex's saved layout — so the exact check is a bucket-
     // co-located join on 32-byte keys and the batch never rescans corpus
     // text; here the store is derived in-query because testdata is one
-    // table. Anti-join keep-list + posting-join near check both reuse the
-    // d0-built caches.
+    // table. The near check restricts the posting join to batch×corpus
+    // BEFORE pair aggregation (see incrementalDedup); only the token cache
+    // is shared with d0 — the pair cache is never touched.
     QueryDef("d8_incremental_dedup",
       """WITH ex AS (
         |  SELECT DISTINCT b.doc_id
@@ -222,6 +234,17 @@ object Dedup {
         |            OR doc_id IN (SELECT doc_id FROM near)) AS keep
         |FROM documents WHERE doc_id % 7 = 0""".stripMargin) { (s, d) =>
       incrementalDedup(Tables(s, d, "documents"), col("doc_id") % 7 === 0)
+    },
+
+    // d8b: the SAME incremental contract with the near check on the LSH
+    // path — the pass that stays feasible when even the batch×corpus
+    // exact join leaves the budget (the bounded-vocab 100× corpus: every
+    // shingle is common, so cross-candidate volume is itself ~quadratic).
+    // Probabilistic recall → no SQL oracle; DataPlaneSpec proves
+    // dup_exact identity, dup_near ⊆ exact d8's (candidates are
+    // exact-verified), and planted-dup recall.
+    QueryDef.noOracle("d8b_incremental_lsh") { (s, d) =>
+      incrementalDedupLsh(Tables(s, d, "documents"), col("doc_id") % 7 === 0)
     },
 
     // MinHash + banded AND/OR LSH near-dup pairs (probabilistic recall →
@@ -249,29 +272,61 @@ object Dedup {
     // NULL-predicate rows must land on exactly one side: filter(pred) and
     // filter(!pred) BOTH drop NULLs, silently losing such docs entirely
     val isBatch0 = coalesce(isBatch, lit(false))
-    // exact: 32-byte keys only cross the wire — never text
+    // near: the posting join RESTRICTED to batch×corpus before the pair
+    // aggregation — candidate volume is |batch postings| × shingle df,
+    // linear in batch size for a fixed corpus density. (Through round 8
+    // this step filtered the shared all-pairs table instead, silently
+    // pulling the corpus-quadratic computation into d8's lineage — the
+    // 100× ScaleGen corpus killed it with a task OOM.) The caller's
+    // predicate is re-bound to id sets via semi-joins, so ANY isBatch
+    // expression over the docs columns stays valid.
+    val nearIds = crossScoredPairs(docs,
+        docs.filter(isBatch0).select("doc_id"),
+        docs.filter(!isBatch0).select("doc_id"))
+      .filter(col("jaccard") >= nearThreshold)
+      .select("doc_id").distinct()
+    assembleIncremental(docs, isBatch0, nearIds)
+  }
+
+  /** [[incrementalDedup]] with the near check on the LSH path: minhash-band
+    * the corpus, generate in-bucket candidates, verify candidates against
+    * the cached shingle arrays, keep cross-side hits. This is the pass that
+    * stays feasible when even the batch×corpus-restricted EXACT join leaves
+    * the budget — the bounded-vocabulary regime where every shingle is
+    * common and cross-candidate volume is itself ~quadratic (the 100×
+    * ScaleGen corpus measures exactly this). dup_near recall is the LSH
+    * band recall (≥ 1-(1-t^r)^b, ~0.9998 at t = 0.8 with 16×4 bands);
+    * flagged pairs are exact-verified, so there are NO false positives vs
+    * [[incrementalDedup]] — DataPlaneSpec proves both properties. */
+  def incrementalDedupLsh(docs: DataFrame, isBatch: Column,
+      nearThreshold: Double = 0.8): DataFrame = {
+    val isBatch0 = coalesce(isBatch, lit(false))
+    val batchIds = docs.filter(isBatch0).select("doc_id")
+    val corpusIds = docs.filter(!isBatch0).select("doc_id")
+    val pairs = bandedLshPairs(docs, nearThreshold)
+    val oriented = pairs
+      .select(col("doc_a").as("doc_id"), col("doc_b").as("other"))
+      .union(pairs.select(col("doc_b").as("doc_id"), col("doc_a").as("other")))
+    val nearIds = oriented
+      .join(batchIds, Seq("doc_id"), "left_semi")
+      .join(corpusIds.select(col("doc_id").as("other")), Seq("other"), "left_semi")
+      .select("doc_id").distinct()
+    assembleIncremental(docs, isBatch0, nearIds)
+  }
+
+  /** Shared tail of the incremental-dedup variants: the md5 exact check
+    * (32-byte keys only cross the wire — never text) plus the
+    * (doc_id, dup_exact, dup_near, keep) assembly over batch rows.
+    * `nearIds`: batch doc_ids with a ≥-threshold corpus neighbour. */
+  private def assembleIncremental(docs: DataFrame, isBatch0: Column,
+      nearIds: DataFrame): DataFrame = {
     val corpusHashes = docs.filter(!isBatch0)
       .select(md5(col("text")).as("h")).distinct()
     val exactDup = docs.filter(isBatch0)
       .select(col("doc_id"), md5(col("text")).as("h"))
       .join(corpusHashes, Seq("h"), "left_semi")
       .select(col("doc_id"), lit(true).as("dup_exact"))
-    // near: the shared threshold-independent pair table, restricted to
-    // cross-side pairs. The caller's predicate is re-bound to the pair
-    // table's id columns via semi-joins against the batch/corpus id sets,
-    // so ANY isBatch expression over the docs columns stays valid (a
-    // broadcast of ids at realistic batch sizes).
-    val batchIds = docs.filter(isBatch0).select("doc_id")
-    val corpusIds = docs.filter(!isBatch0).select("doc_id")
-    val pairs = exactNgramJaccardPairs(docs, nearThreshold)
-    val oriented = pairs
-      .select(col("doc_a").as("doc_id"), col("doc_b").as("other"))
-      .union(pairs.select(col("doc_b").as("doc_id"), col("doc_a").as("other")))
-    val nearDup = oriented
-      .join(batchIds, Seq("doc_id"), "left_semi")
-      .join(corpusIds.select(col("doc_id").as("other")), Seq("other"), "left_semi")
-      .select("doc_id").distinct()
-      .select(col("doc_id"), lit(true).as("dup_near"))
+    val nearDup = nearIds.select(col("doc_id"), lit(true).as("dup_near"))
     docs.filter(isBatch0).select("doc_id")
       .join(exactDup, Seq("doc_id"), "left_outer")
       .join(nearDup, Seq("doc_id"), "left_outer")
@@ -279,6 +334,31 @@ object Dedup {
         coalesce(col("dup_exact"), lit(false)).as("dup_exact"),
         coalesce(col("dup_near"), lit(false)).as("dup_near"))
       .withColumn("keep", !col("dup_exact") && !col("dup_near"))
+  }
+
+  /** The posting join restricted to cross-side pairs: doc_id from `aIds`,
+    * `other` from `bIds`. Same body as [[boundedScoredPairs]] (exact sets,
+    * self-sized pair-agg shuffle) minus the doc_a<doc_b dedup — a cross
+    * pair appears exactly once, oriented a-side first. */
+  private def crossScoredPairs(docs: DataFrame, aIds: DataFrame,
+      bIds: DataFrame): DataFrame = {
+    val tok = sharedTokens(docs)
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val tokA = tok.join(aIds, Seq("doc_id"), "left_semi")
+    val tokB = tok.join(bIds, Seq("doc_id"), "left_semi")
+    // same rationale as boundedScoredPairs: the pair-count agg's group
+    // cardinality scales with candidates, so it sizes its own exchange
+    val pairAggParts = docs.sparkSession.sparkContext.defaultParallelism * 8
+    tokA.select(col("doc_id"), col("h"))
+      .join(tokB.select(col("doc_id").as("other"), col("h")), "h")
+      .repartition(pairAggParts, col("doc_id"), col("other"))
+      .groupBy("doc_id", "other")
+      .agg(count(lit(1)).cast("double").as("n_inter"))
+      .join(sizes.select(col("doc_id"), col("n").as("n_a")), "doc_id")
+      .join(sizes.select(col("doc_id").as("other"), col("n").as("n_b")), "other")
+      .select(col("doc_id"), col("other"),
+        round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 6)
+          .as("jaccard"))
   }
 
   /** Exact all-pairs n-gram Jaccard ≥ threshold via the inverted shingle

@@ -141,6 +141,25 @@ class DataPlaneSpec extends AnyFunSuite {
       "dup_near diverges from the exact cross-side jaccard pairs")
   }
 
+  test("d8b incrementalDedupLsh: dup_exact identical, no false nears, recall >= 0.9 vs exact d8") {
+    val docs = Tables(spark, sf, "documents")
+    val isBatch = col("doc_id") % 7 === 0
+    def flags(df: org.apache.spark.sql.DataFrame): Map[Long, (Boolean, Boolean)] =
+      df.collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2))).toMap
+    val exact = flags(Dedup.incrementalDedup(docs, isBatch))
+    val lsh = flags(Dedup.incrementalDedupLsh(docs, isBatch))
+    assert(lsh.keySet == exact.keySet, "one output row per batch doc on both paths")
+    assert(lsh.view.mapValues(_._1).toMap == exact.view.mapValues(_._1).toMap,
+      "dup_exact is the md5 path — must be identical")
+    val exactNear = exact.collect { case (id, (_, true)) => id }.toSet
+    val lshNear = lsh.collect { case (id, (_, true)) => id }.toSet
+    assert((lshNear -- exactNear).isEmpty,
+      s"LSH candidates are exact-verified — false nears impossible: ${(lshNear -- exactNear).take(5)}")
+    assert(exactNear.nonEmpty, "testdata should contain cross-side near-dups")
+    assert(lshNear.size >= 0.9 * exactNear.size,
+      s"LSH near recall ${lshNear.size}/${exactNear.size} below 0.9")
+  }
+
   test("sim_ivf_ann: recall >= 0.8 vs brute-force top-10") {
     val emb = Tables(spark, sf, "embeddings")
     val probes = emb.filter(col("vec_id") < 5)
