@@ -154,13 +154,14 @@ object Dedup {
       simhash(Tables(s, d, "documents"))
     },
 
-    // d5b: SimHash near-dup PAIRS via banded hamming join — 64-bit
-    // signatures sliced into 4 16-bit bands; two docs within hamming
-    // distance 3 must agree exactly on ≥ 1 band (pigeonhole), so the
-    // bucket join finds all such pairs without an n² scan; candidates
-    // verify with bit_count(xor) ≤ 3. Same plan family as d3 (bucketed
-    // candidates + exact verify), hash-based → no SQL oracle;
-    // DataPlaneSpec checks the planted near-dups surface.
+    // d5b: SimHash near-dup PAIRS via the multi-block pigeonhole hamming
+    // join (Manku et al. WWW'07): 6 signature blocks, C(6,3)=20 exact-match
+    // keys of ~32 bits each — any pair within hamming 3 agrees exactly on
+    // some key; candidates stream through a self equi-join and verify with
+    // bit_count(xor) ≤ 3 (see [[simhashPairs]] for why single-band 16-bit
+    // keys collapse at scale). Same plan family as d3 (bucketed candidates
+    // + exact verify), hash-based → no SQL oracle; DataPlaneSpec proves
+    // set-equality with brute force.
     QueryDef.noOracle("d5b_simhash_pairs") { (s, d) =>
       simhashPairs(Tables(s, d, "documents"), maxHamming = 3)
     },
@@ -642,29 +643,53 @@ object Dedup {
     agg.select(col("doc_id"), sig.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: banded exact-match buckets (pigeonhole over 4
-    * 16-bit slices guarantees recall for hamming ≤ 3) + bit_count(xor)
-    * verification. All long arithmetic; candidate volume scales with true
-    * collisions, not n². */
+  /** SimHash near-dup pairs, exact for hamming ≤ `maxHamming` (≤ 3): the
+    * multi-block pigeonhole of Manku/Jain/Sarma, "Detecting Near-Duplicates
+    * for Web Crawling" (WWW '07). The 64-bit signature splits into
+    * `maxHamming + 3` blocks; a pair within hamming k differs in at most k
+    * blocks, so ≥ 3 blocks are clean on both sides and the pair agrees
+    * EXACTLY on some 3-block combination — each of the C(k+3, 3)
+    * combinations becomes a join key of ~32 clean bits.
+    *
+    * Why not the simpler 4×16 banding (pigeonhole over single bands): 16-bit
+    * keys collide at n²/2¹⁶ per band for signatures that are merely
+    * random-ish — on the 100× ScaleGen corpus (500k docs) that was 2.4×10⁹
+    * in-bucket candidates with a 17k-doc hottest bucket, whose m²/2 pair
+    * array was built as ONE row by the collect_list formulation → task OOM
+    * at any heap. 3-block keys carry twice the bits, cutting random
+    * collisions by ~2¹⁶ (same corpus: ~10⁶ streamed join rows), and the
+    * candidates stream through a self equi-join on (table, key) — no
+    * per-bucket array ever materializes, so an adversarial hot key degrades
+    * into AQE-splittable join skew, never a giant row. bit_count
+    * verification runs BEFORE distinct, so the dedup hashAgg sees only true
+    * near-pairs (true-pair mass is linear in planted dups: 500k docs →
+    * 8.5k same-signature pairs, max 9 docs per signature). */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"multi-block pigeonhole keys on 3 clean blocks of maxHamming+3 — exact only for hamming <= 3, got $maxHamming")
+    val nBlocks = maxHamming + 3
+    val bounds = (0 to nBlocks).map(b => 64 * b / nBlocks)
+    def block(b: Int): Column =
+      shiftrightunsigned(col("simhash"), bounds(b))
+        .bitwiseAND(lit((1L << (bounds(b + 1) - bounds(b))) - 1L))
+    val keyCols = (0 until nBlocks).combinations(3).toSeq.zipWithIndex.map {
+      // hashing the block triple to one long is key-space-preserving enough:
+      // a hash collision only adds a candidate, and candidates verify exactly
+      case (c, t) => xxhash64(lit(t) +: c.map(block): _*)
+    }
     val sig = simhash(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = sig.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*))
-        .as(Seq("band", "bkey")))
-    val buckets = bands.groupBy("band", "bkey")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("members"))
-      .filter(size(col("members")) > 1)
-    val cands = buckets
-      .select(explode(flatten(transform(col("members"), (a, i) =>
-        transform(slice(col("members"), i + 2, size(col("members"))),
-          b => struct(a.getField("doc_id").as("doc_a"), b.getField("doc_id").as("doc_b"),
-            a.getField("simhash").as("sig_a"), b.getField("simhash").as("sig_b")))))).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-        bit_count(col("p.sig_a").bitwiseXOR(col("p.sig_b"))).as("hamming"))
+    val keyed = sig.select(col("doc_id"), col("simhash"),
+      posexplode(array(keyCols: _*)).as(Seq("tbl", "k")))
+    val result = keyed
+      .select(col("tbl"), col("k"), col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+      .join(keyed.select(col("tbl"), col("k"), col("doc_id").as("doc_b"),
+        col("simhash").as("sig_b")), Seq("tbl", "k"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
       .distinct()
-    val result = cands.filter(col("hamming") <= maxHamming)
     materializeAndRelease(result, sig)
   }
 

@@ -106,7 +106,8 @@ class DataPlaneSpec extends AnyFunSuite {
       (a, sa) <- sig; (b, sb) <- sig
       if a < b && java.lang.Long.bitCount(sa ^ sb) <= 3
     } yield (a, b)).toSet
-    // pigeonhole over 4 bands is EXACT for hamming <= 3: sets must be equal
+    // multi-block pigeonhole (3 clean blocks of 6) is EXACT for hamming <= 3:
+    // sets must be equal
     assert(banded == brute,
       s"missing: ${(brute -- banded).take(5)}, extra: ${(banded -- brute).take(5)}")
     assert(banded.nonEmpty, "testdata should contain simhash near-dups")
