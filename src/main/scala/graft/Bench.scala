@@ -119,6 +119,10 @@ object Bench {
         SparkEntry.allEntries.map(_.name)
           .filter(name => only.forall(_.contains(name)))
           .map { name =>
+            // stderr progress line per query: when a run dies mid-suite
+            // (OOM, heartbeat starvation), the log self-attributes the
+            // killer instead of needing a bisect over SPARK_GRAFT_ONLY
+            Console.err.println(s"[bench] start $name")
             val t0 = System.nanoTime()
             try materialize(name) catch {
               case e: Throwable =>
@@ -126,7 +130,10 @@ object Bench {
                   Option(e.getMessage).getOrElse("")
                 errors(name) = msg.replaceAll("""["\\\n\r\t]""", " ").take(200)
             }
-            name -> (System.nanoTime() - t0) / 1e9
+            val secs = (System.nanoTime() - t0) / 1e9
+            Console.err.println(
+              String.format(java.util.Locale.ROOT, "[bench] done %s %.2f s", name, Double.box(secs)))
+            name -> secs
           })
     val calibLast = calibrate()
     val loadAfter = loadavg()

@@ -181,6 +181,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"probe index not broadcast:\n$p")
   }
 
+  test("d7b wide-gram contamination: broadcast probe index, staged explode") {
+    val p = plan("d7b_contamination_wide")
+    assert(p.contains("BroadcastHashJoin"), s"probe index not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop fallback:\n$p")
+    // the t10 guard: the gram array must be a staged projection so Generate
+    // explodes a bound attribute, not the inlined per-element hash tree
+    // (InferFiltersFromGenerate re-inlining shows up as xxhash64 inside the
+    // scan's filter)
+    val filterLines = p.linesIterator.filter(_.contains("Filter")).mkString("\n")
+    assert(!filterLines.contains("xxhash64"),
+      s"gram expression re-inlined into a filter:\n$filterLines")
+  }
+
   test("j8b as-of join is one window pass, no join explosion") {
     val p = plan("j8b_asof_join")
     assert(p.contains("Window"), s"expected window formulation:\n$p")
