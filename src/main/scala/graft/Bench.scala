@@ -31,6 +31,17 @@ object Bench {
       // stays at Spark defaults; the posting join sizes its OWN pair-agg
       // shuffle instead (Dedup.boundedScoredPairs).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Never bin-pack multiple parquet files into one scan partition
+      // (openCost = maxPartitionBytes → each file at least fills its bin).
+      // Packing exists to amortize per-file metadata over many tiny files,
+      // but a compressed corpus that lands as a few single-row-group files
+      // is unsplittable BELOW file granularity — the 100× ScaleGen
+      // documents table (8 × ~7 MB files) was packed into ~1 partition and
+      // ran the whole linear t-family near-single-threaded (40-130×).
+      // Nothing is lost for parquet at any scale: a split finer than a row
+      // group cannot parallelize a parquet read, so one ~row-group-sized
+      // file per task is exactly the 100 TB-cluster shape too.
+      .config("spark.sql.files.openCostInBytes", (128L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -13,6 +13,9 @@ object Run {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // one scan partition per parquet file — see Bench.scala's
+      // openCostInBytes note (packed single-row-group files serialize scans)
+      .config("spark.sql.files.openCostInBytes", (128L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

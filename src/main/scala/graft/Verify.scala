@@ -18,6 +18,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // one scan partition per parquet file — see Bench.scala's
+      // openCostInBytes note (packed single-row-group files serialize scans)
+      .config("spark.sql.files.openCostInBytes", (128L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

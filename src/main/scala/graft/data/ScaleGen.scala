@@ -69,6 +69,17 @@ object ScaleGen {
       df.repartition(files).write.mode("overwrite")
         .parquet(s"$out/$name.parquet")
 
+    // Output file counts must GROW with the factor: a generated table that
+    // compresses to a handful of small files is unsplittable below file
+    // granularity (one row group each), and Spark's scan bin-packing then
+    // feeds the whole corpus to ~1 task — round-8 run A measured the
+    // t-family 40-130× slower at factor 100 purely from an 8-file
+    // documents layout. Real corpora at these volumes arrive as hundreds+
+    // of files, so scaling file counts is fidelity, not tuning. Caps keep
+    // small factors from producing thousands of tiny files.
+    def scaled(base: Int, cap: Int): Int =
+      math.min(cap, math.max(base, (base.toLong * factor / 10).toInt))
+
     // --- dims + events: copy unchanged -----------------------------------
     for (t <- Seq("region", "nation", "customer", "supplier", "part"))
       write(spark.read.parquet(s"$src/$t.parquet"), t, 1)
@@ -85,12 +96,12 @@ object ScaleGen {
       orders.crossJoin(broadcast(replicas))
         .withColumn("o_orderkey", col("o_orderkey") + col("rep") * span)
         .drop("rep").select(orders.columns.map(col).toSeq: _*),
-      "orders", 4)
+      "orders", scaled(4, 32))
     write(
       lineitem.crossJoin(broadcast(replicas))
         .withColumn("l_orderkey", col("l_orderkey") + col("rep") * span)
         .drop("rep").select(lineitem.columns.map(col).toSeq: _*),
-      "lineitem", 8)
+      "lineitem", scaled(8, 64))
 
     // --- documents: synthesize at observed statistics ---------------------
     val srcDocs = spark.read.parquet(s"$src/documents.parquet")
@@ -133,7 +144,7 @@ object ScaleGen {
         (id, text, lang, source, text.length.toLong)
       }
     }.toDF("doc_id", "text", "lang", "source", "n_chars")
-    write(docs, "documents", 8)
+    write(docs, "documents", scaled(8, 64))
 
     // --- embeddings: 10 seeded spherical clusters -------------------------
     val srcEmb = spark.read.parquet(s"$src/embeddings.parquet")
@@ -158,7 +169,7 @@ object ScaleGen {
         (id, v.map(x => (x / n).toFloat), label)
       }
     }.toDF("vec_id", "embedding", "label")
-    write(embs, "embeddings", 4)
+    write(embs, "embeddings", scaled(4, 64))
 
     // summary line for the generation log
     val counts = Tables.names.map { t =>
