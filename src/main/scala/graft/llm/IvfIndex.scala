@@ -40,22 +40,26 @@ object IvfIndex {
       assigned)
   }
 
-  /** Probe-time search against a prebuilt index. */
-  def search(index: IvfModel, probes: DataFrame, k: Int, nProbe: Int): DataFrame = {
+  /** Route each probe to its nProbe nearest centroids (shared by top-k
+    * search and threshold pair generation). Output: (probe_id, pv, cell),
+    * one row per routed cell. */
+  private def route(index: IvfModel, probes: DataFrame, nProbe: Int): DataFrame = {
     val spark = probes.sparkSession
     val centDf = broadcast(spark.createDataFrame(index.centroids).toDF("cell", "centroid"))
-
-    // route each probe to its nProbe nearest centroids
     val p = probes.select(col("vec_id").as("probe_id"), col("embedding").cast("array<double>").as("pv"))
     val wRoute = Window.partitionBy("probe_id").orderBy(col("cdist"), col("cell"))
-    val routed = p.crossJoin(centDf)
+    p.crossJoin(centDf)
       .withColumn("cdist",
         aggregate(zip_with(col("pv"), col("centroid"), (x, y) => (x - y) * (x - y)),
           lit(0.0), (a, v) => a + v))
       .withColumn("rr", row_number().over(wRoute))
       .filter(col("rr") <= nProbe)
       .select(col("probe_id"), col("pv"), col("cell"))
+  }
 
+  /** Probe-time search against a prebuilt index. */
+  def search(index: IvfModel, probes: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val routed = route(index, probes, nProbe)
     // scan only the routed cells (at scale: partition pruning on `cell`)
     val cand = index.assigned.select(col("vec_id").as("cand_id"),
       col("embedding").cast("array<double>").as("cv"), col("cell"))
@@ -66,6 +70,30 @@ object IvfIndex {
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("probe_id"), col("cand_id"), round(col("cos_raw"), 6).as("cosine"), col("rn"))
+  }
+
+  /** Threshold near-dup PAIRS via cell routing — the scale path for the
+    * exact broadcast fan-out (`sim_near_dup_pairs` scans probes × corpus,
+    * inherently quadratic: 232 s at the 100× corpus). Here each probe
+    * scans only its nProbe routed cells (~nProbe/nClusters of the corpus;
+    * at 100 TB the cell-partitioned layout makes that a partition-pruned
+    * subset read). A candidate lives in exactly ONE cell, so a pair
+    * appears at most once — no distinct needed. Cosines are computed
+    * exactly on the routed candidates: zero false positives vs the exact
+    * pair set; recall is the probability a ≥-threshold neighbour's cell is
+    * among the probe's routed nProbe (DataPlaneSpec measures it vs the
+    * exact pairs). Output matches sim_near_dup_pairs:
+    * (probe_id, cand_id, cosine) with probe_id < cand_id. */
+  def nearDupPairs(index: IvfModel, probes: DataFrame, threshold: Double,
+      nProbe: Int): DataFrame = {
+    val routed = route(index, probes, nProbe)
+    val cand = index.assigned.select(col("vec_id").as("cand_id"),
+      col("embedding").cast("array<double>").as("cv"), col("cell"))
+    cand.join(broadcast(routed), Seq("cell"))
+      .filter(col("probe_id") < col("cand_id"))
+      .withColumn("cos_raw", Similarity.cosine(col("pv"), col("cv")))
+      .filter(col("cos_raw") > threshold)
+      .select(col("probe_id"), col("cand_id"), round(col("cos_raw"), 6).as("cosine"))
   }
 
   /** Build-and-search in one call (tests/declared query convenience). */
@@ -106,12 +134,11 @@ object IvfIndex {
   private val indexCache =
     scala.collection.concurrent.TrieMap.empty[(String, Int), IvfModel]
 
-  /** Probe against a persisted index for `cacheKey`'s corpus, building and
-    * saving it on first use (the declared `sim_ivf_ann` path: probes are
-    * served from a LOADED on-disk index, never a per-query refit). */
-  def annSearchCached(cacheKey: String, probes: DataFrame, corpus: DataFrame,
-      k: Int, nClusters: Int, nProbe: Int): DataFrame = {
-    val index = indexCache.getOrElseUpdate((cacheKey, nClusters), {
+  /** The persisted index for `cacheKey`'s corpus, building and saving it on
+    * first use — the offline step a deployment runs ONCE and amortizes
+    * across every probe workload. */
+  private def cachedIndex(cacheKey: String, corpus: DataFrame, nClusters: Int): IvfModel =
+    indexCache.getOrElseUpdate((cacheKey, nClusters), {
       // md5 of the key, not hashCode: distinct corpora must never collide
       // on the same on-disk path (overwrite would corrupt the other's
       // cached, still-lazily-scanned index)
@@ -123,6 +150,16 @@ object IvfIndex {
       built.unpersist()
       load(corpus.sparkSession, dir)
     })
-    search(index, probes, k, nProbe)
-  }
+
+  /** Probe against a persisted index for `cacheKey`'s corpus (the declared
+    * `sim_ivf_ann` path: probes are served from a LOADED on-disk index,
+    * never a per-query refit). */
+  def annSearchCached(cacheKey: String, probes: DataFrame, corpus: DataFrame,
+      k: Int, nClusters: Int, nProbe: Int): DataFrame =
+    search(cachedIndex(cacheKey, corpus, nClusters), probes, k, nProbe)
+
+  /** [[nearDupPairs]] against the same persisted per-corpus index. */
+  def nearDupPairsCached(cacheKey: String, probes: DataFrame, corpus: DataFrame,
+      threshold: Double, nClusters: Int, nProbe: Int): DataFrame =
+    nearDupPairs(cachedIndex(cacheKey, corpus, nClusters), probes, threshold, nProbe)
 }

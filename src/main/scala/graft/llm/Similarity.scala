@@ -118,6 +118,20 @@ object Similarity {
         .select(col("probe_id"), col("cand_id"), round(col("cos_raw"), 6).as("cosine"))
     },
 
+    // The SCALE PATH for embedding near-dup: same contract as
+    // sim_near_dup_pairs (probes vec_id % 10 = 0, cosine > 0.3,
+    // probe_id < cand_id) but candidates come from the probe's nProbe
+    // routed IVF cells instead of the whole corpus — the embedding analog
+    // of d8b's LSH incremental pass. Cosines are exact on routed
+    // candidates (zero false positives); recall is the cell-routing hit
+    // rate, so no SQL oracle — DataPlaneSpec measures subset + recall vs
+    // the exact pair set.
+    QueryDef.noOracle("sim_near_dup_ivf") { (s, d) =>
+      val emb = Tables(s, d, "embeddings")
+      IvfIndex.nearDupPairsCached(d, emb.filter(col("vec_id") % 10 === 0), emb,
+        threshold = 0.3, nClusters = 8, nProbe = 4)
+    },
+
     // Per-label embedding centroids: element-wise mean via posexplode +
     // (label, pos) hash aggregation — the class-centroid computation a
     // training pipeline runs (and the same shape an IVF coarse quantizer

@@ -173,6 +173,23 @@ class DataPlaneSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"IVF recall $recall < 0.8")
   }
 
+  test("sim_near_dup_ivf: subset of exact pairs with identical cosines, recall >= 0.6") {
+    val exact = SparkEntry.queries("sim_near_dup_pairs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = SparkEntry.queries("sim_near_dup_ivf")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // zero false positives, and every reported cosine matches the exact one
+    ivf.foreach { case (pair, cos) =>
+      assert(exact.contains(pair), s"IVF pair $pair not in exact pair set")
+      assert(exact(pair) == cos, s"IVF cosine $cos != exact ${exact(pair)} for $pair")
+    }
+    // recall = cell-routing hit rate; the testdata embeddings are only
+    // weakly clustered (the sim_ivf_ann rationale), so the bound is looser
+    // than the LSH families' 0.9 — sharper corpora raise it at fixed nProbe
+    val recall = ivf.keySet.count(exact.contains).toDouble / exact.size
+    assert(recall >= 0.6, s"IVF near-dup recall $recall < 0.6 (${ivf.size}/${exact.size})")
+  }
+
   test("top-k Aggregator output equals the window-rank formulation exactly") {
     val emb = Tables(spark, sf, "embeddings")
     val probes = emb.filter(col("vec_id") < 7)
