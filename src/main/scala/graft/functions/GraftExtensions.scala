@@ -16,8 +16,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * Either way `SELECT cosine_similarity(a, b)` works in plain SQL.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineEntry)
+    ext.injectFunction(GraftExtensions.cleanEntry)
+  }
 }
 
 object GraftExtensions {
@@ -29,8 +31,18 @@ object GraftExtensions {
       CosineSimilarity(children.head, children(1))
     })
 
+  private val cleanEntry: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("clean_text"),
+    new ExpressionInfo(classOf[CleanText].getName, "clean_text"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "clean_text takes exactly 1 argument")
+      CleanText(children.head)
+    })
+
   /** Runtime registration on an existing session. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    org.apache.spark.sql.GraftExpressionBridge.registerFunction(
-      spark, cosineEntry._1, cosineEntry._2, cosineEntry._3)
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val b = org.apache.spark.sql.GraftExpressionBridge
+    b.registerFunction(spark, cosineEntry._1, cosineEntry._2, cosineEntry._3)
+    b.registerFunction(spark, cleanEntry._1, cleanEntry._2, cleanEntry._3)
+  }
 }

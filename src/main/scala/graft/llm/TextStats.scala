@@ -192,8 +192,12 @@ object TextStats {
         |         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
         |                             '  +', ' ', 'g')) AS clean
         |  FROM documents)""".stripMargin) { (s, d) =>
-      val clean = trim(regexp_replace(
-        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), "  +", " "))
+      // Single-pass native expression ≡ the regex chain (CleanText scaladoc
+      // + FunctionsSpec equality property); the chain was the one scan
+      // where JVM-regex stepping set the constant at the 100× corpus.
+      val clean = org.apache.spark.sql.GraftExpressionBridge.columnOf(
+        graft.functions.CleanText(
+          org.apache.spark.sql.GraftExpressionBridge.expressionOf(col("text"))))
       Tables(s, d, "documents").select(
         col("doc_id"), md5(clean).as("clean_hash"), length(clean).as("clean_len"))
     },
