@@ -83,8 +83,9 @@ object ScaleGen {
     // --- dims + events: copy unchanged -----------------------------------
     for (t <- Seq("region", "nation", "customer", "supplier", "part"))
       write(spark.read.parquet(s"$src/$t.parquet"), t, 1)
-    // events.ts is TIMESTAMP(NANOS); with nanosAsLong it round-trips as int64
-    // and Tables' ns→µs conversion still applies on read.
+    // events.ts round-trips in whichever physical layout the source has
+    // (TIMESTAMP(MICROS) natively; TIMESTAMP(NANOS) as int64 under
+    // nanosAsLong) — Tables' schema-adaptive read handles both.
     write(spark.read.parquet(s"$src/events.parquet"), "events", 2)
 
     // --- facts: replicate with key offsets --------------------------------

@@ -2,7 +2,7 @@ package graft.data
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Table registry over the driver-generated parquet testdata.
   *
@@ -18,10 +18,13 @@ object Tables {
 
   /** Load one table from an sf directory.
     *
-    * `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 rejects as a
-    * timestamp type; read it as raw nanos (legacy conf) and floor-convert to
-    * a µs timestamp (the testdata is µs-precision, so this is lossless and
-    * matches DuckDB's ns→µs handling).
+    * `events.ts` has shipped in two physical layouts across testdata
+    * generations: TIMESTAMP(MICROS) (read natively as TimestampType) and
+    * TIMESTAMP(NANOS), which Spark 4 rejects as a timestamp type — for the
+    * latter, read it as raw nanos (legacy conf) and floor-convert to a µs
+    * timestamp (the payload is µs-precision, so this is lossless and matches
+    * DuckDB's ns→µs handling). Both layouts surface the same TimestampType
+    * column to every downstream query.
     */
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     require(names.contains(name), s"unknown table: $name")
@@ -31,11 +34,22 @@ object Tables {
       // effect on every query build)
       if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))  // integer div: ns epoch exceeds double precision
+      normalizeEventTs(spark.read.parquet(s"$sfDir/$name.parquet"))
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }
+  }
+
+  /** Normalize an events-shaped frame's `ts` to TIMESTAMP regardless of the
+    * physical layout it was read from: raw ns epoch (TIMESTAMP(NANOS) under
+    * nanosAsLong) → timestamp_micros(ts div 1000); TIMESTAMP_NTZ (tz-naive
+    * µs layout) → cast, value-preserving under the UTC session tz and
+    * required because streaming watermarks reject NTZ; TIMESTAMP → as-is. */
+  def normalizeEventTs(raw: DataFrame): DataFrame = raw.schema("ts").dataType match {
+    case LongType =>
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000"))) // integer div: ns epoch exceeds double precision
+    case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+    case _ => raw
   }
 
   /** Register all tables as temp views (idempotent) so query builders can

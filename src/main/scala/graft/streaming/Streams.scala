@@ -93,8 +93,7 @@ object Streams {
     val schema = schemaCache.getOrElseUpdate(dir.toString, s.read.parquet(dir.toString).schema)
     val reader = s.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader.parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.data.Tables.normalizeEventTs(reader.parquet(dir.toString))
   }
 
   /** Run a streaming DataFrame to completion (AvailableNow) into a memory

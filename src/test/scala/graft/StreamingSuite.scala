@@ -92,7 +92,7 @@ class StreamingSuite extends AnyFunSuite {
       .schema(spark.read.parquet(splitDir).schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(splitDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Tables.normalizeEventTs)
     val result = Streams.fsmFinal(
       Streams.runToTable(spark, Streams.fsm(spark, raw), "update"))
     val batch = Tables(spark, sf, "events")
@@ -118,7 +118,7 @@ class StreamingSuite extends AnyFunSuite {
         .schema(spark.read.parquet(splitDir).schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(splitDir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(Tables.normalizeEventTs)
         .select(col("user_id"), col("event_type"), expr("unix_micros(ts)").as("ts_us"))
         .as[Ev]
       val out = raw.groupByKey(_.user_id)
@@ -147,7 +147,7 @@ class StreamingSuite extends AnyFunSuite {
       .schema(spark.read.parquet(splitDir).schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(splitDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Tables.normalizeEventTs)
     val sess = raw
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
@@ -171,7 +171,7 @@ class StreamingSuite extends AnyFunSuite {
     val stream = spark.readStream
       .schema(base.schema)
       .parquet(dupDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Tables.normalizeEventTs)
       .withWatermark("ts", "1 hour")
       .dropDuplicates("user_id", "event_id")
       .select("user_id", "event_id")
