@@ -278,6 +278,27 @@ object Dedup {
       incrementalDedupLsh(Tables(s, d, "documents"), col("doc_id") % 7 === 0)
     },
 
+    // d9: the EXACT incremental check with a Bloom-filter prefilter — the
+    // membership pass a per-shard ingestion pipeline runs when even a
+    // 32-byte-key semi-join shuffle of the whole batch is worth avoiding.
+    // corpus fingerprints → one bloom_filter_agg (KB–MB binary, broadcast
+    // as a one-row frame); batch rows probe it MAP-SIDE, and only the
+    // ~fpp·|batch| + true-dup survivors enter the exact-verify semi-join.
+    // Bloom filters have no false negatives, so the verified result is
+    // EXACT — which is why this operator carries a full DuckDB oracle
+    // (same contract as d8's dup_exact), unlike the probabilistic d3/d5/d8b.
+    QueryDef("d9_bloom_dedup",
+      """WITH ex AS (
+        |  SELECT DISTINCT b.doc_id
+        |  FROM documents b JOIN documents c
+        |    ON b.doc_id % 7 = 0 AND c.doc_id % 7 <> 0 AND md5(b.text) = md5(c.text))
+        |SELECT doc_id,
+        |       doc_id IN (SELECT doc_id FROM ex) AS dup_exact,
+        |       doc_id NOT IN (SELECT doc_id FROM ex) AS keep
+        |FROM documents WHERE doc_id % 7 = 0""".stripMargin) { (s, d) =>
+      bloomIncrementalDedup(Tables(s, d, "documents"), col("doc_id") % 7 === 0)
+    },
+
     // MinHash + banded AND/OR LSH near-dup pairs (probabilistic recall →
     // rows-only; DataPlaneSpec proves recall vs d4's exact Jaccard).
     // NOTE (schema change vs round 1): output column is `jaccard`
@@ -365,6 +386,47 @@ object Dedup {
         coalesce(col("dup_exact"), lit(false)).as("dup_exact"),
         coalesce(col("dup_near"), lit(false)).as("dup_near"))
       .withColumn("keep", !col("dup_exact") && !col("dup_near"))
+  }
+
+  /** Exact incremental dedup with a Bloom-filter prefilter (d9).
+    *
+    * Plan: corpus md5 fingerprints fold into ONE `bloom_filter_agg` binary
+    * (sized by `expectedCorpusDocs`/`numBits` — at 10⁹ corpus docs and
+    * ~10 bits/doc the filter is ~1.2 GB, still a broadcast, vs shuffling
+    * every batch fingerprint); the batch probes it with `might_contain`
+    * behind a broadcast crossJoin of the one-row filter frame — a pure
+    * map-side predicate, codegen'd, no shuffle. Only bloom-positive rows
+    * (≈ fpp·|batch| + true duplicates) reach the exact md5 semi-join, so
+    * the verify shuffle is ~fpp of the naive one. No false negatives →
+    * bloom-negative rows are definitively new; the final answer is exact.
+    *
+    * An empty corpus folds to a NULL filter; `might_contain(NULL, ·)` is
+    * NULL → no candidates → every batch row keeps, which is the correct
+    * degenerate answer. */
+  def bloomIncrementalDedup(docs: DataFrame, isBatch: Column,
+      expectedCorpusDocs: Long = 1000000L,
+      numBits: Long = 8388608L): DataFrame = {
+    val isBatch0 = coalesce(isBatch, lit(false))
+    import graft.functions.BloomMembership
+    val corpusFp = docs.filter(!isBatch0).select(md5(col("text")).as("h"))
+    // the folded filter rides into the probe as a SCALAR SUBQUERY — the
+    // required form for might_contain, and the same plan shape as Spark's
+    // AQE-injected runtime Bloom filters: the one-row subquery executes
+    // first, then its binary value is embedded into every probe task
+    val bloom = corpusFp.agg(
+      BloomMembership.bloomAgg(col("h"), expectedCorpusDocs, numBits).as("bf"))
+    val candidates = docs.filter(isBatch0)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .filter(BloomMembership.mightContain(
+        org.apache.spark.sql.GraftExpressionBridge.scalarSubquery(bloom), col("h")))
+    val exactDup = candidates
+      .join(corpusFp.distinct(), Seq("h"), "left_semi")
+      .select(col("doc_id"), lit(true).as("dup_exact"))
+    docs.filter(isBatch0).select("doc_id")
+      .join(exactDup, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("dup_exact"), lit(false)).as("dup_exact"))
+      .withColumn("keep", !col("dup_exact"))
   }
 
   /** d7b: wide-n-gram contamination scan — the production shape of the d7

@@ -282,6 +282,49 @@ object TextStats {
         round(max(col("c")).cast("double") / sum(col("c")), 6).as("top_bigram_frac"),
         round(lit(1.0) - count(lit(1)).cast("double") / sum(col("c")), 6).as("dup_bigram_frac"),
         (max(col("c")).cast("double") / sum(col("c")) < 0.05).as("keep"))
+    },
+
+    // t11: rule-based quality FILTER (C4-style: Raffel et al. 2020 §2.2
+    // drops short/low-diversity/stopword-free pages) composed from the t2
+    // features, reported as per-domain survival — the go/no-go dashboard a
+    // filtering pass produces before committing a corpus. Thresholds are
+    // set so every rule fires on the testdata (no dead predicates).
+    // Scale: filter + aggregate are both map-side-combined; the only
+    // shuffle carries one row per (source) — nothing at corpus scale moves.
+    // Exactness: every ratio is one IEEE division of exact integers, and
+    // the comparisons are against short decimal constants — no libm calls,
+    // so Spark and DuckDB agree bit-for-bit (the t2/p5 precedent).
+    QueryDef("t11_quality_filter",
+      """WITH f AS (
+        |  SELECT source,
+        |         len(string_split(text, ' ')) AS n_tok,
+        |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+        |           len(string_split(text, ' ')) AS ttr,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |                 x -> x IN ('the', 'a', 'of', 'and'))) AS DOUBLE) /
+        |           len(string_split(text, ' ')) AS stop_r,
+        |         (CAST(length(text) AS DOUBLE) - len(string_split(text, ' ')) + 1) /
+        |           len(string_split(text, ' ')) AS mtl
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |       count(*) FILTER (WHERE n_tok >= 30 AND ttr >= 0.40
+        |                          AND stop_r >= 0.02 AND mtl <= 4.8) AS n_kept,
+        |       round(CAST(count(*) FILTER (WHERE n_tok >= 30 AND ttr >= 0.40
+        |                          AND stop_r >= 0.02 AND mtl <= 4.8) AS DOUBLE) /
+        |             count(*), 6) AS keep_rate
+        |FROM f GROUP BY source""".stripMargin) { (s, d) =>
+      val nTok = size(toks)
+      val ttr = size(array_distinct(toks)).cast("double") / nTok
+      val stopR = size(filter(toks, x => x.isin("the", "a", "of", "and")))
+        .cast("double") / nTok
+      val mtl = (length(col("text")).cast("double") - nTok + 1) / nTok
+      val pass = nTok >= 30 && ttr >= 0.40 && stopR >= 0.02 && mtl <= 4.8
+      Tables(s, d, "documents")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(when(pass, 1)).as("n_kept"),
+          round(count(when(pass, 1)).cast("double") / count(lit(1)), 6).as("keep_rate"))
     }
   )
 }

@@ -21,6 +21,16 @@ object GraftExpressionBridge {
       s.asInstanceOf[classic.SparkSession],
       df.queryExecution.logical)
 
+  /** Wrap a one-row, one-column DataFrame as a scalar-subquery expression
+    * (catalyst ScalarSubquery is private[sql]-adjacent machinery). The
+    * subquery plan executes once per query and its value is embedded into
+    * every task — the same shape Spark's AQE-injected runtime Bloom
+    * filters use, and the required form for BloomFilterMightContain's
+    * filter argument. */
+  def scalarSubquery(df: DataFrame): Column =
+    ExpressionUtils.column(
+      catalyst.expressions.ScalarSubquery(df.queryExecution.logical))
+
   /** Register a function builder on a live session's FunctionRegistry
     * (sessionState is private[sql]; SparkSessionExtensions covers the
     * build-time path, this covers sessions the caller didn't construct). */

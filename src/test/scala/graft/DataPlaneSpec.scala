@@ -475,4 +475,55 @@ class DataPlaneSpec extends AnyFunSuite {
       assert(shards == Seq(k.toLong), s"file $f holds shards $shards, expected $k")
     }
   }
+
+  test("d9 bloom prefilter: exact result, probe is a map-side might_contain") {
+    val docs = Tables(spark, sf, "documents")
+    val isBatch = col("doc_id") % 7 === 0
+    val d9 = Dedup.bloomIncrementalDedup(docs, isBatch)
+
+    // ground truth from an independent formulation: plain semi-join of batch
+    // fingerprints against corpus fingerprints, no bloom anywhere
+    val batch = docs.filter(isBatch).select(col("doc_id"), md5(col("text")).as("h"))
+    val corpus = docs.filter(!isBatch).select(md5(col("text")).as("h"))
+    val expectDup = batch.join(corpus, Seq("h"), "left_semi")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = d9.collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+    assert(got.map(_._1).toSet == batch.select("doc_id").collect().map(_.getLong(0)).toSet,
+      "d9 must emit every batch row exactly once")
+    assert(got.filter(_._2).map(_._1).toSet == expectDup,
+      "bloom prefilter changed the exact answer (false negative or lost row)")
+    assert(got.forall { case (_, dup, keep) => keep == !dup })
+
+    // the probe must be the subquery-fed might_contain filter, BEFORE the
+    // exact-verify join (that ordering is the operator's entire point)
+    val plan = d9.queryExecution.optimizedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"bloom probe filter missing from the optimized plan:\n$plan")
+
+    // degenerate corpus = empty (everything is batch): NULL filter matches
+    // nothing, every row keeps
+    val allBatch = Dedup.bloomIncrementalDedup(docs, lit(true)).collect()
+    assert(allBatch.forall(r => !r.getBoolean(1) && r.getBoolean(2)))
+  }
+
+  test("mixture: x5 weights form a distribution, x6 realizes it deterministically") {
+    val x5 = SparkEntry.queries("x5_mixture_weights")(spark, sf).collect()
+    val wSum = x5.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wSum - 1.0) < 1e-4, s"weights sum to $wSum")
+    assert(x5.forall(_.getAs[Long]("alloc_tokens") >= 0L))
+    assert(x5.map(_.getAs[Long]("alloc_tokens")).sum <= 1000000L,
+      "floor-allocation must never exceed the token budget")
+    // sqrt temperature flattens the distribution: every domain's weight is
+    // strictly positive (low-resource domains never vanish)
+    assert(x5.forall(_.getAs[Double]("weight") > 0.0))
+
+    val run1 = SparkEntry.queries("x6_mixture_sample")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val run2 = SparkEntry.queries("x6_mixture_sample")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(run1.sameElements(run2), "hash-based sample must be re-run invariant")
+    val nDocs = Tables(spark, sf, "documents").groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(run1.forall { case (src, kept, _) => kept <= nDocs(src) })
+  }
 }
