@@ -95,15 +95,78 @@ object Mixture {
       val ct = docs.groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(size(toks)).cast("long").as("n_tokens"))
-      val total = sum(sqrt(col("n_tokens").cast("double"))).over(Window.partitionBy())
-      val rates = ct
-        .withColumn("wt", sqrt(col("n_tokens").cast("double")) / total)
-        .select(col("source"),
-          least(lit(1.0), lit(SampleBudget) * col("wt") / col("n_docs")).as("rate"))
-      docs.join(broadcast(rates), "source")
+      docs.join(broadcast(ratesFor(ct, SampleBudget)), "source")
         .filter(Sampling.keyUniform(col("doc_id")) < col("rate"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).cast("long").as("key_sum"))
+    },
+
+    // x7: the END-TO-END prep manifest — the composition a pipeline actually
+    // commits: C4-style quality gate (t11's predicate, shared code) →
+    // exact dedup keepers (d1 semantics: min doc_id per md5(text)) →
+    // temperature mixture RE-COMPUTED over the survivors (weights must
+    // follow the filtered corpus, not the raw one) → budgeted deterministic
+    // sample → per-domain manifest (docs, tokens, keeper id-sum). Every
+    // stage is individually oracle-checked (t11/d1/x5/x6); this query
+    // checks they COMPOSE — aliasing, null-handling, and determinism
+    // survive the chain. Scale: gate+fingerprint are map-side; the dedup
+    // groupBy shuffles 16-byte hashes + ints (never text); everything after
+    // operates on one row per domain or a broadcast-joined map-side filter.
+    QueryDef("x7_pipeline_manifest",
+      s"""WITH gated AS (
+         |  SELECT doc_id, source, text,
+         |         len(string_split(text, ' ')) AS n_tokens
+         |  FROM documents
+         |  WHERE ${TextStats.qualityPassSql}),
+         |ded AS (
+         |  SELECT min(doc_id) AS keeper, min(source) AS source,
+         |         min(n_tokens) AS n_tokens
+         |  FROM gated GROUP BY md5(text)),
+         |ct AS (
+         |  SELECT source, count(*) AS n_docs,
+         |         CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |  FROM ded GROUP BY source),
+         |w AS (SELECT source, n_docs,
+         |             sqrt(CAST(n_tokens AS DOUBLE)) / sum(sqrt(CAST(n_tokens AS DOUBLE))) OVER () AS wt
+         |      FROM ct),
+         |r AS (SELECT source,
+         |             CASE WHEN $SampleBudget * wt / n_docs > 1.0 THEN 1.0
+         |                  ELSE $SampleBudget * wt / n_docs END AS rate
+         |      FROM w)
+         |SELECT d.source, count(*) AS n_docs,
+         |       CAST(sum(d.n_tokens) AS BIGINT) AS total_tokens,
+         |       CAST(sum(d.keeper) AS BIGINT) AS keeper_sum
+         |FROM ded d JOIN r USING (source)
+         |WHERE CAST((d.keeper * 2654435761) % 2147483648 AS DOUBLE) / 2147483648 < r.rate
+         |GROUP BY d.source""".stripMargin) { (s, d) =>
+      val survivors = Tables(s, d, "documents")
+        .filter(TextStats.qualityPass)
+        .select(col("doc_id"), col("source"), size(toks).as("n_tokens"),
+          md5(col("text")).as("h"))
+        .groupBy("h")
+        .agg(min(col("doc_id")).as("keeper"), min(col("source")).as("source"),
+          min(col("n_tokens")).as("n_tokens"))
+      val ct = survivors.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).cast("long").as("n_tokens"))
+      survivors.join(broadcast(ratesFor(ct, SampleBudget)), "source")
+        .filter(Sampling.keyUniform(col("keeper")) < col("rate"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"),
+          sum(col("keeper")).cast("long").as("keeper_sum"))
     }
   )
+
+  /** Per-domain keep-rates realizing the sqrt-temperature mixture under a
+    * document budget: rate_i = min(1, budget·w_i / n_docs_i). Input: one
+    * row per domain with (source, n_docs, n_tokens); output: (source,
+    * rate) — KB-sized, meant to ride a broadcast join back to the corpus.
+    * Shared by x6 (raw corpus) and x7 (post-gate/dedup survivors). */
+  def ratesFor(perSource: org.apache.spark.sql.DataFrame, budget: Int): org.apache.spark.sql.DataFrame = {
+    val total = sum(sqrt(col("n_tokens").cast("double"))).over(Window.partitionBy())
+    perSource
+      .withColumn("wt", sqrt(col("n_tokens").cast("double")) / total)
+      .select(col("source"),
+        least(lit(1.0), lit(budget) * col("wt") / col("n_docs")).as("rate"))
+  }
 }

@@ -294,37 +294,46 @@ object TextStats {
     // Exactness: every ratio is one IEEE division of exact integers, and
     // the comparisons are against short decimal constants — no libm calls,
     // so Spark and DuckDB agree bit-for-bit (the t2/p5 precedent).
-    QueryDef("t11_quality_filter",
-      """WITH f AS (
-        |  SELECT source,
-        |         len(string_split(text, ' ')) AS n_tok,
-        |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
-        |           len(string_split(text, ' ')) AS ttr,
-        |         CAST(len(list_filter(string_split(text, ' '),
-        |                 x -> x IN ('the', 'a', 'of', 'and'))) AS DOUBLE) /
-        |           len(string_split(text, ' ')) AS stop_r,
-        |         (CAST(length(text) AS DOUBLE) - len(string_split(text, ' ')) + 1) /
-        |           len(string_split(text, ' ')) AS mtl
-        |  FROM documents)
-        |SELECT source, count(*) AS n_docs,
-        |       count(*) FILTER (WHERE n_tok >= 30 AND ttr >= 0.40
-        |                          AND stop_r >= 0.02 AND mtl <= 4.8) AS n_kept,
-        |       round(CAST(count(*) FILTER (WHERE n_tok >= 30 AND ttr >= 0.40
-        |                          AND stop_r >= 0.02 AND mtl <= 4.8) AS DOUBLE) /
-        |             count(*), 6) AS keep_rate
-        |FROM f GROUP BY source""".stripMargin) { (s, d) =>
-      val nTok = size(toks)
-      val ttr = size(array_distinct(toks)).cast("double") / nTok
-      val stopR = size(filter(toks, x => x.isin("the", "a", "of", "and")))
-        .cast("double") / nTok
-      val mtl = (length(col("text")).cast("double") - nTok + 1) / nTok
-      val pass = nTok >= 30 && ttr >= 0.40 && stopR >= 0.02 && mtl <= 4.8
+    QueryDef("t11_quality_filter", t11Sql) { (s, d) =>
       Tables(s, d, "documents")
         .groupBy("source")
         .agg(
           count(lit(1)).as("n_docs"),
-          count(when(pass, 1)).as("n_kept"),
-          round(count(when(pass, 1)).cast("double") / count(lit(1)), 6).as("keep_rate"))
+          count(when(qualityPass, 1)).as("n_kept"),
+          round(count(when(qualityPass, 1)).cast("double") / count(lit(1)), 6).as("keep_rate"))
     }
   )
+
+  /** The t11 rule conjunction (C4-style doc-level gate) as a reusable
+    * predicate over a `text` column — shared by t11's survival report and
+    * the x7 end-to-end pipeline manifest so the two can never drift. */
+  def qualityPass: org.apache.spark.sql.Column = {
+    val nTok = size(toks)
+    val ttr = size(array_distinct(toks)).cast("double") / nTok
+    val stopR = size(filter(toks, x => x.isin("the", "a", "of", "and")))
+      .cast("double") / nTok
+    val mtl = (length(col("text")).cast("double") - nTok + 1) / nTok
+    nTok >= 30 && ttr >= 0.40 && stopR >= 0.02 && mtl <= 4.8
+  }
+
+  /** The same gate in DuckDB SQL, as a WHERE-clause fragment over a
+    * `text` column (kept textually adjacent to [[qualityPass]]).
+    * `def`, not `val`: `entries` is initialized ABOVE and t11Sql
+    * interpolates this — a val would still be null at that point. */
+  def qualityPassSql: String =
+    """len(string_split(text, ' ')) >= 30
+      |  AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+      |        len(string_split(text, ' ')) >= 0.40
+      |  AND CAST(len(list_filter(string_split(text, ' '),
+      |          x -> x IN ('the', 'a', 'of', 'and'))) AS DOUBLE) /
+      |        len(string_split(text, ' ')) >= 0.02
+      |  AND (CAST(length(text) AS DOUBLE) - len(string_split(text, ' ')) + 1) /
+      |        len(string_split(text, ' ')) <= 4.8""".stripMargin
+
+  private def t11Sql: String =
+    s"""SELECT source, count(*) AS n_docs,
+       |       count(*) FILTER (WHERE $qualityPassSql) AS n_kept,
+       |       round(CAST(count(*) FILTER (WHERE $qualityPassSql) AS DOUBLE) /
+       |             count(*), 6) AS keep_rate
+       |FROM documents GROUP BY source""".stripMargin
 }
