@@ -266,4 +266,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!filterLines.contains("transform("),
       s"t10: bigram transform re-inlined into a filter:\n$filterLines")
   }
+
+  test("t11 quality filter: single per-domain shuffle, map-side partial agg") {
+    val p = plan("t11_quality_filter")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"t11: the per-domain rollup should be the ONLY exchange:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"t11: expected partial+final HashAggregate:\n$p")
+  }
+
+  test("x6/x7 mixture: rates ride a broadcast join, corpus never shuffles pre-filter") {
+    for (name <- Seq("x6_mixture_sample", "x7_pipeline_manifest")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name: per-domain rates frame must broadcast, not shuffle:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"$name: corpus-sized join shuffle crept in:\n$p")
+    }
+  }
+
+  test("d9 bloom probe filters map-side via scalar subquery before the verify join") {
+    val p = plan("d9_bloom_dedup")
+    assert(p.contains("might_contain"),
+      s"d9: bloom probe missing from the physical plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"d9: bloom filter value must arrive via scalar subquery, not a join:\n$p")
+    // the probe filter must sit BELOW the exact-verify join: in the plan
+    // string the first might_contain occurrence appears on the probe-side
+    // scan branch, i.e., strictly after the topmost join operator line
+    val joinIdx = p.indexOf("Join")
+    val probeIdx = p.indexOf("might_contain")
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      s"d9: probe filter not below the verify join:\n$p")
+  }
 }
