@@ -301,8 +301,57 @@ object TextStats {
           count(lit(1)).as("n_docs"),
           count(when(qualityPass, 1)).as("n_kept"),
           round(count(when(qualityPass, 1)).cast("double") / count(lit(1)), 6).as("keep_rate"))
+    },
+
+    // t12: curriculum binning — split the corpus into quality quartiles
+    // (type-token ratio as the proxy score) the way a curriculum-ordered
+    // training run consumes data: easy/clean bins first. NOT a global
+    // ntile: a whole-corpus ntile is a range-partitioned global sort. The
+    // scale-right plan computes the three quartile BOUNDARIES in one tiny
+    // aggregate, broadcasts that single row back, and bins MAP-SIDE with a
+    // CASE chain — the corpus is read once, never sorted, never shuffled
+    // except the final 4-row rollup. Boundary comparisons use the
+    // UNROUNDED quantile values: both engines interpolate with the same
+    // IEEE ops over exact int-ratio inputs, so the cut is bit-identical
+    // (rounding only the REPORTED lo/hi columns — the a7 precedent).
+    QueryDef("t12_curriculum_bins",
+      """WITH f AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+        |           len(string_split(text, ' ')) AS ttr
+        |  FROM documents),
+        |q AS (SELECT quantile_cont(ttr, 0.25) AS q1, quantile_cont(ttr, 0.5) AS q2,
+        |             quantile_cont(ttr, 0.75) AS q3 FROM f)
+        |SELECT CASE WHEN ttr <= q1 THEN 1 WHEN ttr <= q2 THEN 2
+        |            WHEN ttr <= q3 THEN 3 ELSE 4 END AS bin,
+        |       count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |       round(min(ttr), 6) AS ttr_lo, round(max(ttr), 6) AS ttr_hi
+        |FROM f CROSS JOIN q
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val f = Tables(s, d, "documents")
+        .select(col("doc_id"), size(toks).as("n_tokens"), ttrCol.as("ttr"))
+      val q = f.agg(
+        expr("percentile(ttr, 0.25)").as("q1"),
+        expr("percentile(ttr, 0.5)").as("q2"),
+        expr("percentile(ttr, 0.75)").as("q3"))
+      f.crossJoin(broadcast(q))
+        .select(
+          when(col("ttr") <= col("q1"), 1)
+            .when(col("ttr") <= col("q2"), 2)
+            .when(col("ttr") <= col("q3"), 3).otherwise(4).as("bin"),
+          col("n_tokens"), col("ttr"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"),
+          round(min(col("ttr")), 6).as("ttr_lo"),
+          round(max(col("ttr")), 6).as("ttr_hi"))
     }
   )
+
+  /** The t11/t12 quality proxy: per-doc type-token ratio — an exact
+    * division of exact ints, so cross-engine bit-identical. */
+  private def ttrCol = size(array_distinct(toks)).cast("double") / size(toks)
 
   /** The t11 rule conjunction (C4-style doc-level gate) as a reusable
     * predicate over a `text` column — shared by t11's survival report and
