@@ -181,7 +181,8 @@ object Bench {
       "x2_local_supplier_volume", "x3_corpus_prep", "a1_groupby_agg",
       "j2_join_shuffle", "j3_star_join", "w1_topk_per_group", "o1_sort_limit",
       "d0_cache_build", "d1_exact_dedup", "d4_ngram_jaccard", "d6_neardup_groups",
-      "d7_contamination", "j9_knn_cosine", "sim_ivf_ann", "t4_fingerprint",
+      "d7_contamination", "d9_bloom_dedup", "j9_knn_cosine", "sim_ivf_ann",
+      "t4_fingerprint", "x7_pipeline_manifest",
       "st_stream_tumbling", "s12_tfrecord_roundtrip")
     val hq = headline.flatMap(k => results.get(k).map(v => s"\"" + k + "\":" + jnum(v)))
       .mkString("{", ",", "}")

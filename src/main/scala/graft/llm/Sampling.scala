@@ -68,6 +68,32 @@ object Sampling {
         .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).cast("long").as("key_sum"))
     },
 
+    // p7: deterministic train/val/test split — the eval-split pass every
+    // training pipeline runs last. Hex-threshold buckets over md5(doc_id)
+    // (~79.7% / ~10.2% / ~10.2% at 'cc'/'e6'): a pure map-side CASE, so the
+    // assignment is reproducible across runs/retries/partitionings, a doc
+    // can never land in two splits, and at 100 TB the split is free (the
+    // only shuffle is the 3-row audit rollup; writers consume the same
+    // predicate as a filter). Same md5-prefix idiom as p5/p6 — no RNG.
+    QueryDef("p7_train_val_test",
+      """SELECT CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cc' THEN 'train'
+        |            WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6' THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       count(*) AS n_docs,
+        |       CAST(sum(doc_id) AS BIGINT) AS key_sum,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        |FROM documents GROUP BY 1""".stripMargin) { (s, d) =>
+      val h = md5(col("doc_id").cast("string"))
+      Tables(s, d, "documents")
+        .select(
+          when(h < "cc", "train").when(h < "e6", "val").otherwise("test").as("split"),
+          col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("key_sum"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"))
+    },
+
     // Uniform k-sample without replacement: global top-k by key hash — a
     // deterministic reservoir. Plan: TakeOrderedAndProject (each partition
     // keeps its local top-100, the driver merges 100×partitions rows; no
