@@ -504,6 +504,18 @@ class DataPlaneSpec extends AnyFunSuite {
     // nothing, every row keeps
     val allBatch = Dedup.bloomIncrementalDedup(docs, lit(true)).collect()
     assert(allBatch.forall(r => !r.getBoolean(1) && r.getBoolean(2)))
+
+    // the prefilter's point: rows surviving to the exact-verify join are
+    // ~(true dups + fpp·batch), a small fraction of the batch — rebuild the
+    // candidate frame exactly as the operator does and measure selectivity
+    val bloom = corpus.agg(graft.functions.BloomMembership
+      .bloomAgg(col("h"), 1000000L, 8388608L).as("bf"))
+    val nCand = batch.filter(graft.functions.BloomMembership.mightContain(
+      org.apache.spark.sql.GraftExpressionBridge.scalarSubquery(bloom), col("h"))).count()
+    val nBatch = batch.count()
+    assert(nCand <= expectDup.size + math.max(2L, (0.05 * nBatch).toLong),
+      s"bloom passed $nCand of $nBatch batch rows (true dups: ${expectDup.size}) — " +
+        "prefilter is not selective, the verify shuffle would carry the whole batch")
   }
 
   test("mixture: x5 weights form a distribution, x6 realizes it deterministically") {
