@@ -698,6 +698,19 @@ object Dedup {
   private def sharedScoredPairs(docs: DataFrame): DataFrame =
     pairCache.getOrElseUpdate(corpusKey(docs),
       scoredNgramPairs(docs).filter(col("jaccard") >= PairCacheFloor)
+        // The pair-AGG shuffle is deliberately wide (8×parallelism — see
+        // boundedScoredPairs), but the ≥-floor table retained here is ~5
+        // orders of magnitude smaller than the agg's group space, and its
+        // partitioning becomes every consumer's stage width — d6's CC
+        // schedules it once per pointer-doubling round, so 256 near-empty
+        // partitions cost whole seconds in task launches (measured: d6
+        // 2.3 → 4.7 s at sf0.1 when the 8× width leaked through). Bring the
+        // RETAINED table back to session parallelism with a true
+        // repartition — NOT coalesce, which would merge the reduce stage
+        // itself back to 32 tasks and reintroduce the 8×-sized per-task
+        // agg state the wide shuffle exists to avoid. The extra exchange
+        // moves only the ≥-floor rows (KBs), on the one-time d0 build line.
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Release every tracked token/pair cache (end of a Verify/Bench run, or
