@@ -77,19 +77,26 @@ object Streams {
   def eventsStream(s: SparkSession, d: String, maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // the file stream source requires a DIRECTORY (basePath) — the testdata
-    // events.parquet is a single file, so stage it into a temp dir once per
-    // SF dir (idempotent; a production deployment streams a landing dir or
-    // Kafka topic and skips this entirely)
+    // the file stream source requires a DIRECTORY (basePath). The driver
+    // testdata ships events.parquet as a single FILE → stage it into a temp
+    // dir once per SF dir (idempotent; a production deployment streams a
+    // landing dir or Kafka topic and skips this). ScaleGen corpora write
+    // events.parquet as a Spark output DIRECTORY → stream it directly
+    // (a Files.copy of a directory path would copy only the empty dir
+    // entry, leaving a sourceless stream — the sf1 full-suite run hit
+    // exactly that as UNABLE_TO_INFER_SCHEMA ×9).
     val src = java.nio.file.Paths.get(s"$d/events.parquet")
-    val dir = java.nio.file.Paths.get(
-      s"${sys.props("java.io.tmpdir")}/graft_events_${math.abs(d.hashCode)}")
-    java.nio.file.Files.createDirectories(dir)
-    val staged = dir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(staged) ||
-        java.nio.file.Files.size(staged) != java.nio.file.Files.size(src))
-      java.nio.file.Files.copy(src, staged,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val dir = if (java.nio.file.Files.isDirectory(src)) src else {
+      val staging = java.nio.file.Paths.get(
+        s"${sys.props("java.io.tmpdir")}/graft_events_${math.abs(d.hashCode)}")
+      java.nio.file.Files.createDirectories(staging)
+      val staged = staging.resolve("events.parquet")
+      if (!java.nio.file.Files.exists(staged) ||
+          java.nio.file.Files.size(staged) != java.nio.file.Files.size(src))
+        java.nio.file.Files.copy(src, staged,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      staging
+    }
     val schema = schemaCache.getOrElseUpdate(dir.toString, s.read.parquet(dir.toString).schema)
     val reader = s.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
