@@ -47,11 +47,41 @@ object Windows {
         |       ntile(4) OVER w AS quartile
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)""".stripMargin) { (s, d) =>
-      val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice"), col("o_orderkey"))
-      Tables(s, d, "orders").select(
-        col("o_orderkey"),
-        round(percent_rank().over(w), 9).as("pct_rank"),
-        ntile(4).over(w).as("quartile"))
+      // Rank functions over a LOW-CARDINALITY partition key force each
+      // window partition through ONE task's sort — 5 priorities = 5-way
+      // parallelism at any cluster size (~2×10⁹ rows/task at 100 TB). The
+      // builder dispatches on measured group size (one 5-row stats job,
+      // the AQE-style choice): under Ranks.WindowMaxGroupRows the
+      // codegen'd window sort wins; beyond it the distributed two-pass
+      // rank (Ranks.groupRank: cluster-wide range shuffle + zipWithIndex
+      // + broadcast group offsets) takes over with identical values —
+      // DataPlaneSpec proves both paths agree and the DuckDB oracle stays
+      // the window SQL either way.
+      val orders = Tables(s, d, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      // two-tier probe: total row count first (parquet metadata-only, ~no
+      // cost) — every group is bounded by it, so small inputs skip the
+      // per-group stats job entirely; only past the threshold does the
+      // |groups|-row count aggregate run (negligible relative to the
+      // query at that size)
+      val maxGroup = {
+        val total = orders.count()
+        if (total <= Ranks.WindowMaxGroupRows) total
+        else orders.groupBy("o_orderpriority").count()
+          .agg(max("count")).head().getLong(0)
+      }
+      if (maxGroup <= Ranks.WindowMaxGroupRows) {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        orders.select(
+          col("o_orderkey"),
+          round(percent_rank().over(w), 9).as("pct_rank"),
+          ntile(4).over(w).as("quartile"))
+      } else Ranks.percentRankNtile(
+        orders, col("o_orderpriority"),
+        Seq(col("o_totalprice"), col("o_orderkey")),
+        keyCol = col("o_orderkey"),
+        s.sparkContext.defaultParallelism)
     },
 
     // W4: running prefix average (median-stopping-rule prefix averages).

@@ -518,6 +518,27 @@ class DataPlaneSpec extends AnyFunSuite {
         "prefilter is not selective, the verify shuffle would carry the whole batch")
   }
 
+  test("distributed rank path equals the window formulation exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val orders = Tables(spark, sf, "orders")
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val windowed = orders.select(
+      col("o_orderkey"),
+      round(percent_rank().over(w), 9).as("pct_rank"),
+      ntile(4).over(w).as("quartile"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).sortBy(_._1)
+    val distributed = graft.ops.Ranks.percentRankNtile(
+      orders, col("o_orderpriority"),
+      Seq(col("o_totalprice"), col("o_orderkey")),
+      keyCol = col("o_orderkey"), parallelism = 7)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).sortBy(_._1)
+    assert(distributed.length == windowed.length)
+    assert(distributed.sameElements(windowed),
+      "distributed two-pass rank diverged from the window formulation")
+  }
+
   test("mixture: x5 weights form a distribution, x6 realizes it deterministically") {
     val x5 = SparkEntry.queries("x5_mixture_weights")(spark, sf).collect()
     val wSum = x5.map(_.getAs[Double]("weight")).sum
