@@ -80,13 +80,30 @@ object ScaleGen {
     def scaled(base: Int, cap: Int): Int =
       math.min(cap, math.max(base, (base.toLong * factor / 10).toInt))
 
-    // --- dims + events: copy unchanged -----------------------------------
+    // --- dims: copy unchanged ---------------------------------------------
     for (t <- Seq("region", "nation", "customer", "supplier", "part"))
       write(spark.read.parquet(s"$src/$t.parquet"), t, 1)
-    // events.ts round-trips in whichever physical layout the source has
+    // --- events: replicate with USER-key offsets --------------------------
+    // (round 9; previously copied unchanged, which left streaming state
+    // cardinality untested past 1.5k users / 100k events). Each replica
+    // shifts user_id/event_id by the source span and keeps ts untouched:
+    // per-user event patterns — window densities, session gaps, dedup
+    // collision rates — are preserved exactly while watermark-keyed STATE
+    // (per-user sessions/FSMs, per-window groups, dedup keys) grows ×factor,
+    // which is the dimension a scaled streaming run must stress. events.ts
+    // round-trips in whichever physical layout the source has
     // (TIMESTAMP(MICROS) natively; TIMESTAMP(NANOS) as int64 under
     // nanosAsLong) — Tables' schema-adaptive read handles both.
-    write(spark.read.parquet(s"$src/events.parquet"), "events", 2)
+    val events = spark.read.parquet(s"$src/events.parquet")
+    val userSpan = events.agg(max("user_id")).as[Long].head() + 1L
+    val eventSpan = events.agg(max("event_id")).as[Long].head() + 1L
+    val evReplicas = spark.range(factor).select(col("id").as("rep"))
+    write(
+      events.crossJoin(broadcast(evReplicas))
+        .withColumn("user_id", col("user_id") + col("rep") * userSpan)
+        .withColumn("event_id", col("event_id") + col("rep") * eventSpan)
+        .drop("rep").select(events.columns.map(col).toSeq: _*),
+      "events", scaled(2, 16))
 
     // --- facts: replicate with key offsets --------------------------------
     val orders = spark.read.parquet(s"$src/orders.parquet")
