@@ -664,8 +664,25 @@ object Dedup {
   private val tokenCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private val pairCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
-  private def corpusKey(docs: DataFrame): String =
-    docs.queryExecution.logical.canonicalized.toString
+  /** Cache key for a corpus frame. The naive canonicalized-plan string is
+    * NOT sufficient: an unresolved parquet read prints "paths: 1 provided"
+    * with no actual path, so two same-schema corpora in one session (two
+    * sf dirs, or a test suite after a bench run) collide and the second
+    * silently reuses the first corpus' shingle cache — observed as a d3
+    * recall failure when two suites share a session. Key on the ANALYZED
+    * canonical plan plus the resolved input files (distinct per corpus
+    * directory) plus the row data of any in-memory relation (same-schema
+    * test frames differ only in data, which the plan string omits). */
+  private def corpusKey(docs: DataFrame): String = {
+    val analyzed = docs.queryExecution.analyzed
+    val localData = analyzed.collectLeaves().collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        l.data.hashCode()
+    }
+    (analyzed.canonicalized.toString,
+      docs.inputFiles.toSeq.sorted.mkString(","),
+      localData.mkString(",")).toString
+  }
 
   /** Shared exploded (doc_id, h) distinct-shingle-hash pairs. The shingle
     * ARRAYS are localCheckpoint'ed (raw row blocks — no columnar array

@@ -94,6 +94,41 @@ object Sampling {
           sum(col("n_tokens")).cast("long").as("total_tokens"))
     },
 
+    // p8: deterministic epoch shuffle — the global training order a
+    // pretraining run consumes each epoch, plus the round-robin data-loader
+    // rank each position feeds. The order is rank-of-md5(seed ++ doc_id):
+    // seeded, reproducible across runs/retries/partitionings (the p5–p7
+    // no-RNG idiom), and a new seed string is a fresh permutation. A global
+    // row_number is the single-task degenerate case of w3's problem, so the
+    // builder dispatches exactly like w3: under Ranks.WindowMaxGroupRows a
+    // one-task window sort wins; beyond it Ranks.groupRank (cluster-wide
+    // range shuffle + zipWithIndex) assigns the identical contiguous
+    // positions with parallelism that tracks the cluster — at 100 TB the
+    // epoch order is produced by a range shuffle over (hash, doc_id),
+    // never a single-task sort. DataPlaneSpec proves both paths agree.
+    QueryDef("p8_epoch_shuffle",
+      """SELECT doc_id, pos, pos % 8 AS loader_rank
+        |FROM (
+        |  SELECT doc_id,
+        |         row_number() OVER (ORDER BY md5('ep1-' || CAST(doc_id AS VARCHAR)),
+        |                            doc_id) - 1 AS pos
+        |  FROM documents)""".stripMargin) { (s, d) =>
+      import graft.ops.Ranks
+      val h = md5(concat(lit("ep1-"), col("doc_id").cast("string")))
+      val docs = Tables(s, d, "documents").select(col("doc_id"), h.as("ekey"))
+      val total = docs.count()
+      val posed =
+        if (total <= Ranks.WindowMaxGroupRows) {
+          val w = org.apache.spark.sql.expressions.Window
+            .orderBy(col("ekey"), col("doc_id"))
+          docs.select(col("doc_id"), (row_number().over(w) - 1).cast("long").as("pos"))
+        } else
+          Ranks.groupRank(docs, lit("g"), Seq(col("ekey"), col("doc_id")),
+              s.sparkContext.defaultParallelism)
+            .select(col("doc_id"), col("g_idx").as("pos"))
+      posed.select(col("doc_id"), col("pos"), (col("pos") % 8).as("loader_rank"))
+    },
+
     // Uniform k-sample without replacement: global top-k by key hash — a
     // deterministic reservoir. Plan: TakeOrderedAndProject (each partition
     // keeps its local top-100, the driver merges 100×partitions rows; no

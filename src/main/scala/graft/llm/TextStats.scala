@@ -346,6 +346,79 @@ object TextStats {
           sum(col("n_tokens")).cast("long").as("total_tokens"),
           round(min(col("ttr")), 6).as("ttr_lo"),
           round(max(col("ttr")), 6).as("ttr_hi"))
+    },
+
+    // t13: PII scrub — the redaction pass a corpus runs before release.
+    // The full battery (email / IPv4 / phone regexes + a term blocklist)
+    // is applied in one map-side projection; per-doc match counts come
+    // off the ORIGINAL text and the scrubbed text is reported as
+    // (md5, length) so the oracle verifies full string equality without
+    // shipping corpus text through the compare. The synthetic corpus
+    // contains no digits or '@', so the structured-PII counts are zero
+    // here (DataPlaneSpec proves the regexes on planted fixtures); the
+    // blocklist fires on 455/500 docs. Patterns stay in the Java∩RE2
+    // dialect (no lookarounds; \b and \d are ASCII-identical on this
+    // data), and Spark's replace-all default matches DuckDB's 'g' flag.
+    // Scale: narrow per-row projection, no shuffle at any corpus size.
+    QueryDef("t13_pii_scrub", t13Sql) { (s, d) =>
+      val scrubbed = PiiPatterns.rules.foldLeft(col("text")) {
+        case (c, (pat, repl)) => regexp_replace(c, pat, repl)
+      }
+      val counts = PiiPatterns.rules.map { case (pat, _) =>
+        size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+      }
+      Tables(s, d, "documents").select(
+        col("doc_id"),
+        counts(0).cast("long").as("n_email"),
+        counts(1).cast("long").as("n_ip"),
+        counts(2).cast("long").as("n_phone"),
+        counts(3).cast("long").as("n_blocked"),
+        md5(scrubbed).as("scrub_hash"),
+        length(scrubbed).cast("long").as("scrub_len"))
+    },
+
+    // t14: duplicated-5-gram fraction (Gopher Table A1's dup_ngram_frac
+    // family / the RefinedWeb boilerplate signal): a span is boilerplate
+    // when its 5-gram occurs in ≥2 DISTINCT documents, and a doc is
+    // dropped when boilerplate covers more than 20% of its spans. Unlike
+    // the d-family (pairwise similarity) this is a corpus-wide df filter:
+    // per-(doc,gram) counts aggregate map-side-combined, the df table is
+    // one more aggregate over those rows, and the join back is gram-keyed
+    // — the shuffles carry (doc_id, 32-byte md5(gram), count), never
+    // text, and nothing is quadratic. Gram staging reuses the t10 guard
+    // (pre-projected token array, bound-attribute explode_outer) so the
+    // generator never re-splits per element.
+    QueryDef("t14_boilerplate_spans",
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents
+        |           WHERE len(string_split(text,' ')) >= 5),
+        |g AS (SELECT doc_id, md5(unnest(list_transform(range(1, len(ts)-3),
+        |                      i -> array_to_string(ts[i:i+4], ' ')))) AS gh
+        |      FROM t),
+        |c AS (SELECT doc_id, gh, count(*) AS c FROM g GROUP BY 1, 2),
+        |df AS (SELECT gh, count(*) AS df FROM c GROUP BY 1)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_spans,
+        |       CAST(sum(c) FILTER (WHERE df >= 2) AS BIGINT) AS n_boiler,
+        |       round(CAST(coalesce(sum(c) FILTER (WHERE df >= 2), 0) AS DOUBLE) /
+        |             sum(c), 6) AS boiler_frac,
+        |       (CAST(coalesce(sum(c) FILTER (WHERE df >= 2), 0) AS DOUBLE) /
+        |             sum(c) <= 0.2) AS keep
+        |FROM c JOIN df USING (gh) GROUP BY doc_id""".stripMargin) { (s, d) =>
+      val g = Tables(s, d, "documents").filter(size(toks) >= 5)
+        .select(col("doc_id"), toks.as("ts"))
+        .select(col("doc_id"),
+          transform(sequence(lit(1), size(col("ts")) - 4), i =>
+            md5(array_join(slice(col("ts"), i, lit(5)), " "))).as("ghs"))
+        .select(col("doc_id"), explode_outer(col("ghs")).as("gh"))
+      val c = g.groupBy("doc_id", "gh").agg(count(lit(1)).as("c"))
+      val dfT = c.groupBy("gh").agg(count(lit(1)).as("df"))
+      val boiler = sum(when(col("df") >= 2, col("c")))
+      val frac = coalesce(boiler, lit(0L)).cast("double") / sum(col("c"))
+      c.join(dfT, "gh")
+        .groupBy("doc_id")
+        .agg(sum(col("c")).cast("long").as("n_spans"),
+          boiler.cast("long").as("n_boiler"),
+          round(frac, 6).as("boiler_frac"),
+          (frac <= 0.2).as("keep"))
     }
   )
 
@@ -385,4 +458,35 @@ object TextStats {
        |       round(CAST(count(*) FILTER (WHERE $qualityPassSql) AS DOUBLE) /
        |             count(*), 6) AS keep_rate
        |FROM documents GROUP BY source""".stripMargin
+
+  /** t13's redaction battery, in application order. Each pattern is valid
+    * and identical under BOTH Java regex (Spark) and RE2 (DuckDB): no
+    * lookarounds/backrefs, and `\b`/`\d` agree because the data is ASCII.
+    * Shared by the Spark builder, the SQL oracle, and DataPlaneSpec's
+    * planted-PII fixtures — one source of truth for the dialect subset. */
+  object PiiPatterns {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+    val ipv4 = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+    val phone = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+    val terms = "\\b(customer|vector)\\b"
+    val rules: Seq[(String, String)] = Seq(
+      email -> "<EMAIL>", ipv4 -> "<IP>", phone -> "<PHONE>", terms -> "<TERM>")
+  }
+
+  private def t13Sql: String = {
+    val Seq(e, i, p, b) = PiiPatterns.rules.map(_._1)
+    s"""SELECT doc_id,
+       |       CAST(len(regexp_extract_all(text, '$e')) AS BIGINT) AS n_email,
+       |       CAST(len(regexp_extract_all(text, '$i')) AS BIGINT) AS n_ip,
+       |       CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS n_phone,
+       |       CAST(len(regexp_extract_all(text, '$b')) AS BIGINT) AS n_blocked,
+       |       md5(scrubbed) AS scrub_hash,
+       |       CAST(length(scrubbed) AS BIGINT) AS scrub_len
+       |FROM (
+       |  SELECT doc_id, text,
+       |         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |           text, '$e', '<EMAIL>', 'g'), '$i', '<IP>', 'g'),
+       |           '$p', '<PHONE>', 'g'), '$b', '<TERM>', 'g') AS scrubbed
+       |  FROM documents)""".stripMargin
+  }
 }

@@ -559,4 +559,84 @@ class DataPlaneSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(run1.forall { case (src, kept, _) => kept <= nDocs(src) })
   }
+
+  test("dedup caches are per-corpus: same-schema corpora in one session never collide") {
+    // regression: the plan-string cache key printed no file path, so a
+    // second same-schema corpus silently reused the first one's shingles
+    val small = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val big = Tables(spark, sf, "documents")
+    // both dirs hold 500 docs with DIFFERENT texts — discriminate on the
+    // shingle content, not the row count
+    val nSmall = Dedup.sharedTokens(small).select(countDistinct("h")).head.getLong(0)
+    val nBig = Dedup.sharedTokens(big).select(countDistinct("h")).head.getLong(0)
+    assert(nSmall != nBig,
+      s"distinct corpora served the same cached shingles ($nSmall distinct)")
+  }
+
+  test("t13 PII battery redacts planted email/IP/phone/term fixtures") {
+    import graft.llm.TextStats.PiiPatterns
+    // the corpus contains no structured PII, so the regexes are proven here
+    // on planted rows run through the SAME pattern constants the query and
+    // oracle share
+    val fixtures = Seq(
+      ("contact bob.smith+x@mail-host.example.org for details",
+        "contact <EMAIL> for details", (1, 0, 0, 0)),
+      ("node at 10.0.255.3 timed out", "node at <IP> timed out", (0, 1, 0, 0)),
+      ("call 555-867-5309 or 555 123 4567 now",
+        "call <PHONE> or <PHONE> now", (0, 0, 2, 0)),
+      ("the customer moved the vector", "the <TERM> moved the <TERM>", (0, 0, 0, 2)),
+      ("customers keep vectors", "customers keep vectors", (0, 0, 0, 0)), // \b guards
+      ("a@b.co on 1.2.3.4 rang 999-999-9999 customer",
+        "<EMAIL> on <IP> rang <PHONE> <TERM>", (1, 1, 1, 1)))
+    for ((in, expectedOut, (ne, ni, np, nb)) <- fixtures) {
+      val out = PiiPatterns.rules.foldLeft(in) { case (t, (p, r)) => t.replaceAll(p, r) }
+      assert(out == expectedOut, s"scrub of '$in'")
+      val counts = PiiPatterns.rules.map { case (p, _) =>
+        p.r.findAllMatchIn(in).size }
+      assert(counts == Seq(ne, ni, np, nb), s"counts for '$in'")
+    }
+    // and the declared query agrees with a direct Scala-side recount on the
+    // real corpus (blocklist is the live rule there: 455/500 docs at sf0.01)
+    val q = SparkEntry.queries("t13_pii_scrub")(spark, sf).collect()
+    assert(q.count(_.getAs[Long]("n_blocked") > 0) > 400)
+    assert(q.forall(r => r.getAs[Long]("n_email") == 0 && r.getAs[Long]("n_ip") == 0))
+  }
+
+  test("t14 boilerplate fraction matches a Scala-side recount; both keep outcomes occur") {
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val grams: Map[Long, Seq[String]] = docs.collect {
+      case (id, text) if text.split(" ", -1).length >= 5 =>
+        id -> text.split(" ", -1).sliding(5).map(_.mkString(" ")).toSeq
+    }
+    val df = grams.toSeq.flatMap { case (_, gs) => gs.distinct }
+      .groupBy(identity).map { case (g, occ) => g -> occ.size }
+    val expected = grams.map { case (id, gs) =>
+      id -> (gs.size.toLong, gs.count(df(_) >= 2).toLong) }
+    val q = SparkEntry.queries("t14_boilerplate_spans")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("n_boiler"))).toMap
+    assert(q == expected, "per-doc (n_spans, n_boiler) diverged from recount")
+    val keeps = SparkEntry.queries("t14_boilerplate_spans")(spark, sf)
+      .collect().map(_.getAs[Boolean]("keep"))
+    assert(keeps.contains(true) && keeps.contains(false),
+      "threshold must be live on the testdata — both outcomes present")
+  }
+
+  test("p8 epoch shuffle: exact permutation, seeded-deterministic, both rank paths agree") {
+    val rows = SparkEntry.queries("p8_epoch_shuffle")(spark, sf).collect()
+    val n = rows.length
+    assert(rows.map(_.getAs[Long]("pos")).sorted.sameElements(0L until n),
+      "pos must be a contiguous 0-based permutation")
+    assert(rows.forall(r => r.getAs[Long]("loader_rank") == r.getAs[Long]("pos") % 8))
+    // the distributed path (forced low threshold via direct groupRank call)
+    // assigns the identical positions the window path produced
+    val h = md5(concat(lit("ep1-"), col("doc_id").cast("string")))
+    val docs = Tables(spark, sf, "documents").select(col("doc_id"), h.as("ekey"))
+    val dist = graft.ops.Ranks.groupRank(docs, lit("g"), Seq(col("ekey"), col("doc_id")), 5)
+      .select(col("doc_id"), col("g_idx").as("pos"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val win = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pos")).toMap
+    assert(dist == win, "distributed epoch order diverged from the window order")
+  }
 }

@@ -140,7 +140,8 @@ class PlanSpec extends AnyFunSuite {
   test("map-side operators plan with zero exchanges") {
     // cleaning, normalization, quantization, unpivot: pure narrow pipelines —
     // any Exchange here is a plan regression that multiplies at 100 TB
-    for (q <- Seq("t6_clean_text", "sim_l2norm", "sim_quantize", "o5_unpivot")) {
+    for (q <- Seq("t6_clean_text", "sim_l2norm", "sim_quantize", "o5_unpivot",
+        "t13_pii_scrub")) {
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q gained a shuffle:\n$p")
     }
@@ -298,5 +299,31 @@ class PlanSpec extends AnyFunSuite {
     val probeIdx = p.indexOf("might_contain")
     assert(joinIdx >= 0 && probeIdx > joinIdx,
       s"d9: probe filter not below the verify join:\n$p")
+  }
+
+  test("t14 boilerplate: staged gram explode, map-side combines, no cartesian") {
+    val p = plan("t14_boilerplate_spans")
+    // same generator discipline as t10: the md5-gram array is a staged
+    // bound attribute, never a transform re-evaluated per element
+    assert("Generate explode(?:_outer)?\\([a-zA-Z_]+#\\d+\\)".r.findFirstIn(p).isDefined,
+      s"t14: Generate input is a nested expression tree, not a bound attribute:\n$p")
+    // (doc,gram) counts, df counts, and the per-doc rollup all combine
+    // map-side — a boilerplate-heavy corpus (the target of this filter)
+    // must collapse before it shuffles
+    assert("HashAggregate".r.findAllIn(p).size >= 6,
+      s"t14: expected partial+final pairs on all three aggs:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"t14: df join must stay gram-keyed:\n$p")
+  }
+
+  test("p8 epoch shuffle reads only doc_id and plans the dispatched rank path") {
+    val p = plan("p8_epoch_shuffle")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && !readSchema.contains("text"),
+      s"p8 scan not pruned to doc_id: $readSchema")
+    // at sf0.001 the dispatch takes the window path (a single-task sort is
+    // correct under WindowMaxGroupRows); the distributed path's value
+    // identity is DataPlaneSpec's p8 test
+    assert(p.contains("Window"), s"p8: small-n path lost its window plan:\n$p")
   }
 }
