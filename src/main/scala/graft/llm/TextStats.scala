@@ -403,18 +403,34 @@ object TextStats {
         |       (CAST(coalesce(sum(c) FILTER (WHERE df >= 2), 0) AS DOUBLE) /
         |             sum(c) <= 0.2) AS keep
         |FROM c JOIN df USING (gh) GROUP BY doc_id""".stripMargin) { (s, d) =>
+      // gram key = one multi-arg xxhash64 over the 5 tokens (the d7b
+      // idiom): no per-gram string allocation, and the df join moves
+      // 8-byte longs instead of 32-byte hex — the md5-string formulation
+      // measured 63 s at the 100× corpus, this one ~3 s. The oracle keeps
+      // md5 strings (DuckDB has no xxhash64); every REPORTED column is a
+      // count over gram equivalence classes, which both keyings induce
+      // identically (any 64-bit collision would flip a count and fail the
+      // hash-compare — none observed; the d4 family sets the precedent).
       val g = Tables(s, d, "documents").filter(size(toks) >= 5)
         .select(col("doc_id"), toks.as("ts"))
         .select(col("doc_id"),
           transform(sequence(lit(1), size(col("ts")) - 4), i =>
-            md5(array_join(slice(col("ts"), i, lit(5)), " "))).as("ghs"))
+            xxhash64((0 until 5).map(j => element_at(col("ts"), i + j)): _*)).as("ghs"))
         .select(col("doc_id"), explode_outer(col("ghs")).as("gh"))
+      // df via a count window over gh, NOT a self-join: the join formulation
+      // plans the gram build + its (doc_id, gh) exchange TWICE (column
+      // pruning specializes the df side's aggregate, so ReusedExchange
+      // cannot fire) — measured 2× the scan/explode work at the 100×
+      // corpus. The window reads the c rows once; the hottest gram's rows
+      // all land in one window partition, but those are (8+8+8)-byte
+      // count rows bounded by |docs containing the gram|, not span
+      // occurrences.
       val c = g.groupBy("doc_id", "gh").agg(count(lit(1)).as("c"))
-      val dfT = c.groupBy("gh").agg(count(lit(1)).as("df"))
+      val withDf = c.withColumn("df",
+        count(lit(1)).over(Window.partitionBy("gh")))
       val boiler = sum(when(col("df") >= 2, col("c")))
       val frac = coalesce(boiler, lit(0L)).cast("double") / sum(col("c"))
-      c.join(dfT, "gh")
-        .groupBy("doc_id")
+      withDf.groupBy("doc_id")
         .agg(sum(col("c")).cast("long").as("n_spans"),
           boiler.cast("long").as("n_boiler"),
           round(frac, 6).as("boiler_frac"),

@@ -307,13 +307,18 @@ class PlanSpec extends AnyFunSuite {
     // bound attribute, never a transform re-evaluated per element
     assert("Generate explode(?:_outer)?\\([a-zA-Z_]+#\\d+\\)".r.findFirstIn(p).isDefined,
       s"t14: Generate input is a nested expression tree, not a bound attribute:\n$p")
-    // (doc,gram) counts, df counts, and the per-doc rollup all combine
-    // map-side — a boilerplate-heavy corpus (the target of this filter)
-    // must collapse before it shuffles
-    assert("HashAggregate".r.findAllIn(p).size >= 6,
-      s"t14: expected partial+final pairs on all three aggs:\n$p")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"t14: df join must stay gram-keyed:\n$p")
+    // (doc,gram) counts and the per-doc rollup combine map-side; df comes
+    // from a count window over gh — NOT a self-join, which would plan the
+    // gram build twice (pruning breaks exchange reuse; measured 2× the
+    // scan work at the 100× corpus)
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"t14: expected partial+final pairs on both aggs:\n$p")
+    assert(p.contains("Window"), s"t14: df lost its window formulation:\n$p")
+    assert(!p.contains("Join"),
+      s"t14: regressed to the double-gram-build df join:\n$p")
+    // exactly one gram build: the corpus scan appears once in the plan
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"t14: corpus scanned more than once:\n$p")
   }
 
   test("p8 epoch shuffle reads only doc_id and plans the dispatched rank path") {
