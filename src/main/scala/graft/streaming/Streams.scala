@@ -98,6 +98,18 @@ object Streams {
       staging
     }
     val schema = schemaCache.getOrElseUpdate(dir.toString, s.read.parquet(dir.toString).schema)
+    // state-store auto-sizing hint: partitions track the SOURCE's file
+    // count (the same proxy the batch scan parallelizes on), clamped to
+    // [2, defaultParallelism]. The fixed default of 2 was tuned on 100k-row
+    // local replays, where per-partition store overhead dominates; at the
+    // 100× corpus (10M events) 2 partitions put ~5M state keys in each of
+    // two tasks — st_stream_dedup read 50 s and the session window OOMed
+    // the driver's task-result path. An explicit
+    // `graft.stream.statePartitions` still overrides (see runToTable).
+    val nFiles = Option(dir.toFile.listFiles((_, n) => n.endsWith(".parquet")))
+      .map(_.length).getOrElse(1)
+    val auto = math.max(2, math.min(nFiles, s.sparkContext.defaultParallelism))
+    s.conf.set("graft.stream.statePartitionsAuto", auto.toString)
     val reader = s.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     graft.data.Tables.normalizeEventTs(reader.parquet(dir.toString))
@@ -117,8 +129,7 @@ object Streams {
     // going 8 → 2 partitions on a local replay. A real deployment sizes
     // this to keys × state-bytes / executor-memory before first start.
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    val statePartitions = s.conf.getOption("graft.stream.statePartitions").getOrElse("2")
-    s.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions(s))
     try {
       val q = stream.writeStream
         .format("memory").queryName(name)
@@ -129,6 +140,45 @@ object Streams {
       q.awaitTermination()
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
+  }
+
+  /** Explicit `graft.stream.statePartitions` knob, else the source-derived
+    * auto hint (eventsStream), else the small-replay default of 2. */
+  private def statePartitions(s: SparkSession): String =
+    s.conf.getOption("graft.stream.statePartitions")
+      .orElse(s.conf.getOption("graft.stream.statePartitionsAuto"))
+      .getOrElse("2")
+
+  /** Drain a streaming DataFrame whose output is CORPUS-SIZED into a
+    * parquet landing dir instead of the driver's memory sink, and return
+    * the read-back table. The memory sink ships every emitted row through
+    * task results onto the driver heap — fine for the KB-sized aggregate
+    * streams, fatal for row-per-event outputs (the 100× replay OOMed the
+    * driver on the session-window table and spent 50 s landing 10M deduped
+    * rows). foreachBatch keeps the rows on the executors: append mode
+    * accumulates each batch's new rows; complete mode overwrites, so the
+    * final batch's full state is the result — identical tables, produced
+    * distributed. This is also the production shape (streams end in a
+    * sink, not in driver memory). */
+  def runToParquetTable(s: SparkSession, stream: DataFrame, mode: String): DataFrame = {
+    val name = s"graft_stream_${runCounter.incrementAndGet()}"
+    val out = s"${sys.props("java.io.tmpdir")}/graft_sink_${name}_${System.nanoTime()}"
+    val ckpt = s"${out}_ckpt"
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions(s))
+    try {
+      val saveMode = if (mode == "complete") "overwrite" else "append"
+      val q = stream.writeStream
+        .outputMode(mode)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.write.mode(saveMode).parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.read.parquet(out)
   }
 
   /** T6 FSM over a typed stream: per-user state folded across micro-batches
@@ -212,7 +262,10 @@ object Streams {
         .withWatermark("ts", "1 hour")
         .dropDuplicates("user_id", "event_id")
         .select("user_id", "event_id")
-      runToTable(s, deduped, "append")
+      // row-per-event output: land it distributed (parquet), aggregate
+      // batch-side — the memory sink spent 50 s driver-materializing 10M
+      // deduped rows at the 100x replay
+      runToParquetTable(s, deduped, "append")
         .groupBy("user_id").agg(count(lit(1)).as("n"))
     },
 
@@ -292,7 +345,12 @@ object Streams {
           col("session_window.start").as("session_start"),
           col("session_window.end").as("session_end"),
           col("n_events"), col("total"))
-      runToTable(s, sess, "complete")
+      // row-per-session output (954k rows at 10x, ~10M at 100x): complete
+      // mode re-emits the full session table every micro-batch, and the
+      // memory sink put each emission on the driver heap (OOM at 100x) —
+      // the parquet drain overwrites per batch, keeping the final state
+      // distributed
+      runToParquetTable(s, sess, "complete")
     },
 
     // T1/S5 (streaming sink): foreachBatch writing each micro-batch to a
