@@ -126,10 +126,19 @@ object TextStats {
         |         range(1, greatest(len(string_split(text,' ')) - 3, 2)),
         |         i -> md5(array_to_string(string_split(text,' ')[i:i+4], ' ')))) AS fingerprint
         |FROM documents""".stripMargin) { (s, d) =>
+      // Shingle string via concat_ws over element_at, NOT slice+array_join:
+      // the slice formulation allocates an array copy AND a joined string
+      // per shingle inside the interpreted higher-order eval — measured
+      // 13.5 s at the 100× corpus vs ~5 s for this shape (t14's idiom).
+      // Tail clamp parity: past-the-end element_at yields null and
+      // concat_ws skips nulls, which is exactly the clamped slice's join
+      // (and DuckDB's ts[i:i+4] clamped slice in the oracle).
+      val t = Tables(s, d, "documents")
+        .select(col("doc_id"), toks.as("ts"))
       val sh = transform(
-        sequence(lit(1), greatest(size(toks) - 4, lit(1))),
-        i => md5(array_join(slice(toks, i, lit(5)), " ")))
-      Tables(s, d, "documents").select(col("doc_id"), array_min(sh).as("fingerprint"))
+        sequence(lit(1), greatest(size(col("ts")) - 4, lit(1))),
+        i => md5(concat_ws(" ", (0 until 5).map(j => element_at(col("ts"), i + j)): _*)))
+      t.select(col("doc_id"), array_min(sh).as("fingerprint"))
     },
 
     // BPE vocabulary training, core step: corpus-wide adjacent token-pair
