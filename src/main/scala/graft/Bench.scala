@@ -111,8 +111,31 @@ object Bench {
         .write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // disk-write calibration: the CPU calib can read clean while state-heavy
+    // streaming queries swing 2-8× — measured one boot at 160 MB/s direct
+    // writes where stream-stream join read 54 s vs 7 s on a faster-disk
+    // boot, with calib_first ~0.5 s both times. 256 MB buffered write +
+    // fsync through the same /tmp the state stores and sinks use.
+    def ioCalibrate(): Double = {
+      val p = java.nio.file.Paths.get(
+        s"${sys.props("java.io.tmpdir")}/graft_bench_iocalib")
+      val buf = new Array[Byte](1 << 20)
+      val t0 = System.nanoTime()
+      val ch = java.nio.channels.FileChannel.open(p,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+      try {
+        for (_ <- 0 until 256) ch.write(java.nio.ByteBuffer.wrap(buf))
+        ch.force(true)
+      } finally ch.close()
+      val secs = (System.nanoTime() - t0) / 1e9
+      java.nio.file.Files.deleteIfExists(p)
+      256.0 / secs // MB/s
+    }
     val loadBefore = loadavg()
     val calibFirst = calibrate()
+    val ioFirst = ioCalibrate()
 
     // optional comma-separated query filter for local iteration; the driver
     // never sets it, so per-round benches always time the full suite
@@ -147,6 +170,7 @@ object Bench {
             name -> secs
           })
     val calibLast = calibrate()
+    val ioLast = ioCalibrate()
     val loadAfter = loadavg()
     // Locale.ROOT: the f interpolator uses the JVM default locale, so a
     // comma-decimal locale would emit 0,468 and break the driver's JSON parse
@@ -154,7 +178,8 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val contention =
       s""""loadavg_before":${jnum(loadBefore)},"loadavg_after":${jnum(loadAfter)},""" +
-      s""""calib_first_s":${jnum(calibFirst)},"calib_last_s":${jnum(calibLast)}"""
+      s""""calib_first_s":${jnum(calibFirst)},"calib_last_s":${jnum(calibLast)},""" +
+      s""""io_calib_first_mb_s":${jnum(ioFirst)},"io_calib_last_mb_s":${jnum(ioLast)}"""
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + jnum(v) }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }

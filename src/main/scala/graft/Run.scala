@@ -8,6 +8,11 @@ object Run {
     val name = args(0)
     val sfDir = if (args.length > 1 && !args(1).startsWith("--")) args(1) else "/root/testdata/sf0.01"
     val flags = args.filter(_.startsWith("--")).toSet
+    // --conf:k=v session-conf overrides, for perf experiments (e.g.
+    // --conf:graft.stream.statePartitions=32)
+    val confs = args.filter(_.startsWith("--conf:")).map { a =>
+      val kv = a.stripPrefix("--conf:").split("=", 2); (kv(0), kv(1))
+    }
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -19,9 +24,12 @@ object Run {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    // timing starts BEFORE build: streaming queries (and cache-building
+    // setup queries) do their work inside the builder, not at .count()
+    val t0 = System.nanoTime()
     val df = SparkEntry.queries(name)(spark, sfDir)
     if (flags("--explain")) df.explain("formatted")
-    val t0 = System.nanoTime()
     val n = df.count()
     val dt = (System.nanoTime() - t0) / 1e9
     println(f"[run] $name rows=$n time=$dt%.2fs sf=$sfDir")

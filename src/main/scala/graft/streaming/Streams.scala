@@ -108,7 +108,13 @@ object Streams {
     // `graft.stream.statePartitions` still overrides (see runToTable).
     val nFiles = Option(dir.toFile.listFiles((_, n) => n.endsWith(".parquet")))
       .map(_.length).getOrElse(1)
-    val auto = math.max(2, math.min(nFiles, s.sparkContext.defaultParallelism))
+    // 2× file count: state tasks do strictly more work per input split than
+    // the scan (store commit + emission on top of the agg), so giving the
+    // state stage twice the scan's parallelism overlaps commit with compute.
+    // Measured at the 100× corpus (16 source files): session window 32.7 s
+    // at 16 partitions → 24.6 s at 32. Small replays are unaffected — the
+    // staged single-file sf0.1 source still lands on the floor of 2.
+    val auto = math.max(2, math.min(2 * nFiles, s.sparkContext.defaultParallelism))
     s.conf.set("graft.stream.statePartitionsAuto", auto.toString)
     val reader = s.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
