@@ -444,6 +444,50 @@ object TextStats {
           boiler.cast("long").as("n_boiler"),
           round(frac, 6).as("boiler_frac"),
           (frac <= 0.2).as("keep"))
+    },
+
+    // Moore-Lewis contrastive data selection (Moore & Lewis 2010,
+    // "Intelligent Selection of Language Model Training Data"): score each
+    // doc by the per-token mean log-ratio of an IN-DOMAIN unigram LM
+    // (here: the src0 slice, Laplace-smoothed over the corpus vocabulary)
+    // against the GENERAL corpus LM; keep docs the in-domain model likes
+    // better. The standard relevance filter a pipeline runs between quality
+    // gating and mixture sampling. Plan: ONE shared token explode feeds a
+    // single (word)-keyed aggregate carrying BOTH counts (general + the
+    // FILTER'd in-domain), its 3-number rollup broadcasts, and the score
+    // pass is one token-keyed join + per-doc aggregate — two passes over
+    // the token stream total, shuffles carry (word, 2 doubles) and
+    // (doc_id, partials), never text. At 100 TB the vocab-sized freq table
+    // shuffles by word; here it broadcasts. ln drift: per-doc MEAN rounded
+    // to 1e-6 per the t8 precedent; `keep` compares the ROUNDED score so
+    // both engines threshold the same number.
+    QueryDef("t15_domain_relevance",
+      """WITH tok AS (SELECT doc_id, source, unnest(string_split(text,' ')) AS word
+        |             FROM documents),
+        |freq AS (SELECT word, CAST(count(*) AS DOUBLE) AS cg,
+        |                CAST(count(*) FILTER (WHERE source = 'src0') AS DOUBLE) AS ci
+        |         FROM tok GROUP BY word),
+        |tot AS (SELECT CAST(sum(cg) AS DOUBLE) AS tg, CAST(sum(ci) AS DOUBLE) AS ti,
+        |               CAST(count(*) AS DOUBLE) AS v FROM freq)
+        |SELECT doc_id, n_tokens, ml_score, ml_score > 0 AS keep FROM (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |         round(avg(ln((ci + 1) / (ti + v)) - ln(cg / tg)), 6) AS ml_score
+        |  FROM tok JOIN freq USING (word) CROSS JOIN tot
+        |  GROUP BY doc_id)""".stripMargin) { (s, d) =>
+      val tok = Tables(s, d, "documents")
+        .select(col("doc_id"), col("source"), explode(toks).as("word"))
+      val freq = tok.groupBy("word").agg(
+        count(lit(1)).cast("double").as("cg"),
+        count(when(col("source") === "src0", 1)).cast("double").as("ci"))
+      val tot = freq.agg(sum("cg").as("tg"), sum("ci").as("ti"),
+        count(lit(1)).cast("double").as("v"))
+      tok.join(freq, "word").crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg(log((col("ci") + 1) / (col("ti") + col("v"))) -
+            log(col("cg") / col("tg"))), 6).as("ml_score"))
+        .select(col("doc_id"), col("n_tokens"), col("ml_score"),
+          (col("ml_score") > 0).as("keep"))
     }
   )
 

@@ -623,6 +623,36 @@ class DataPlaneSpec extends AnyFunSuite {
       "threshold must be live on the testdata — both outcomes present")
   }
 
+  test("t15 Moore-Lewis score matches a Scala-side recount; both keep outcomes occur") {
+    val rows = Tables(spark, sf, "documents").select("doc_id", "source", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val tokens = rows.map { case (id, src, text) => (id, src, text.split(" ", -1).toSeq) }
+    val cg = scala.collection.mutable.Map[String, Double]().withDefaultValue(0.0)
+    val ci = scala.collection.mutable.Map[String, Double]().withDefaultValue(0.0)
+    for ((_, src, ts) <- tokens; t <- ts) {
+      cg(t) += 1; if (src == "src0") ci(t) += 1
+    }
+    val tg = cg.values.sum; val ti = ci.values.sum; val v = cg.size.toDouble
+    val expected = tokens.map { case (id, _, ts) =>
+      val s = ts.map(t => math.log((ci(t) + 1) / (ti + v)) - math.log(cg(t) / tg))
+      id -> (BigDecimal(s.sum / s.size).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        ts.size.toLong)
+    }.toMap
+    val q = SparkEntry.queries("t15_domain_relevance")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Double]("ml_score"), r.getAs[Long]("n_tokens"), r.getAs[Boolean]("keep")))
+    assert(q.length == rows.length, "one scored row per doc")
+    for ((id, (score, n, keep)) <- q) {
+      val (eScore, eN) = expected(id)
+      assert(n == eN, s"doc $id token count")
+      assert(math.abs(score - eScore) <= 2e-6, s"doc $id score $score vs recount $eScore")
+      assert(keep == (score > 0), s"doc $id keep must threshold the rounded score")
+    }
+    val keeps = q.map(_._2._3)
+    assert(keeps.contains(true) && keeps.contains(false),
+      "selection must be live on the testdata — both outcomes present")
+  }
+
   test("p8 epoch shuffle: exact permutation, seeded-deterministic, both rank paths agree") {
     val rows = SparkEntry.queries("p8_epoch_shuffle")(spark, sf).collect()
     val n = rows.length
