@@ -176,7 +176,12 @@ object Bench {
     // comma-decimal locale would emit 0,468 and break the driver's JSON parse
     def jnum(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // max heap in GiB: the d0-style huge-cardinality aggregates are
+    // GC-shaped, so runs at different -Xmx are not like-for-like (measured
+    // sf1 d0_cache_build 14.5 s at one heap vs 65.5 s at another, same code)
+    val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
     val contention =
+      s""""heap_gb":${jnum(heapGb)},""" +
       s""""loadavg_before":${jnum(loadBefore)},"loadavg_after":${jnum(loadAfter)},""" +
       s""""calib_first_s":${jnum(calibFirst)},"calib_last_s":${jnum(calibLast)},""" +
       s""""io_calib_first_mb_s":${jnum(ioFirst)},"io_calib_last_mb_s":${jnum(ioLast)}"""

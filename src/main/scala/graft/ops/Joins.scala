@@ -240,6 +240,80 @@ object Joins {
       c.join(broadcast(dim), col("seg") <=> col("dim_seg"))
         .groupBy(col("dim_seg").as("seg"))
         .agg(count(lit(1)).as("n"))
+    },
+
+    // J12 setup: bucketed table layout — the 100 TB co-location technique
+    // for RECURRING fact-fact joins. Both fact tables land bucketed (and
+    // per-bucket sorted) on the join key with the same bucket count, so
+    // every later equi-join on that key reads co-located buckets and
+    // plans NO Exchange on either side (PlanSpec locks this). The write
+    // pays one shuffle ONCE; production pipelines amortize it across every
+    // downstream join/agg on the key — exactly like s8's partition layout
+    // and sim_ivf_build, the cost is charged to this named setup line.
+    // The declared result proves the layout round-trips losslessly.
+    QueryDef("j12_bucket_layout",
+      """SELECT (SELECT count(*) FROM lineitem) AS n_lineitem,
+        |       (SELECT count(*) FROM orders) AS n_orders""".stripMargin) { (s, d) =>
+      val (ordersTbl, lineitemTbl) = BucketedLayout.ensure(s, d)
+      s.table(lineitemTbl).agg(count(lit(1)).as("n_lineitem"))
+        .crossJoin(s.table(ordersTbl).agg(count(lit(1)).as("n_orders")))
+    },
+
+    // J12: co-located fact-fact join over the bucketed layout — the same
+    // join+agg as j2 but with ZERO exchanges: both scans report their
+    // bucket partitioning, so the sort-merge join starts directly on the
+    // co-located buckets and only the 5-row final aggregate moves. The
+    // `merge` hint pins SMJ (at test SF the orders side would broadcast
+    // and dodge the demonstration; at 100 TB neither side broadcasts and
+    // this IS the plan — and unlike a conf flip, a hint survives AQE
+    // replanning). Identical declared result to a plain join, which is
+    // what the oracle checks.
+    QueryDef("j12_bucketed_join",
+      """SELECT o_orderpriority,
+        |       count(*) AS n_items,
+        |       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,8))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+      val (ordersTbl, lineitemTbl) = BucketedLayout.ensure(s, d)
+      s.table(lineitemTbl)
+        .join(s.table(ordersTbl).hint("merge"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_items"),
+          moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
     }
   )
+}
+
+/** Bucketed copies of the two fact tables, keyed by the join column —
+  * built once per (corpus, JVM) and registered in the session catalog
+  * (bucket metadata lives in the catalog, so a path read would not see
+  * it). 16 buckets at any SF: bucket COUNT is a layout constant chosen
+  * for the cluster (it must match across tables to co-locate), not a
+  * per-corpus tunable. The pre-write repartition on the bucket key gives
+  * one file per bucket, which keeps the per-bucket sort metadata usable. */
+object BucketedLayout {
+  val NumBuckets = 16
+  private val built = scala.collection.concurrent.TrieMap[String, (String, String)]()
+
+  def ensure(s: org.apache.spark.sql.SparkSession, d: String): (String, String) =
+    built.getOrElseUpdate(d, {
+      val suffix = math.abs(d.hashCode).toString
+      val ordersTbl = s"graft_j12_orders_$suffix"
+      val lineitemTbl = s"graft_j12_lineitem_$suffix"
+      val base = s"${sys.props("java.io.tmpdir")}/graft_j12_$suffix"
+      def write(name: String, df: org.apache.spark.sql.DataFrame, key: String): Unit = {
+        if (s.catalog.tableExists(name)) s.sql(s"DROP TABLE $name")
+        df.repartition(NumBuckets, col(key))
+          .write.mode("overwrite")
+          .bucketBy(NumBuckets, key).sortBy(key)
+          .option("path", s"$base/$name")
+          .saveAsTable(name)
+      }
+      write(ordersTbl, Tables(s, d, "orders")
+        .select("o_orderkey", "o_orderpriority"), "o_orderkey")
+      write(lineitemTbl, Tables(s, d, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount"), "l_orderkey")
+      (ordersTbl, lineitemTbl)
+    })
 }

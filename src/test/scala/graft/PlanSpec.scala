@@ -331,4 +331,19 @@ class PlanSpec extends AnyFunSuite {
     // identity is DataPlaneSpec's p8 test
     assert(p.contains("Window"), s"p8: small-n path lost its window plan:\n$p")
   }
+
+  test("j12 bucketed join plans zero exchanges over the co-located layout") {
+    graft.ops.BucketedLayout.ensure(spark, sf) // charge the layout build here
+    val p = plan("j12_bucketed_join")
+    assert(p.contains("SortMergeJoin"),
+      s"j12 must sort-merge the co-located buckets (hint pins it):\n$p")
+    val joinRegion = p.substring(p.indexOf("SortMergeJoin"))
+    assert(!joinRegion.contains("Exchange"),
+      s"bucketed scans must feed the join with NO exchange below it:\n$p")
+    assert(p.contains("SelectedBucketsCount"),
+      s"scans must read bucket metadata (catalog table, not a path read):\n$p")
+    // the only exchange in the whole plan is the 5-row final aggregate's
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"expected at most the final-agg exchange:\n$p")
+  }
 }
