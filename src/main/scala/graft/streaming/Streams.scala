@@ -145,6 +145,7 @@ object Streams {
         .start()
       q.awaitTermination()
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    deleteRecursively(new java.io.File(ckpt))
     s.table(name)
   }
 
@@ -184,7 +185,20 @@ object Streams {
         .start()
       q.awaitTermination()
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    deleteRecursively(new java.io.File(ckpt))
     s.read.parquet(out)
+  }
+
+  /** Drop a finished bounded replay's checkpoint (state deltas can run to
+    * hundreds of MB per stream at the 100× corpus; a bench session runs
+    * ~10 streams and repeated sessions ballooned /tmp by GBs). Only
+    * correct because these AvailableNow replays are one-shot: the result
+    * is already materialized in the sink, and nothing ever restarts from
+    * the checkpoint. A production stream KEEPS its checkpoint — it is the
+    * restart contract. */
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
   }
 
   /** T6 FSM over a typed stream: per-user state folded across micro-batches
