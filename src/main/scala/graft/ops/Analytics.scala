@@ -168,6 +168,55 @@ object Analytics {
         .schema("doc_id BIGINT, shard_id BIGINT").load(tmp)
         .groupBy("shard_id")
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+    },
+
+    // X8: the dataset card — the one-row datasheet a corpus release ships
+    // (docs/tokens, language/source diversity, exact-dup rate, quality
+    // survival, dominant language). Everything reduces map-side in two
+    // aggregation jobs: the global rollup (three exact count-distincts —
+    // Spark Expands the pruned 3-column projection ×3; lang/source
+    // collapse in the partial agg, only the md5 stream stays wide, which
+    // is the d1 shuffle shape and the honest cost of an EXACT dup rate)
+    // and a |langs|-row count for the deterministic top-language pick
+    // (max of (count, lang) structs — ties break to the greater string,
+    // mirrored in the oracle's ORDER BY). Reuses t11's shared quality
+    // gate so the card can never drift from the filter it reports on.
+    QueryDef("x8_corpus_card",
+      s"""WITH base AS (
+        |  SELECT count(*) AS n_docs,
+        |         CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens,
+        |         round(CAST(sum(len(string_split(text,' '))) AS DOUBLE)/count(*), 6) AS avg_doc_tokens,
+        |         count(DISTINCT lang) AS n_langs,
+        |         count(DISTINCT source) AS n_sources,
+        |         count(DISTINCT md5(text)) AS n_unique,
+        |         count(*) FILTER (WHERE ${graft.llm.TextStats.qualityPassSql}) AS n_quality
+        |  FROM documents),
+        |top AS (SELECT lang AS top_lang, count(*) AS top_c FROM documents
+        |        GROUP BY lang ORDER BY top_c DESC, top_lang DESC LIMIT 1)
+        |SELECT n_docs, n_tokens, avg_doc_tokens, n_langs, n_sources, top_lang,
+        |       round(CAST(top_c AS DOUBLE)/n_docs, 6) AS top_lang_share,
+        |       round(1 - CAST(n_unique AS DOUBLE)/n_docs, 6) AS exact_dup_rate,
+        |       round(CAST(n_quality AS DOUBLE)/n_docs, 6) AS quality_pass_rate
+        |FROM base CROSS JOIN top""".stripMargin) { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      val nToks = size(split(col("text"), " "))
+      val base = docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(nToks).cast("long").as("n_tokens"),
+        round(sum(nToks).cast("double") / count(lit(1)), 6).as("avg_doc_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(md5(col("text"))).as("n_unique"),
+        sum(when(graft.llm.TextStats.qualityPass, 1L).otherwise(0L)).as("n_quality"))
+      val top = docs.groupBy("lang").agg(count(lit(1)).as("c"))
+        .agg(max(struct(col("c"), col("lang"))).as("m"))
+        .select(col("m.lang").as("top_lang"), col("m.c").as("top_c"))
+      base.crossJoin(top).select(
+        col("n_docs"), col("n_tokens"), col("avg_doc_tokens"),
+        col("n_langs"), col("n_sources"), col("top_lang"),
+        round(col("top_c").cast("double") / col("n_docs"), 6).as("top_lang_share"),
+        round(lit(1) - col("n_unique").cast("double") / col("n_docs"), 6).as("exact_dup_rate"),
+        round(col("n_quality").cast("double") / col("n_docs"), 6).as("quality_pass_rate"))
     }
   )
 }
