@@ -909,10 +909,12 @@ object Dedup {
       s"multi-block pigeonhole keys on 3 clean blocks of maxHamming+3 — exact only for hamming <= 3, got $maxHamming")
     val nBlocks = maxHamming + 3
     val bounds = (0 to nBlocks).map(b => 64 * b / nBlocks)
-    def block(b: Int): Column =
-      shiftrightunsigned(col("simhash"), bounds(b))
+    def blockOf(x: Column, b: Int): Column =
+      shiftrightunsigned(x, bounds(b))
         .bitwiseAND(lit((1L << (bounds(b + 1) - bounds(b))) - 1L))
-    val keyCols = (0 until nBlocks).combinations(3).toSeq.zipWithIndex.map {
+    def block(b: Int): Column = blockOf(col("simhash"), b)
+    val combos = (0 until nBlocks).combinations(3).map(_.toSeq).toSeq
+    val keyCols = combos.zipWithIndex.map {
       // hashing the block triple to one long is key-space-preserving enough:
       // a hash collision only adds a candidate, and candidates verify exactly
       case (c, t) => xxhash64(lit(t) +: c.map(block): _*)
@@ -921,15 +923,30 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keyed = sig.select(col("doc_id"), col("simhash"),
       posexplode(array(keyCols: _*)).as(Seq("tbl", "k")))
+    // Exact-once emission instead of a terminal distinct: a pair within
+    // hamming k agrees on EVERY all-clean 3-block combination (up to
+    // C(k+3,3) = 20 of them), so the join produces up to 20 copies per
+    // true pair and a distinct over candidate-volume rows used to dedup
+    // them — the widest shuffle in the query (×20 the true-pair mass at
+    // the 100× corpus). The copies are redundant by construction: the
+    // canonical combination (lexicographically first = the three smallest
+    // clean blocks, computable per row from the signatures' XOR since
+    // `combinations` enumerates in lex order) is one the pair provably
+    // matched, so emitting ONLY from it yields each pair exactly once and
+    // the distinct disappears. Key-hash collision candidates that merely
+    // agree on some combo's xxhash but not its blocks drop out the same
+    // way: their tbl is never their canonical clean combo.
+    val xorC = col("sig_a").bitwiseXOR(col("sig_b"))
+    val comboClean = combos.map(c =>
+      c.map(b => blockOf(xorC, b) === 0).reduce(_ && _))
+    val canonicalTbl = array_position(array(comboClean: _*), lit(true)) - 1
     val result = keyed
       .select(col("tbl"), col("k"), col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
       .join(keyed.select(col("tbl"), col("k"), col("doc_id").as("doc_b"),
         col("simhash").as("sig_b")), Seq("tbl", "k"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
+      .filter(bit_count(xorC) <= maxHamming && col("tbl") === canonicalTbl)
+      .select(col("doc_a"), col("doc_b"), bit_count(xorC).as("hamming"))
     materializeAndRelease(result, sig)
   }
 
