@@ -84,12 +84,27 @@ object IvfIndex {
     * among the probe's routed nProbe (DataPlaneSpec measures it vs the
     * exact pairs). Output matches sim_near_dup_pairs:
     * (probe_id, cand_id, cosine) with probe_id < cand_id. */
+  /** Probe sets up to this many ROUTED rows ride a broadcast (vectors are
+    * KB-scale rows: 100k × 64 doubles ≈ 50 MB, the broadcast comfort
+    * zone). Beyond it the probe set is corpus-like — a 10%-of-corpus
+    * incremental batch at 100× measured ~400 MB routed, which no driver
+    * should ship — and the join shuffles on `cell` instead: with
+    * production cell counts (~√n, thousands at scale) that is a
+    * well-partitioned key, and the candidates are already cell-clustered
+    * so only the probe side moves. */
+  val BroadcastMaxRoutedRows = 100000L
+
   def nearDupPairs(index: IvfModel, probes: DataFrame, threshold: Double,
       nProbe: Int): DataFrame = {
     val routed = route(index, probes, nProbe)
     val cand = index.assigned.select(col("vec_id").as("cand_id"),
       col("embedding").cast("array<double>").as("cv"), col("cell"))
-    cand.join(broadcast(routed), Seq("cell"))
+    // measured dispatch (the w3/j2 precedent): one count of the routed
+    // probe table picks the join strategy — its cost is one pass over the
+    // probe set, negligible against the cell scans it sizes
+    val probeSide =
+      if (routed.count() <= BroadcastMaxRoutedRows) broadcast(routed) else routed
+    cand.join(probeSide, Seq("cell"))
       .filter(col("probe_id") < col("cand_id"))
       .withColumn("cos_raw", Similarity.cosine(col("pv"), col("cv")))
       .filter(col("cos_raw") > threshold)
