@@ -60,10 +60,14 @@ object IvfIndex {
   /** Probe-time search against a prebuilt index. */
   def search(index: IvfModel, probes: DataFrame, k: Int, nProbe: Int): DataFrame = {
     val routed = route(index, probes, nProbe)
-    // scan only the routed cells (at scale: partition pruning on `cell`)
+    // scan only the routed cells (at scale: partition pruning on `cell`);
+    // probe side picked by measured size like nearDupPairs — a corpus-sized
+    // probe batch must not ride a broadcast
+    val probeSide =
+      if (routed.count() <= BroadcastMaxRoutedRows) broadcast(routed) else routed
     val cand = index.assigned.select(col("vec_id").as("cand_id"),
       col("embedding").cast("array<double>").as("cv"), col("cell"))
-    val scored = cand.join(broadcast(routed), Seq("cell"))
+    val scored = cand.join(probeSide, Seq("cell"))
       .filter(col("probe_id") =!= col("cand_id"))
       .withColumn("cos_raw", Similarity.cosine(col("pv"), col("cv")))
     val w = Window.partitionBy("probe_id").orderBy(col("cos_raw").desc, col("cand_id"))
