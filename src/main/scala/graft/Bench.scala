@@ -223,6 +223,8 @@ object Bench {
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"queries":$hq,"errors":$he,"sf":$sfNum,"cpus":"$cpus",$contention}""")
     graft.llm.Dedup.releaseCaches()
+    graft.streaming.Streams.releaseSinks()
+    graft.data.Frames.releaseTracked()
     spark.stop()
   }
 }

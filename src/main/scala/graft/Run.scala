@@ -11,7 +11,10 @@ object Run {
     // --conf:k=v session-conf overrides, for perf experiments (e.g.
     // --conf:graft.stream.statePartitions=32)
     val confs = args.filter(_.startsWith("--conf:")).map { a =>
-      val kv = a.stripPrefix("--conf:").split("=", 2); (kv(0), kv(1))
+      val kv = a.stripPrefix("--conf:").split("=", 2)
+      require(kv.length == 2 && kv(0).nonEmpty,
+        s"bad conf override '$a': expected --conf:key=value")
+      (kv(0), kv(1))
     }
     val spark = SparkSession.builder()
       .master("local[32]")

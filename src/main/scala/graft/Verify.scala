@@ -53,6 +53,8 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     graft.llm.Dedup.releaseCaches()
+    graft.streaming.Streams.releaseSinks()
+    graft.data.Frames.releaseTracked()
     spark.stop()
   }
 }

@@ -735,36 +735,17 @@ object Dedup {
     * localCheckpoint'ed datasets whose blocks live on the underlying RDD,
     * not in the SQL cache manager — unpersist that RDD directly. */
   def releaseCaches(): Unit = {
-    tokenCache.values.foreach { df =>
-      df.queryExecution.analyzed match {
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
-        case _ => ()
-      }
-    }
+    tokenCache.values.foreach(graft.data.Frames.release)
     tokenCache.clear()
     pairCache.values.foreach(_.unpersist(blocking = false))
     pairCache.clear()
   }
 
-  /** Materialize `result` to its own storage (localCheckpoint: small output
-    * blocks, lineage truncated) so the large upstream caches backing it can
-    * be released immediately — used by connectedComponents, whose per-round
-    * edge/label caches would otherwise leak one set per invocation. The
-    * checkpointed result is the operator's OUTPUT — orders of magnitude
-    * smaller than the intermediates it frees. */
-  private def materializeAndRelease(result: DataFrame, caches: DataFrame*): DataFrame = {
-    val out = result.localCheckpoint(eager = true)
-    caches.foreach(release)
-    out
-  }
-
-  /** Release a cached OR localCheckpoint'ed DataFrame: checkpoint blocks
-    * live on the underlying RDD (not the SQL cache manager), so they need
-    * rdd.unpersist — same distinction releaseCaches makes. */
-  private def release(df: DataFrame): Unit = df.queryExecution.analyzed match {
-    case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
-    case _ => df.unpersist(blocking = false)
-  }
+  /** graft.data.Frames.materializeAndRelease — used by connectedComponents,
+    * whose per-round edge/label caches would otherwise leak one set per
+    * invocation. */
+  private def materializeAndRelease(result: DataFrame, caches: DataFrame*): DataFrame =
+    graft.data.Frames.materializeAndRelease(result, caches: _*)
 
   /** Connected components by min-label propagation WITH pointer doubling:
     * each round every node takes the min label among itself and its
@@ -846,7 +827,7 @@ object Dedup {
           least(propagated("label"), coalesce(col("p_label"), propagated("label"))).as("label"))
         .localCheckpoint(eager = true)
       val nextSum = labelSum(next)
-      release(labels)
+      graft.data.Frames.release(labels)
       labels = next
       converged = nextSum == prevSum
       prevSum = nextSum

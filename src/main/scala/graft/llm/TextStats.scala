@@ -25,6 +25,23 @@ object TextStats {
   private val dictValuesSql =
     langDict.map { case (l, w) => s"('$l','$w')" }.mkString(", ")
 
+  /** t14's per-(doc, gram) count table — (doc_id, gh: long, c: long), one
+    * row per distinct 5-gram a doc contains. Extracted so PlanSpec can
+    * audit the gram-build half of the plan (generator discipline, map-side
+    * combine, single corpus scan) even though the query checkpoints this
+    * frame before the df join. Gram key = one multi-arg xxhash64 over the
+    * 5 tokens (the d7b idiom): no per-gram string allocation, 8-byte join
+    * keys (see the t14 QueryDef comment for the oracle-parity argument). */
+  private[graft] def boilerplateGramCounts(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Tables(s, d, "documents").filter(size(toks) >= 5)
+      .select(col("doc_id"), toks.as("ts"))
+      .select(col("doc_id"),
+        transform(sequence(lit(1), size(col("ts")) - 4), i =>
+          xxhash64((0 until 5).map(j => element_at(col("ts"), i + j)): _*)).as("ghs"))
+      .select(col("doc_id"), explode_outer(col("ghs")).as("gh"))
+      .groupBy("doc_id", "gh").agg(count(lit(1)).as("c"))
+
   val entries: Seq[QueryDef] = Seq(
     // Language ID: count dictionary hits per (doc, lang); argmax with a
     // deterministic tie order; docs with zero hits → 'und'.
@@ -130,14 +147,16 @@ object TextStats {
       // the slice formulation allocates an array copy AND a joined string
       // per shingle inside the interpreted higher-order eval — measured
       // 13.5 s at the 100× corpus vs ~5 s for this shape (t14's idiom).
-      // Tail clamp parity: past-the-end element_at yields null and
-      // concat_ws skips nulls, which is exactly the clamped slice's join
-      // (and DuckDB's ts[i:i+4] clamped slice in the oracle).
+      // Tail clamp parity: past-the-end try_element_at yields null — even
+      // under ANSI mode, where plain element_at would throw
+      // INVALID_ARRAY_INDEX_IN_ELEMENT_AT on any doc shorter than 5 tokens
+      // — and concat_ws skips nulls, which is exactly the clamped slice's
+      // join (and DuckDB's ts[i:i+4] clamped slice in the oracle).
       val t = Tables(s, d, "documents")
         .select(col("doc_id"), toks.as("ts"))
       val sh = transform(
         sequence(lit(1), greatest(size(col("ts")) - 4, lit(1))),
-        i => md5(concat_ws(" ", (0 until 5).map(j => element_at(col("ts"), i + j)): _*)))
+        i => md5(concat_ws(" ", (0 until 5).map(j => try_element_at(col("ts"), i + j)): _*)))
       t.select(col("doc_id"), array_min(sh).as("fingerprint"))
     },
 
@@ -420,26 +439,26 @@ object TextStats {
       // count over gram equivalence classes, which both keyings induce
       // identically (any 64-bit collision would flip a count and fail the
       // hash-compare — none observed; the d4 family sets the precedent).
-      val g = Tables(s, d, "documents").filter(size(toks) >= 5)
-        .select(col("doc_id"), toks.as("ts"))
-        .select(col("doc_id"),
-          transform(sequence(lit(1), size(col("ts")) - 4), i =>
-            xxhash64((0 until 5).map(j => element_at(col("ts"), i + j)): _*)).as("ghs"))
-        .select(col("doc_id"), explode_outer(col("ghs")).as("gh"))
-      // df via a count window over gh, NOT a self-join: the join formulation
-      // plans the gram build + its (doc_id, gh) exchange TWICE (column
-      // pruning specializes the df side's aggregate, so ReusedExchange
-      // cannot fire) — measured 2× the scan/explode work at the 100×
-      // corpus. The window reads the c rows once; the hottest gram's rows
-      // all land in one window partition, but those are (8+8+8)-byte
-      // count rows bounded by |docs containing the gram|, not span
-      // occurrences.
-      val c = g.groupBy("doc_id", "gh").agg(count(lit(1)).as("c"))
-      val withDf = c.withColumn("df",
-        count(lit(1)).over(Window.partitionBy("gh")))
+      // df via a gram-keyed AGGREGATE over a checkpointed c, NOT a count
+      // window over gh: the window ships every (doc_id, gh, c) row for a
+      // given gram to ONE task, and a corpus-universal boilerplate 5-gram
+      // has df ≈ n_docs — at deployment scale that single task receives
+      // billions of rows. groupBy("gh").count() is skew-proof: map-side
+      // partial counts mean the reducer for the hottest gram sees one
+      // partial per upstream partition, never the rows. The naive
+      // self-join alternative was (rightly) rejected because column
+      // pruning specializes the df side's aggregate so ReusedExchange
+      // cannot fire and the gram build plans TWICE — the localCheckpoint
+      // (the d0 idiom) materializes c ONCE and both the df aggregate and
+      // the join probe read its blocks; the checkpoint is tracked for
+      // end-of-run release (Frames.releaseTracked) because the RETURNED
+      // plan still reads it. Same two shuffles the window had; no
+      // single-task tail.
+      val c = graft.data.Frames.trackedCheckpoint(boilerplateGramCounts(s, d))
+      val dfTab = c.groupBy("gh").agg(count(lit(1)).as("df"))
       val boiler = sum(when(col("df") >= 2, col("c")))
       val frac = coalesce(boiler, lit(0L)).cast("double") / sum(col("c"))
-      withDf.groupBy("doc_id")
+      c.join(dfTab, "gh").groupBy("doc_id")
         .agg(sum(col("c")).cast("long").as("n_spans"),
           boiler.cast("long").as("n_boiler"),
           round(frac, 6).as("boiler_frac"),

@@ -144,8 +144,12 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-    deleteRecursively(new java.io.File(ckpt))
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      // in finally, not after: a failed/interrupted replay must not leak
+      // its checkpoint (safe either way — one-shot replays never restart)
+      deleteRecursively(new java.io.File(ckpt))
+    }
     s.table(name)
   }
 
@@ -184,9 +188,26 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-    deleteRecursively(new java.io.File(ckpt))
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      deleteRecursively(new java.io.File(ckpt))
+    }
+    // the sink dir is read back LAZILY by the caller — it cannot be
+    // deleted here; track it for end-of-session release (releaseSinks)
+    sinkDirs.add(out)
     s.read.parquet(out)
+  }
+
+  private val sinkDirs = java.util.Collections.synchronizedSet(
+    new java.util.LinkedHashSet[String]())
+
+  /** Delete every parquet sink dir landed by runToParquetTable this
+    * session (Verify/Bench call this next to Dedup.releaseCaches). Deferred
+    * because the returned tables are lazy scans over those dirs — deleting
+    * eagerly would fail the consumer's read. */
+  def releaseSinks(): Unit = {
+    sinkDirs.forEach(d => deleteRecursively(new java.io.File(d)))
+    sinkDirs.clear()
   }
 
   /** Drop a finished bounded replay's checkpoint (state deltas can run to

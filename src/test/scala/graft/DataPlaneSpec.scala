@@ -623,6 +623,65 @@ class DataPlaneSpec extends AnyFunSuite {
       "threshold must be live on the testdata — both outcomes present")
   }
 
+  test("t4 fingerprint survives sub-5-token docs under ANSI and matches the clamped slice") {
+    import spark.implicits._
+    // Spark 4 defaults spark.sql.ansi.enabled=true, where a past-the-end
+    // element_at THROWS instead of returning null — the regression this
+    // fixture pins is that short docs (absent from the generated testdata,
+    // min 10 tokens) must produce the oracle's clamped-slice fingerprint,
+    // not INVALID_ARRAY_INDEX_IN_ELEMENT_AT.
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true",
+      "fixture assumes the ANSI default this regression depends on")
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_shortdocs_${System.nanoTime()}"
+    val fixtures = Seq((1L, "one"), (2L, "two tokens"), (3L, "a b c"),
+      (4L, "a b c d"), (5L, "a b c d e"), (6L, "a b c d e f g"))
+    fixtures.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("t4_fingerprint")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = fixtures.map { case (id, text) =>
+      val ts = text.split(" ", -1)
+      id -> (0 until math.max(ts.length - 4, 1))
+        .map(i => md5hex(ts.slice(i, i + 5).mkString(" "))).min
+    }.toMap
+    assert(got == expected, s"clamped-slice fingerprints diverged: $got vs $expected")
+  }
+
+  test("t14 handles a corpus-universal gram: df=n_docs counted by aggregate, values exact") {
+    import spark.implicits._
+    // a boilerplate 5-gram shared by EVERY doc is the 100 TB skew case —
+    // under the old count-window-over-gh plan all its rows landed in one
+    // task; the aggregate formulation (PlanSpec asserts no Window) reduces
+    // it through map-side partials. Here: value-correctness on exactly
+    // that corpus shape.
+    val nDocs = 200
+    val footer = "subscribe to our newsletter for more"       // 6 tokens → 2 universal grams
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_unigram_${System.nanoTime()}"
+    (0 until nDocs).map { i =>
+      val body = (1 to 6).map(j => s"u${i}_$j").mkString(" ") // 6 unique tokens
+      (i.toLong, s"$body $footer")
+    }.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("t14_boilerplate_spans")(spark, dir).collect()
+    assert(rows.length == nDocs)
+    // 12 tokens → 8 spans/doc; grams fully inside the unique body (i=1..2)
+    // have df=1; the 6 straddling or inside the footer contain at least
+    // one footer token... exact recount instead of hand-arithmetic:
+    val docs = (0 until nDocs).map { i =>
+      val body = (1 to 6).map(j => s"u${i}_$j").mkString(" ")
+      i.toLong -> s"$body $footer".split(" ", -1).sliding(5).map(_.mkString(" ")).toSeq
+    }
+    val df = docs.flatMap(_._2.distinct).groupBy(identity).map { case (g, o) => g -> o.size }
+    val expected = docs.map { case (id, gs) =>
+      id -> (gs.size.toLong, gs.count(df(_) >= 2).toLong) }.toMap
+    val got = rows.map(r => r.getLong(0) ->
+      (r.getAs[Long]("n_spans"), r.getAs[Long]("n_boiler"))).toMap
+    assert(got == expected, "universal-gram corpus: per-doc counts diverged from recount")
+    // the universal grams really are universal (df = n_docs) — the skew
+    // shape is present, not hypothetical
+    assert(df.values.max == nDocs, s"fixture lost its universal gram: max df = ${df.values.max}")
+  }
+
   test("t15 Moore-Lewis score matches a Scala-side recount; both keep outcomes occur") {
     val rows = Tables(spark, sf, "documents").select("doc_id", "source", "text")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))

@@ -301,24 +301,35 @@ class PlanSpec extends AnyFunSuite {
       s"d9: probe filter not below the verify join:\n$p")
   }
 
-  test("t14 boilerplate: staged gram explode, map-side combines, no cartesian") {
+  test("t14 boilerplate: staged gram explode, map-side combines, single scan in the gram build") {
+    // the gram-count half (checkpointed by the query, so audited directly):
+    // same generator discipline as t10 — the gram array is a staged bound
+    // attribute, never a transform re-evaluated per element — and the
+    // (doc,gram) count combines map-side over exactly one corpus scan
+    val g = graft.llm.TextStats.boilerplateGramCounts(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Generate explode(?:_outer)?\\([a-zA-Z_]+#\\d+\\)".r.findFirstIn(g).isDefined,
+      s"t14: Generate input is a nested expression tree, not a bound attribute:\n$g")
+    assert("HashAggregate".r.findAllIn(g).size >= 2,
+      s"t14: (doc,gram) count lost its map-side partial:\n$g")
+    assert("FileScan parquet".r.findAllIn(g).size == 1,
+      s"t14: corpus scanned more than once in the gram build:\n$g")
+  }
+
+  test("t14 boilerplate: df is a skew-proof aggregate over the checkpointed counts, not a window") {
     val p = plan("t14_boilerplate_spans")
-    // same generator discipline as t10: the md5-gram array is a staged
-    // bound attribute, never a transform re-evaluated per element
-    assert("Generate explode(?:_outer)?\\([a-zA-Z_]+#\\d+\\)".r.findFirstIn(p).isDefined,
-      s"t14: Generate input is a nested expression tree, not a bound attribute:\n$p")
-    // (doc,gram) counts and the per-doc rollup combine map-side; df comes
-    // from a count window over gh — NOT a self-join, which would plan the
-    // gram build twice (pruning breaks exchange reuse; measured 2× the
-    // scan work at the 100× corpus)
+    // df must NOT be a count window over gh: the window ships every row of
+    // the hottest gram (df ≈ n_docs for corpus-universal boilerplate) into
+    // ONE task at deployment scale. The aggregate's map-side partials make
+    // the hot reducer see one partial per upstream partition instead.
+    assert(!p.contains("Window"), s"t14: df regressed to the skewed window over gh:\n$p")
+    assert(p.contains("Join"), s"t14: df join back to counts missing:\n$p")
+    // both halves read the ONE checkpointed gram-count RDD — the gram
+    // build (a parquet scan + explode) must not be re-planned per branch
+    assert(!p.contains("FileScan parquet"),
+      s"t14: a branch re-plans the gram build from the corpus scan:\n$p")
     assert("HashAggregate".r.findAllIn(p).size >= 4,
-      s"t14: expected partial+final pairs on both aggs:\n$p")
-    assert(p.contains("Window"), s"t14: df lost its window formulation:\n$p")
-    assert(!p.contains("Join"),
-      s"t14: regressed to the double-gram-build df join:\n$p")
-    // exactly one gram build: the corpus scan appears once in the plan
-    assert("FileScan parquet".r.findAllIn(p).size == 1,
-      s"t14: corpus scanned more than once:\n$p")
+      s"t14: expected partial+final pairs on df and the per-doc rollup:\n$p")
   }
 
   test("p8 epoch shuffle reads only doc_id and plans the dispatched rank path") {
