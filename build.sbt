@@ -31,3 +31,20 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// local-cluster masters (ClusterSpec; SPARK_GRAFT_MASTER on Verify/Bench)
+// launch executor JVMs through SPARK_HOME's launcher, which needs the Scala
+// version pinned when SPARK_HOME is a release layout without build dirs.
+Test / envVars ++= Map("SPARK_SCALA_VERSION" -> "2.13", "SPARK_HOME" -> "/opt/spark")
+run / envVars ++= Map("SPARK_SCALA_VERSION" -> "2.13", "SPARK_HOME" -> "/opt/spark")
+// ClusterSpec boots a multi-JVM local-cluster SparkContext and must not
+// share a JVM with the local[4] suites (getOrCreate would hand it theirs):
+// split the forked test run into two sequential JVM groups.
+Test / testGrouping := {
+  val opts = (Test / forkOptions).value
+  val (cluster, rest) = (Test / definedTests).value
+    .partition(_.name.endsWith("ClusterSpec"))
+  Seq(
+    Tests.Group("rest", rest, Tests.SubProcess(opts)),
+    Tests.Group("cluster", cluster, Tests.SubProcess(opts)),
+  ).filter(_.tests.nonEmpty)
+}

@@ -19,8 +19,7 @@ object Bench {
     // valid shuffle-partition count; fall back to the machine's cores
     val shufflePartitions = scala.util.Try(cpus.trim.toInt).toOption
       .getOrElse(Runtime.getRuntime.availableProcessors()).toString
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val spark = MasterEnv.configure(SparkSession.builder(), cpus)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       // NOTE on AQE sizing, measured on the 10× scale corpus: widening
       // every shuffle (initialPartitionNum=16×cpus, advisory=16m) stabilized
@@ -198,7 +197,7 @@ object Bench {
     // cpus recorded so a run under different local[N] conditions can't be
     // mistaken for a like-for-like regression; quoted because the env value
     // may be non-numeric ("*" for local[*]) and must not break the JSON
-    val full = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":$sfNum,"sf_dir":"$sfDir","cpus":"$cpus",$contention}"""
+    val full = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":$sfNum,"sf_dir":"$sfDir","cpus":"$cpus","master":"${MasterEnv.master(cpus)}",$contention}"""
     println(full)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
@@ -221,7 +220,7 @@ object Bench {
     val he = errors.take(3)
       .map { case (k, v) => s"\"" + k + "\":\"" + v.take(60) + "\"" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"queries":$hq,"errors":$he,"sf":$sfNum,"cpus":"$cpus",$contention}""")
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"queries":$hq,"errors":$he,"sf":$sfNum,"cpus":"$cpus","master":"${MasterEnv.master(cpus)}",$contention}""")
     graft.llm.Dedup.releaseCaches()
     graft.streaming.Streams.releaseSinks()
     graft.data.Frames.releaseTracked()

@@ -1,0 +1,87 @@
+package graft
+
+import graft.data.Tables
+import graft.llm.Dedup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-recall probe: measures the probabilistic dedup guarantees against
+  * EXACT ground truth at a corpus size where the exact algorithms still
+  * finish (sf1: the inverted-index exact pair build runs ~30 s).
+  *
+  * The DataPlaneSpec recall proofs run at sf0.01; band-collision rates and
+  * the LSH bucket cap are corpus-size-dependent, so the bounds they assert
+  * must be re-MEASURED, not extrapolated, at scale:
+  *   - d3 `bandedLshPairs` recall vs exact Jaccard ≥ 0.8 pairs (its
+  *     maxBucketSize cap is the scale-sensitive term: hot bands get
+  *     truncated as the corpus grows);
+  *   - d8b `incrementalDedupLsh` near-dup flags vs the exact d8 PPJoin
+  *     path on the same batch split;
+  *   - d5b `simhashPairs` is EXACT for hamming ≤ 3 by the Manku pigeonhole
+  *     construction — no recall question — but its pair count is recorded
+  *     so a collapse (e.g. a bucket explosion regression) would be visible.
+  *
+  * Usage: sbt "runMain graft.RecallProbe [sfDir] [outJson]"
+  * Artifact: scale_r10/recall_sf1.json
+  */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/tmp/graft_scale/sf1")
+    val out = args.lift(1).getOrElse("scale_r10/recall_sf1.json")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.files.openCostInBytes", (128L * 1024 * 1024).toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = Tables(spark, sfDir, "documents")
+    val nDocs = docs.count()
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // exact ground truth (inverted-index posting join — the d4 exact plan)
+    val (truth, tTruth) = timed(pairSet(
+      Dedup.exactNgramJaccardPairs(docs, 0.8).select("doc_a", "doc_b")))
+
+    // d3: banded MinHash LSH at the same threshold
+    val (lsh, tLsh) = timed(pairSet(
+      Dedup.bandedLshPairs(docs, jaccardThreshold = 0.8).select("doc_a", "doc_b")))
+    val d3Recall = if (truth.isEmpty) 1.0 else (truth & lsh).size.toDouble / truth.size
+    val d3Fp = (lsh -- truth).size
+
+    // d8b vs d8: incremental near-dup flags on the same batch split
+    val isBatch = col("doc_id") % 7 === 0
+    def nearSet(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().collect { case r if r.getBoolean(2) => r.getLong(0) }.toSet
+    val (exactNear, tD8) = timed(nearSet(Dedup.incrementalDedup(docs, isBatch)))
+    val (lshNear, tD8b) = timed(nearSet(Dedup.incrementalDedupLsh(docs, isBatch)))
+    val d8Recall = if (exactNear.isEmpty) 1.0
+      else (exactNear & lshNear).size.toDouble / exactNear.size
+    val d8Fp = (lshNear -- exactNear).size
+
+    // d5b: pair count only (exact-by-construction; a regression would show
+    // as a count collapse or explosion, not a recall drop)
+    val (d5bCount, tD5b) = timed(Dedup.simhashPairs(docs, maxHamming = 3).count())
+
+    Dedup.releaseCaches()
+    val dir = java.nio.file.Paths.get(out).getParent
+    if (dir != null) java.nio.file.Files.createDirectories(dir)
+    val json =
+      s"""{"sf_dir":"$sfDir","n_docs":$nDocs,
+         |"d3":{"truth_pairs":${truth.size},"lsh_pairs":${lsh.size},"recall":$d3Recall,"false_positives":$d3Fp,"truth_s":$tTruth,"lsh_s":$tLsh},
+         |"d8b":{"exact_near":${exactNear.size},"lsh_near":${lshNear.size},"recall":$d8Recall,"false_positives":$d8Fp,"exact_s":$tD8,"lsh_s":$tD8b},
+         |"d5b":{"pairs":$d5bCount,"s":$tD5b},
+         |"loadavg":${java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage}}""".stripMargin.replace("\n", "")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
+    println(json)
+    spark.stop()
+  }
+}

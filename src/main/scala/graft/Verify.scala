@@ -13,8 +13,7 @@ object Verify {
     // "*" is a valid local[N] master but not a partition count
     val shufflePartitions = scala.util.Try(cpus.trim.toInt).toOption
       .getOrElse(Runtime.getRuntime.availableProcessors()).toString
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val spark = MasterEnv.configure(SparkSession.builder(), cpus)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -217,6 +217,36 @@ object Analytics {
         round(col("top_c").cast("double") / col("n_docs"), 6).as("top_lang_share"),
         round(lit(1) - col("n_unique").cast("double") / col("n_docs"), 6).as("exact_dup_rate"),
         round(col("n_quality").cast("double") / col("n_docs"), 6).as("quality_pass_rate"))
+    },
+
+    // x8's production variant: the exact card's three countDistincts make
+    // Catalyst Expand the pruned projection ×3 and keep the md5 stream
+    // corpus-wide — the honest ground-truth cost, but a 100 TB deployment
+    // reports its card with sketches. approx_count_distinct (HLL++, default
+    // rsd 5%; the a3 precedent) folds all three into ONE single-pass
+    // partial-aggregate — no Expand, no distinct shuffle, partials are
+    // constant-size sketches. No oracle (approx by design); DataPlaneSpec
+    // bounds every approx field against the exact x8 row.
+    QueryDef.noOracle("x8b_corpus_card_approx") { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      val nToks = size(split(col("text"), " "))
+      val base = docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(nToks).cast("long").as("n_tokens"),
+        round(sum(nToks).cast("double") / count(lit(1)), 6).as("avg_doc_tokens"),
+        approx_count_distinct(col("lang")).as("n_langs"),
+        approx_count_distinct(col("source")).as("n_sources"),
+        approx_count_distinct(md5(col("text"))).as("n_unique"),
+        sum(when(graft.llm.TextStats.qualityPass, 1L).otherwise(0L)).as("n_quality"))
+      val top = docs.groupBy("lang").agg(count(lit(1)).as("c"))
+        .agg(max(struct(col("c"), col("lang"))).as("m"))
+        .select(col("m.lang").as("top_lang"), col("m.c").as("top_c"))
+      base.crossJoin(top).select(
+        col("n_docs"), col("n_tokens"), col("avg_doc_tokens"),
+        col("n_langs"), col("n_sources"), col("top_lang"),
+        round(col("top_c").cast("double") / col("n_docs"), 6).as("top_lang_share"),
+        round(lit(1) - col("n_unique").cast("double") / col("n_docs"), 6).as("approx_dup_rate"),
+        round(col("n_quality").cast("double") / col("n_docs"), 6).as("quality_pass_rate"))
     }
   )
 }

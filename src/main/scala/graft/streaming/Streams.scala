@@ -292,16 +292,22 @@ object Streams {
       runToTable(s, agg, "complete")
     },
 
-    // T5: watermark + streaming dropDuplicates — at-least-once heartbeat
-    // dedup (reference: maggy/trial.py:98-102). The watermark bounds the
-    // dedup state store: keys older than 1 hour of event time are evicted,
-    // which is what makes exactly-once dedup viable on an unbounded stream.
+    // T5: watermark + streaming dropDuplicatesWithinWatermark —
+    // at-least-once heartbeat dedup (reference: maggy/trial.py:98-102).
+    // NOT plain dropDuplicates(keys): that variant only evicts state when
+    // the event-time column is itself one of the dedup keys, so keyed-only
+    // dedup state grows unboundedly on an unbounded source (verified by
+    // the continuous-trigger rate-source test: linear growth, zero
+    // removals). WithinWatermark dedups keys whose duplicates arrive
+    // inside the watermark delta — exactly the at-least-once replay shape
+    // (retries land seconds after the original) — and evicts keys once
+    // the watermark passes them, keeping state ∝ rate × delta forever.
     QueryDef("st_stream_dedup",
       """SELECT user_id, count(*) AS n FROM (
         |  SELECT DISTINCT user_id, event_id FROM events) GROUP BY user_id""".stripMargin) { (s, d) =>
       val deduped = eventsStream(s, d)
         .withWatermark("ts", "1 hour")
-        .dropDuplicates("user_id", "event_id")
+        .dropDuplicatesWithinWatermark("user_id", "event_id")
         .select("user_id", "event_id")
       // row-per-event output: land it distributed (parquet), aggregate
       // batch-side — the memory sink spent 50 s driver-materializing 10M

@@ -623,6 +623,29 @@ class DataPlaneSpec extends AnyFunSuite {
       "threshold must be live on the testdata — both outcomes present")
   }
 
+  test("x8b approx corpus card: exact fields identical, sketched fields within HLL bounds") {
+    val exact = SparkEntry.queries("x8_corpus_card")(spark, sf).collect()(0)
+    val approx = SparkEntry.queries("x8b_corpus_card_approx")(spark, sf).collect()(0)
+    // non-sketched fields must be IDENTICAL — only the three count-distincts
+    // ride the HLL++ sketch
+    assert(approx.getAs[Long]("n_docs") == exact.getAs[Long]("n_docs"))
+    assert(approx.getAs[Long]("n_tokens") == exact.getAs[Long]("n_tokens"))
+    assert(approx.getAs[Double]("avg_doc_tokens") == exact.getAs[Double]("avg_doc_tokens"))
+    assert(approx.getAs[String]("top_lang") == exact.getAs[String]("top_lang"))
+    assert(approx.getAs[Double]("top_lang_share") == exact.getAs[Double]("top_lang_share"))
+    assert(approx.getAs[Double]("quality_pass_rate") == exact.getAs[Double]("quality_pass_rate"))
+    // sketched: default rsd 5%, bound at 3σ (the a3_approx precedent)
+    def within(a: Long, e: Long): Boolean =
+      math.abs(a - e) <= math.max(0.15 * e, 1.0)
+    assert(within(approx.getAs[Long]("n_langs"), exact.getAs[Long]("n_langs")),
+      s"n_langs ${approx.getAs[Long]("n_langs")} vs ${exact.getAs[Long]("n_langs")}")
+    assert(within(approx.getAs[Long]("n_sources"), exact.getAs[Long]("n_sources")),
+      s"n_sources ${approx.getAs[Long]("n_sources")} vs ${exact.getAs[Long]("n_sources")}")
+    assert(math.abs(approx.getAs[Double]("approx_dup_rate") -
+      exact.getAs[Double]("exact_dup_rate")) <= 0.15,
+      s"dup rate ${approx.getAs[Double]("approx_dup_rate")} vs ${exact.getAs[Double]("exact_dup_rate")}")
+  }
+
   test("t4 fingerprint survives sub-5-token docs under ANSI and matches the clamped slice") {
     import spark.implicits._
     // Spark 4 defaults spark.sql.ansi.enabled=true, where a past-the-end

@@ -332,6 +332,17 @@ class PlanSpec extends AnyFunSuite {
       s"t14: expected partial+final pairs on df and the per-doc rollup:\n$p")
   }
 
+  test("x8b approx card is single-pass (no Expand); exact x8 keeps its honest Expand") {
+    val pa = plan("x8b_corpus_card_approx")
+    assert(!pa.contains("Expand"),
+      s"x8b: sketched card must not Expand the projection:\n$pa")
+    assert("HashAggregate".r.findAllIn(pa).size >= 2,
+      s"x8b: sketch partials lost their map-side half:\n$pa")
+    // the contrast that justifies x8b's existence: three exact
+    // countDistincts Expand the pruned projection ×3
+    assert(plan("x8_corpus_card").contains("Expand"))
+  }
+
   test("p8 epoch shuffle reads only doc_id and plans the dispatched rank path") {
     val p = plan("p8_epoch_shuffle")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")

@@ -165,6 +165,8 @@ class StreamingSuite extends AnyFunSuite {
   test("watermark evicts dedup state but keeps in-order duplicates dropped") {
     // duplicate every event (at-least-once replay); stream dedup must
     // drop exactly the duplicates when replays arrive within the watermark
+    // — the declared query's dropDuplicatesWithinWatermark shape (plain
+    // keyed dropDuplicates would never evict: see the continuous test)
     val dupDir = s"${sys.props("java.io.tmpdir")}/graft_dup_${System.nanoTime()}"
     val base = spark.read.parquet(s"$sf/events.parquet")
     base.unionAll(base).write.mode("overwrite").parquet(dupDir)
@@ -173,9 +175,80 @@ class StreamingSuite extends AnyFunSuite {
       .parquet(dupDir)
       .transform(Tables.normalizeEventTs)
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("user_id", "event_id")
+      .dropDuplicatesWithinWatermark("user_id", "event_id")
       .select("user_id", "event_id")
     val deduped = Streams.runToTable(spark, stream, "append")
     assert(deduped.count() == base.count())
+  }
+
+  test("continuous trigger on an unbounded rate source: state plateaus under watermark eviction") {
+    // The unbounded half the AvailableNow replays structurally cannot test
+    // (reference heartbeat loop maggy/core/rpc.py:716-737 never ends):
+    // three stateful shapes run ~30 s under a processing-time trigger
+    // against the rate source, and their state stores must PLATEAU —
+    // watermarks evict dedup keys and closed sessions; the FSM's state
+    // tracks the (bounded) keyspace, not the (unbounded) event count.
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_cont_${System.nanoTime()}"
+    def rate() = spark.readStream.format("rate")
+      .option("rowsPerSecond", "2000").load() // (timestamp, value)
+
+    // at-least-once shape: every event emitted twice → dedup has real work
+    val dupEvents = rate()
+      .withColumn("dup", explode(array(lit(0), lit(1))))
+      .select(col("timestamp").as("ts"), col("value").as("event_id"),
+        (col("value") % 50000).as("user_id"))
+    val dedup = dupEvents
+      .withWatermark("ts", "5 seconds")
+      .dropDuplicatesWithinWatermark("event_id")
+    // sessions: a user recurs every ~25 s at 2000 rows/s over 50k users,
+    // far beyond the 2 s gap — sessions close, emit (append), and evict
+    val sessions = dupEvents
+      .withWatermark("ts", "5 seconds")
+      .groupBy(session_window(col("ts"), "2 seconds"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    // FSM over a BOUNDED keyspace: state rows ≤ 200 keys forever
+    val fsmIn = rate().select(
+      col("timestamp").as("ts"), (col("value") % 200).as("user_id"),
+      concat(lit("t"), col("value") % 3).as("event_type"))
+    val fsm = Streams.fsm(spark, fsmIn)
+
+    def start(df: DataFrame, mode: String, name: String) =
+      df.writeStream.format("noop").outputMode(mode)
+        .option("checkpointLocation", s"$tmp/$name")
+        .trigger(Trigger.ProcessingTime("1 second"))
+        .start()
+    val qs = Seq(start(dedup, "append", "dedup"),
+      start(sessions, "append", "sess"), start(fsm, "update", "fsm"))
+    try {
+      Thread.sleep(30000)
+      for ((q, label) <- qs.zip(Seq("dedup", "sess", "fsm"))) {
+        val progress = q.recentProgress.filter(_.stateOperators.nonEmpty)
+        assert(progress.length >= 8, s"$label: too few progress samples")
+        val state = progress.map(_.stateOperators.head.numRowsTotal)
+        val input = progress.map(_.numInputRows).sum
+        val mid = state(progress.length / 2)
+        val last = state.last
+        assert(input > 10000L, s"$label: rate source barely ran ($input rows)")
+        // plateau: input roughly doubled over the second half of the run,
+        // state must not have (×1.6 allows watermark-lag slack)
+        assert(last <= math.max(mid, 1000L) * 1.6,
+          s"$label: state grew ${mid} -> ${last} over the second half — no eviction")
+        // state must be a small fraction of everything ever ingested
+        assert(last < input / 2, s"$label: state ${last} ~ input ${input}: unbounded")
+        if (label != "fsm") {
+          val removed = progress.map(_.stateOperators.head.numRowsRemoved).sum
+          assert(removed > 0, s"$label: watermark never evicted a state row")
+        } else
+          assert(last <= 200L, s"fsm: state exceeded its 200-key keyspace: $last")
+      }
+    } finally {
+      qs.foreach(q => try q.stop() catch { case _: Throwable => })
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(tmp))
+    }
   }
 }
