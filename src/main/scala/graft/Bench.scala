@@ -163,6 +163,11 @@ object Bench {
                   Option(e.getMessage).getOrElse("")
                 errors(name) = msg.replaceAll("""["\\\n\r\t]""", " ").take(200)
             }
+            // release per-query tracked checkpoints NOW, inside the timed
+            // window (the release is part of the query's honest cost): a
+            // tracked intermediate left pinned until end-of-run OOMed the
+            // sf10 suite (t14's gram-count frame is ~GBs there)
+            graft.data.Frames.releaseTracked()
             val secs = (System.nanoTime() - t0) / 1e9
             Console.err.println(
               String.format(java.util.Locale.ROOT, "[bench] done %s %.2f s", name, Double.box(secs)))

@@ -35,6 +35,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] ${q.name} failed: ${e.getMessage}")
       }
+      // per-query tracked checkpoints (t14's gram counts) are dead once the
+      // result is written — release them here, not at end-of-run, so their
+      // blocks can't accumulate across the suite
+      graft.data.Frames.releaseTracked()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

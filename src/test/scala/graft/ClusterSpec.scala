@@ -128,6 +128,46 @@ class ClusterSpec extends AnyFunSuite {
     assert(pids.size >= 2, s"all trials landed in one executor JVM: $pids")
   }
 
+  test("continuous trigger across executor JVMs: dedup state plateaus under watermark eviction") {
+    // the unbounded-source half of the streaming story, run where the
+    // state stores live in EXECUTOR heaps and checkpoint through the
+    // shared filesystem — the combination neither the local[4] continuous
+    // test nor the AvailableNow replays cover
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val ckpt = s"${sys.props("java.io.tmpdir")}/graft_mc_cont_${System.nanoTime()}"
+    val dedup = spark.readStream.format("rate")
+      .option("rowsPerSecond", "2000").load()
+      .withColumn("dup", explode(array(lit(0), lit(1))))
+      .select(col("timestamp").as("ts"), col("value").as("event_id"))
+      .withWatermark("ts", "5 seconds")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = dedup.writeStream.format("noop").outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    try {
+      Thread.sleep(25000)
+      val progress = q.recentProgress.filter(_.stateOperators.nonEmpty)
+      assert(progress.length >= 6, "too few progress samples")
+      val state = progress.map(_.stateOperators.head.numRowsTotal)
+      val input = progress.map(_.numInputRows).sum
+      val mid = state(progress.length / 2)
+      assert(input > 10000L, s"rate source barely ran ($input rows)")
+      assert(state.last <= math.max(mid, 1000L) * 1.6,
+        s"state grew $mid -> ${state.last} over the second half — no eviction across JVMs")
+      assert(progress.map(_.stateOperators.head.numRowsRemoved).sum > 0,
+        "watermark never evicted a state row")
+    } finally {
+      try q.stop() catch { case _: Throwable => }
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(ckpt))
+    }
+  }
+
   test("executor loss mid-trial: lost trial errors, slot re-registers, experiment completes") {
     val space = Searchspace(Seq(DoubleParam("x", 0, 5)))
     object SlowFn extends TrainFn {
