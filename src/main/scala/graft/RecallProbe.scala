@@ -47,9 +47,13 @@ object RecallProbe {
     def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
-    // exact ground truth (inverted-index posting join — the d4 exact plan)
+    // exact ground truth via the threshold-aware PPJoin prefix path
+    // (exactPairsPrefix): identical pair set to the posting-join build —
+    // DataPlaneSpec asserts the identity — but its candidate volume tracks
+    // near-dup density, so it still finishes at sf10 where the ≥0.1
+    // posting join's shuffle spill exhausted local disk
     val (truth, tTruth) = timed(pairSet(
-      Dedup.exactNgramJaccardPairs(docs, 0.8).select("doc_a", "doc_b")))
+      Dedup.exactPairsPrefix(docs, 0.8).select("doc_a", "doc_b")))
 
     // d3: banded MinHash LSH at the same threshold
     val (lsh, tLsh) = timed(pairSet(

@@ -111,6 +111,29 @@ object Dedup {
       exactNgramJaccardPairs(Tables(s, d, "documents"), 0.1)
     },
 
+    // d4b: the threshold-AWARE exact pair scan — same contract as d4 at
+    // the dedup threshold, computed via the PPJoin prefix filter instead
+    // of the threshold-independent posting join (see exactPairsPrefix:
+    // candidate volume tracks near-dup density, not the corpus square —
+    // the exact path that still finishes where d0's cache build exhausts
+    // local disk). Oracle: identical quadratic formulation in DuckDB.
+    QueryDef("d4b_jaccard_prefix",
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(
+        |           range(1, len(string_split(text,' ')) - 1),
+        |           i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS shingles
+        |  FROM documents
+        |  WHERE len(string_split(text,' ')) >= 3)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |               (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.8""".stripMargin) { (s, d) =>
+      exactPairsPrefix(Tables(s, d, "documents"), 0.8)
+    },
+
     // d6: the dedup DECISION — connected components over near-dup pairs
     // (jaccard ≥ 0.8), keeper = lowest doc_id per component. This is the
     // operator an LLM data pipeline actually applies: pairs are evidence,
@@ -580,6 +603,69 @@ object Dedup {
     * per corpus and shared: d4 (report ≥ 0.1) and d6 (cluster ≥ 0.8) are the
     * same posting join with different final filters — exactly the pattern a
     * production pipeline uses (materialize pairs once, filter downstream). */
+  /** Exact ALL-PAIRS n-gram Jaccard ≥ threshold via the PPJoin prefix
+    * filter (Xiao et al. 2008 — the same machinery as the incremental
+    * [[crossScoredPairs]], self-joined). The threshold-INDEPENDENT posting
+    * join behind [[exactNgramJaccardPairs]] materializes every pair
+    * sharing ANY shingle before filtering — the right shape when d4/d6
+    * share one cache across thresholds, but quadratic on a bounded
+    * vocabulary (its pair-agg shuffle spill exhausted 74 GB of local disk
+    * at the 100× corpus). Here each doc posts only its (1−t)·n+1 RAREST
+    * shingles (global-df order; both sides ranked under the same order or
+    * the prefix theorem does not hold): two docs with jaccard ≥ t MUST
+    * share a prefix shingle, so the candidate volume tracks rare-shingle
+    * posting products — near-dup density, not the corpus square — and
+    * length + positional bounds prune further before the one exact-verify
+    * pass over the cached shingle arrays. Output matches
+    * [[exactNgramJaccardPairs]]: (doc_a, doc_b, jaccard), doc_a < doc_b. */
+  def exactPairsPrefix(docs: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"prefix filter needs a jaccard threshold in (0, 1], got $threshold")
+    import org.apache.spark.sql.expressions.Window
+    val tok = sharedTokens(docs)
+    val dfTab = tok.groupBy("h").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("h"))
+    val perDoc = Window.partitionBy("doc_id")
+    val prefix = tok.join(dfTab, "h")
+      .select(col("doc_id"), col("h"),
+        row_number().over(byRarity).as("rk"),
+        count(lit(1)).over(perDoc).as("n"))
+      .filter(col("rk") <= col("n") - ceil(col("n") * threshold) + 1)
+    val a = prefix.select(col("doc_id").as("doc_a"), col("h"),
+      col("rk").as("rk_a"), col("n").as("n_a"))
+    val b = prefix.select(col("doc_id").as("doc_b"), col("h"),
+      col("rk").as("rk_b"), col("n").as("n_b"))
+    // candidate distinct sizes its own exchange (the boundedScoredPairs
+    // rationale); hashing on doc_b alone satisfies the (doc_a, doc_b)
+    // clustering and pre-places rows for the first array attach
+    val pairAggParts = docs.sparkSession.sparkContext.defaultParallelism * 8
+    val cands = a.join(b, "h")
+      .filter(col("doc_a") < col("doc_b"))
+      // |B| must lie in [t·|A|, |A|/t] for jaccard ≥ t (symmetric bound)
+      .filter(col("n_b") >= col("n_a") * threshold &&
+        col("n_b") <= col("n_a") / threshold)
+      // positional bound: overlap still achievable past this prefix hit
+      .filter(lit(1) + least(col("n_a") - col("rk_a"), col("n_b") - col("rk_b")) >=
+        (col("n_a") + col("n_b")) * lit(threshold / (1.0 + threshold)))
+      .select("doc_a", "doc_b")
+      .repartition(pairAggParts, col("doc_b"))
+      .distinct()
+    // both sides are corpus-wide, so neither array table can broadcast:
+    // two shuffle-hash attaches (only the KB-per-doc array tables and the
+    // prefix-bounded candidate rows move; nothing fat is ever sorted)
+    val sh = sharedShingles(docs)
+    cands
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+        .hint("shuffle_hash"), Seq("doc_b"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+        .hint("shuffle_hash"), Seq("doc_a"))
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_inter") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   def exactNgramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame =
     if (threshold >= PairCacheFloor)
       sharedScoredPairs(docs).filter(col("jaccard") >= threshold)

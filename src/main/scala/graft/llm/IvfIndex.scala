@@ -63,12 +63,13 @@ object IvfIndex {
     // scan only the routed cells (at scale: partition pruning on `cell`);
     // probe side picked by measured size like nearDupPairs — a corpus-sized
     // probe batch must not ride a broadcast. Sizing probe: count the RAW
-    // probe table (route emits exactly nProbe rows per probe, so
-    // probes × nProbe IS the routed row count) — counting `routed` itself
-    // would execute the centroid cross-join + routing window eagerly and
-    // then, unpersisted, recompute it all when the returned join runs.
+    // probe table (route emits exactly min(nProbe, nClusters) rows per
+    // probe, so probes × that IS the routed row count) — counting `routed`
+    // itself would execute the centroid cross-join + routing window eagerly
+    // and then, unpersisted, recompute it all when the returned join runs.
+    val perProbe = math.min(nProbe, index.centroids.size).toLong
     val probeSide =
-      if (probes.count() * nProbe <= BroadcastMaxRoutedRows) broadcast(routed) else routed
+      if (probes.count() * perProbe <= BroadcastMaxRoutedRows) broadcast(routed) else routed
     val cand = index.assigned.select(col("vec_id").as("cand_id"),
       col("embedding").cast("array<double>").as("cv"), col("cell"))
     val scored = cand.join(probeSide, Seq("cell"))
@@ -108,12 +109,14 @@ object IvfIndex {
     val cand = index.assigned.select(col("vec_id").as("cand_id"),
       col("embedding").cast("array<double>").as("cv"), col("cell"))
     // measured dispatch (the w3/j2 precedent): one count of the RAW probe
-    // table picks the join strategy — route emits exactly nProbe rows per
-    // probe, so probes × nProbe IS the routed row count, and counting the
-    // cheap scan (vs `routed` itself) keeps the cross-join + routing
-    // window lazy so it executes once, inside the returned join.
+    // table picks the join strategy — route emits exactly
+    // min(nProbe, nClusters) rows per probe, so probes × that IS the
+    // routed row count, and counting the cheap scan (vs `routed` itself)
+    // keeps the cross-join + routing window lazy so it executes once,
+    // inside the returned join.
+    val perProbe = math.min(nProbe, index.centroids.size).toLong
     val probeSide =
-      if (probes.count() * nProbe <= BroadcastMaxRoutedRows) broadcast(routed) else routed
+      if (probes.count() * perProbe <= BroadcastMaxRoutedRows) broadcast(routed) else routed
     cand.join(probeSide, Seq("cell"))
       .filter(col("probe_id") < col("cand_id"))
       .withColumn("cos_raw", Similarity.cosine(col("pv"), col("cv")))

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.data.Tables
 import graft.ops.Exact._
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -198,25 +199,7 @@ object Analytics {
         |       round(1 - CAST(n_unique AS DOUBLE)/n_docs, 6) AS exact_dup_rate,
         |       round(CAST(n_quality AS DOUBLE)/n_docs, 6) AS quality_pass_rate
         |FROM base CROSS JOIN top""".stripMargin) { (s, d) =>
-      val docs = Tables(s, d, "documents")
-      val nToks = size(split(col("text"), " "))
-      val base = docs.agg(
-        count(lit(1)).as("n_docs"),
-        sum(nToks).cast("long").as("n_tokens"),
-        round(sum(nToks).cast("double") / count(lit(1)), 6).as("avg_doc_tokens"),
-        countDistinct(col("lang")).as("n_langs"),
-        countDistinct(col("source")).as("n_sources"),
-        countDistinct(md5(col("text"))).as("n_unique"),
-        sum(when(graft.llm.TextStats.qualityPass, 1L).otherwise(0L)).as("n_quality"))
-      val top = docs.groupBy("lang").agg(count(lit(1)).as("c"))
-        .agg(max(struct(col("c"), col("lang"))).as("m"))
-        .select(col("m.lang").as("top_lang"), col("m.c").as("top_c"))
-      base.crossJoin(top).select(
-        col("n_docs"), col("n_tokens"), col("avg_doc_tokens"),
-        col("n_langs"), col("n_sources"), col("top_lang"),
-        round(col("top_c").cast("double") / col("n_docs"), 6).as("top_lang_share"),
-        round(lit(1) - col("n_unique").cast("double") / col("n_docs"), 6).as("exact_dup_rate"),
-        round(col("n_quality").cast("double") / col("n_docs"), 6).as("quality_pass_rate"))
+      corpusCard(Tables(s, d, "documents"), c => countDistinct(c), "exact_dup_rate")
     },
 
     // x8's production variant: the exact card's three countDistincts make
@@ -228,25 +211,34 @@ object Analytics {
     // constant-size sketches. No oracle (approx by design); DataPlaneSpec
     // bounds every approx field against the exact x8 row.
     QueryDef.noOracle("x8b_corpus_card_approx") { (s, d) =>
-      val docs = Tables(s, d, "documents")
-      val nToks = size(split(col("text"), " "))
-      val base = docs.agg(
-        count(lit(1)).as("n_docs"),
-        sum(nToks).cast("long").as("n_tokens"),
-        round(sum(nToks).cast("double") / count(lit(1)), 6).as("avg_doc_tokens"),
-        approx_count_distinct(col("lang")).as("n_langs"),
-        approx_count_distinct(col("source")).as("n_sources"),
-        approx_count_distinct(md5(col("text"))).as("n_unique"),
-        sum(when(graft.llm.TextStats.qualityPass, 1L).otherwise(0L)).as("n_quality"))
-      val top = docs.groupBy("lang").agg(count(lit(1)).as("c"))
-        .agg(max(struct(col("c"), col("lang"))).as("m"))
-        .select(col("m.lang").as("top_lang"), col("m.c").as("top_c"))
-      base.crossJoin(top).select(
-        col("n_docs"), col("n_tokens"), col("avg_doc_tokens"),
-        col("n_langs"), col("n_sources"), col("top_lang"),
-        round(col("top_c").cast("double") / col("n_docs"), 6).as("top_lang_share"),
-        round(lit(1) - col("n_unique").cast("double") / col("n_docs"), 6).as("approx_dup_rate"),
-        round(col("n_quality").cast("double") / col("n_docs"), 6).as("quality_pass_rate"))
+      corpusCard(Tables(s, d, "documents"), c => approx_count_distinct(c), "approx_dup_rate")
     }
   )
+
+  /** Shared x8/x8b card builder — one card shape, parameterized by the
+    * distinct-count implementation (exact countDistinct vs HLL++ sketch)
+    * and the dup-rate column's honesty label. Keeping a single builder
+    * means a card-shape change cannot drift between the exact and approx
+    * variants (DataPlaneSpec asserts their non-sketched fields identical). */
+  private def corpusCard(docs: DataFrame,
+      distinctFn: Column => Column, dupRateCol: String): DataFrame = {
+    val nToks = size(split(col("text"), " "))
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(nToks).cast("long").as("n_tokens"),
+      round(sum(nToks).cast("double") / count(lit(1)), 6).as("avg_doc_tokens"),
+      distinctFn(col("lang")).as("n_langs"),
+      distinctFn(col("source")).as("n_sources"),
+      distinctFn(md5(col("text"))).as("n_unique"),
+      sum(when(graft.llm.TextStats.qualityPass, 1L).otherwise(0L)).as("n_quality"))
+    val top = docs.groupBy("lang").agg(count(lit(1)).as("c"))
+      .agg(max(struct(col("c"), col("lang"))).as("m"))
+      .select(col("m.lang").as("top_lang"), col("m.c").as("top_c"))
+    base.crossJoin(top).select(
+      col("n_docs"), col("n_tokens"), col("avg_doc_tokens"),
+      col("n_langs"), col("n_sources"), col("top_lang"),
+      round(col("top_c").cast("double") / col("n_docs"), 6).as("top_lang_share"),
+      round(lit(1) - col("n_unique").cast("double") / col("n_docs"), 6).as(dupRateCol),
+      round(col("n_quality").cast("double") / col("n_docs"), 6).as("quality_pass_rate"))
+  }
 }

@@ -177,6 +177,10 @@ object Streams {
     val ckpt = s"${out}_ckpt"
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", statePartitions(s))
+    // register the sink dir for end-of-session cleanup BEFORE the run: a
+    // stream that fails mid-way has already landed batches there, and a
+    // post-run registration would leak exactly the failed runs' output
+    sinkDirs.add(out)
     try {
       val saveMode = if (mode == "complete") "overwrite" else "append"
       val q = stream.writeStream
@@ -193,8 +197,7 @@ object Streams {
       deleteRecursively(new java.io.File(ckpt))
     }
     // the sink dir is read back LAZILY by the caller — it cannot be
-    // deleted here; track it for end-of-session release (releaseSinks)
-    sinkDirs.add(out)
+    // deleted here; releaseSinks() reclaims it at end of session
     s.read.parquet(out)
   }
 
@@ -217,7 +220,7 @@ object Streams {
     * is already materialized in the sink, and nothing ever restarts from
     * the checkpoint. A production stream KEEPS its checkpoint — it is the
     * restart contract. */
-  private def deleteRecursively(f: java.io.File): Unit = {
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete(): Unit
   }
@@ -302,6 +305,13 @@ object Streams {
     // inside the watermark delta — exactly the at-least-once replay shape
     // (retries land seconds after the original) — and evicts keys once
     // the watermark passes them, keeping state ∝ rate × delta forever.
+    // ORACLE CONTRACT: the batch DISTINCT oracle is equivalent only when
+    // duplicate spread ≤ delta — the operator's declared guarantee, and
+    // unconditionally true on this bounded replay (AvailableNow with no
+    // maxFilesPerTrigger = ONE micro-batch, so no eviction can happen
+    // mid-replay). A duplicate arriving > 1 h of event time late would
+    // re-emit — by design: the weaker guarantee a bounded-state dedup
+    // trades for surviving an unbounded source.
     QueryDef("st_stream_dedup",
       """SELECT user_id, count(*) AS n FROM (
         |  SELECT DISTINCT user_id, event_id FROM events) GROUP BY user_id""".stripMargin) { (s, d) =>

@@ -5,6 +5,7 @@ import graft.core._
 import graft.core.HParam._
 import graft.exec.{Gang, TrainFn, TrialContext}
 import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Multi-JVM execution evidence: everything here runs under
@@ -20,9 +21,16 @@ import org.scalatest.funsuite.AnyFunSuite
   * suite getOrCreate's a shared local[4] session, which would otherwise
   * hijack this one's master.
   */
-class ClusterSpec extends AnyFunSuite {
+class ClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val sf = "/root/testdata/sf0.001"
+
+  // stop the cluster BEFORE the JVM's shutdown hooks run: executors torn
+  // down by the hook race their own shutdown and log FAILED exits. Only
+  // if the lazy val actually initialized — forcing it here would re-run
+  // the whole (possibly already-failed) 60 s cluster boot in teardown.
+  @volatile private var booted = false
+  override def afterAll(): Unit = if (booted) spark.stop()
 
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
@@ -46,6 +54,7 @@ class ClusterSpec extends AnyFunSuite {
         System.currentTimeMillis() < deadline) Thread.sleep(200)
     assert(s.sparkContext.getExecutorMemoryStatus.size >= 3,
       "local-cluster executors did not register within 60s")
+    booted = true
     s
   }
 
@@ -160,11 +169,7 @@ class ClusterSpec extends AnyFunSuite {
         "watermark never evicted a state row")
     } finally {
       try q.stop() catch { case _: Throwable => }
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
-        f.delete()
-      }
-      rm(new java.io.File(ckpt))
+      graft.streaming.Streams.deleteRecursively(new java.io.File(ckpt))
     }
   }
 

@@ -4,6 +4,7 @@ import graft.data.Tables
 import graft.llm.{Dedup, IvfIndex, Multimodal, Similarity}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Validation for the declared queries that have no DuckDB oracle
@@ -11,9 +12,17 @@ import org.scalatest.funsuite.AnyFunSuite
   * the approximation against an exact computation on the same testdata —
   * these are the suites the operator files point at.
   */
-class DataPlaneSpec extends AnyFunSuite {
+class DataPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val sf = "/root/testdata/sf0.01"
+
+  // honor Frames' cleanup contract: t14-style queries register tracked
+  // checkpoints per build; release them (and the shared dedup caches)
+  // when the suite finishes instead of pinning blocks until JVM exit
+  override def afterAll(): Unit = {
+    graft.llm.Dedup.releaseCaches()
+    graft.data.Frames.releaseTracked()
+  }
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
@@ -78,6 +87,19 @@ class DataPlaneSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"LSH recall $recall < 0.9 (found ${lsh.size}, truth ${truth.size})")
     // candidates are verified with exact Jaccard, so precision must be perfect
     assert((lsh -- truth).isEmpty, s"false positives: ${(lsh -- truth).take(5)}")
+  }
+
+  test("d4b prefix-filtered exact pairs equal the posting-join exact pairs (and the brute force)") {
+    val docs = Tables(spark, sf, "documents")
+    def ps(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val prefix = ps(Dedup.exactPairsPrefix(docs, 0.8))
+    val posting = ps(Dedup.exactNgramJaccardPairs(docs, 0.8))
+    assert(prefix == posting,
+      s"missing: ${(posting -- prefix).take(5)}, extra: ${(prefix -- posting).take(5)}")
+    // and against the independent all-pairs derivation (jaccard values too)
+    assert(prefix.map(p => (p._1, p._2)) == exactPairs(0.8))
+    assert(prefix.nonEmpty)
   }
 
   test("d5 SimHash: near-dup pairs land within hamming distance 8") {

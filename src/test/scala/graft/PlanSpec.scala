@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Physical-plan regression tests (SURVEY §2.B A5 "plan check" + the scale
@@ -10,7 +11,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * suite can't catch a plan regression (the answer stays right while the
   * 100 TB behavior collapses); this one does.
   */
-class PlanSpec extends AnyFunSuite {
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  // t14's builder eagerly checkpoints its gram counts even for plan-only
+  // inspection — release the tracked blocks at suite end
+  override def afterAll(): Unit = graft.data.Frames.releaseTracked()
 
   private val sf = "/root/testdata/sf0.001"
 

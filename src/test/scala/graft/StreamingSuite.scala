@@ -244,11 +244,7 @@ class StreamingSuite extends AnyFunSuite {
       }
     } finally {
       qs.foreach(q => try q.stop() catch { case _: Throwable => })
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
-        f.delete()
-      }
-      rm(new java.io.File(tmp))
+      Streams.deleteRecursively(new java.io.File(tmp))
     }
   }
 }
