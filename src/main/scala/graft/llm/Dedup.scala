@@ -171,6 +171,26 @@ object Dedup {
           (col("node") === col("label")).as("is_keeper"))
     },
 
+    // d6b: the dedup DECISION on the PRODUCTION pair path — connected
+    // components over banded-LSH candidate pairs (exact-verified, so zero
+    // false merges; recall measured 1.0 vs exact truth at sf0.01/sf1/sf10,
+    // scale_r10/recall_*.json). d6 stays the exact ground truth over the
+    // shared d0 pair cache; at sf10 that cache cannot even build (its
+    // ≥0.1 pair spill exceeds local disk), while this path's pair stage
+    // ran 7.4 s. A missed pair (sub-1.0 recall regime) splits a component
+    // — keepers become a superset of d6's — which is the standard accepted
+    // trade of every LSH dedup pipeline. Probabilistic → no SQL oracle;
+    // DataPlaneSpec asserts group identity with d6 whenever the pair sets
+    // agree (they do on every measured corpus).
+    QueryDef.noOracle("d6b_neardup_groups_lsh") { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      val pairs = bandedLshPairs(docs, jaccardThreshold = 0.8)
+        .select("doc_a", "doc_b")
+      connectedComponents(pairs, docs.select(col("doc_id").as("node")))
+        .select(col("node").as("doc_id"), col("label").as("component"),
+          (col("node") === col("label")).as("is_keeper"))
+    },
+
     // SimHash (64-bit) near-dup buckets. Engine-specific hash (xxhash64) →
     // no SQL oracle; ScalaTest checks hamming(simhash) small for near-dups.
     QueryDef.noOracle("d5_simhash") { (s, d) =>

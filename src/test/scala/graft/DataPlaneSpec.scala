@@ -102,6 +102,18 @@ class DataPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(prefix.nonEmpty)
   }
 
+  test("d6b LSH-pair components equal exact d6 components when pair sets agree") {
+    // d3's pair set equals the exact one on this corpus (recall test above),
+    // so the production grouping must reproduce the exact groups verbatim
+    def groups(name: String): Map[Long, (Long, Boolean)] =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val exact = groups("d6_neardup_groups")
+    val lsh = groups("d6b_neardup_groups_lsh")
+    assert(lsh == exact, "LSH components diverged from exact despite identical pairs")
+    assert(exact.values.exists(!_._2), "testdata must contain non-keeper dups")
+  }
+
   test("d5 SimHash: near-dup pairs land within hamming distance 8") {
     val truth = exactPairs(0.8)
     val sig = Dedup.simhash(Tables(spark, sf, "documents"))
