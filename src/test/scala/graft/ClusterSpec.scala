@@ -173,6 +173,30 @@ class ClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ASHA multi-fidelity HPO e2e across executor JVMs: budgets ship, promotions complete") {
+    // the budget/promotion half of the RPC protocol (GET carries budget,
+    // FINAL feeds rung promotion) exercised where trials deserialize their
+    // closures in executor processes — LagomSpec covers it on local[2]
+    val space = Searchspace(Seq(DoubleParam("x", 0, 5)))
+    object BudgetedFn extends TrainFn {
+      def apply(ctx: TrialContext): Double = {
+        val budget = ctx.budget.getOrElse(1.0)
+        val x = ctx.double("x")
+        -(x - 3.2) * (x - 3.2) / budget
+      }
+    }
+    val res = Graft.lagom(spark, HyperparameterOptConfig(
+      numTrials = 9, optimizer = "asha", searchspace = space,
+      direction = Direction.Max, esPolicy = "none",
+      optimizerArgs = Map("reduction_factor" -> 3.0,
+        "resource_min" -> 1.0, "resource_max" -> 3.0)))(BudgetedFn)
+    assert(res.numTrials >= 9)
+    assert(res.errored == 0)
+    val budgets = res.trials.flatMap(_.budget).distinct.sorted
+    assert(budgets.head == 1.0, s"rung-0 budget missing: $budgets")
+    assert(budgets.length >= 2, s"no promotion past rung 0 happened: $budgets")
+  }
+
   test("executor loss mid-trial: lost trial errors, slot re-registers, experiment completes") {
     val space = Searchspace(Seq(DoubleParam("x", 0, 5)))
     object SlowFn extends TrainFn {
