@@ -197,6 +197,34 @@ class ClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(budgets.length >= 2, s"no promotion past rung 0 happened: $budgets")
   }
 
+  test("median early stop reaches executor-JVM trials over the heartbeat channel (T8)") {
+    // the STOP signal rides the heartbeat ACK (reference rpc.py:447-461):
+    // here the heartbeat is a real TCP round-trip from an executor process,
+    // and the EarlyStopException must fire inside that JVM's train fn
+    val space = Searchspace(Seq(DoubleParam("x", 0, 5)))
+    object SteppedFn extends TrainFn {
+      def apply(ctx: TrialContext): Double = {
+        val x = ctx.double("x")
+        val strong = x > 2.5
+        var last = 0.0
+        (0 until 50).foreach { step =>
+          last = if (strong) 10.0 + x + step * 0.01 else x - 10.0 + step * 0.01
+          ctx.reporter.broadcast(last, step.toLong)
+          Thread.sleep(20)
+        }
+        last
+      }
+    }
+    val res = Graft.lagom(spark, HyperparameterOptConfig(
+      numTrials = 12, optimizer = "randomsearch", searchspace = space,
+      direction = Direction.Max, esPolicy = "median", esIntervalSteps = 1, esMin = 4,
+      hbIntervalMs = 50))(SteppedFn)
+    assert(res.numTrials == 12)
+    assert(res.earlyStopped >= 1,
+      s"no cross-JVM early stop fired (earlyStopped=${res.earlyStopped})")
+    assert(res.trials.filter(_.early_stopped).forall(_.metric.isDefined))
+  }
+
   test("executor loss mid-trial: lost trial errors, slot re-registers, experiment completes") {
     val space = Searchspace(Seq(DoubleParam("x", 0, 5)))
     object SlowFn extends TrainFn {
