@@ -337,6 +337,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"t14: expected partial+final pairs on df and the per-doc rollup:\n$p")
   }
 
+  test("d4b prefix pair scan and d6b LSH grouping plan no cartesian or nested-loop join") {
+    for (q <- Seq("d4b_jaccard_prefix", "d6b_neardup_groups_lsh")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q fell back to a quadratic join:\n$p")
+    }
+    // d4b's exact-verify attaches must be hash joins (nothing array-fat is
+    // ever sorted — the crossScoredPairs discipline)
+    val p = plan("d4b_jaccard_prefix")
+    assert(p.contains("ShuffledHashJoin"),
+      s"d4b: array attach lost its shuffle-hash hint:\n$p")
+  }
+
   test("x8b approx card is single-pass (no Expand); exact x8 keeps its honest Expand") {
     val pa = plan("x8b_corpus_card_approx")
     assert(!pa.contains("Expand"),
