@@ -102,6 +102,52 @@ class DataPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(prefix.nonEmpty)
   }
 
+  test("d4b prefix filter is exact on randomized corpora (property check vs brute force)") {
+    import spark.implicits._
+    // the prefix/length/positional bound math is subtle enough to deserve
+    // randomized adversarial corpora beyond the generated testdata: small
+    // vocab (forces shared shingles everywhere), planted exact duplicates,
+    // near-dups at and around the threshold, short docs under the shingle
+    // width, in-doc repeated tokens (array_distinct path)
+    val rnd = new scala.util.Random(421L)
+    for (round <- 1 to 3; threshold <- Seq(0.5, 0.8)) {
+      val vocab = (0 until 12).map(i => s"w$i")
+      val base = (0 until 60).map { i =>
+        val n = 1 + rnd.nextInt(12) // includes <3-token docs (excluded)
+        (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      // plant exact dups + one-token-perturbed near-dups of random docs
+      val planted = (0 until 8).map { k =>
+        val (_, text) = base(rnd.nextInt(base.size))
+        val toks = text.split(" ", -1).toVector
+        val mutated = if (k % 2 == 0 || toks.length < 4) text
+          else toks.updated(rnd.nextInt(toks.length), vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        (1000L + k, mutated)
+      }
+      val docs = (base ++ planted).toDF("doc_id", "text")
+      // Scala brute force over STRING shingle sets (hash-free truth)
+      val sets: Map[Long, Set[String]] = (base ++ planted).map { case (id, t) =>
+        val toks = t.split(" ", -1)
+        id -> (if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+               else Set.empty[String])
+      }.toMap
+      val ids = sets.keys.toSeq.sorted
+      val expected = (for {
+        a <- ids; b <- ids if a < b && sets(a).nonEmpty && sets(b).nonEmpty
+        inter = (sets(a) & sets(b)).size.toDouble
+        j = inter / (sets(a).size + sets(b).size - inter) if j >= threshold
+      } yield (a, b) -> BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+      val got = Dedup.exactPairsPrefix(docs, threshold)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(got == expected,
+        s"round $round t=$threshold: missing=${(expected.keySet -- got.keySet).take(5)} " +
+          s"extra=${(got.keySet -- expected.keySet).take(5)} " +
+          s"valueDiffs=${expected.collect { case (k, v) if got.get(k).exists(_ != v) => (k, v, got(k)) }.take(3)}")
+      assert(expected.nonEmpty, s"round $round t=$threshold: fixture lost its planted pairs")
+      Dedup.releaseCaches() // per-corpus token caches — keyed by corpus, so drop between rounds
+    }
+  }
+
   test("d6b LSH-pair components equal exact d6 components when pair sets agree") {
     // d3's pair set equals the exact one on this corpus (recall test above),
     // so the production grouping must reproduce the exact groups verbatim
