@@ -15,34 +15,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // SPARK_GRAFT_CPUS may be "*" (local[*]) — a valid master but not a
-    // valid shuffle-partition count; fall back to the machine's cores
-    val shufflePartitions = scala.util.Try(cpus.trim.toInt).toOption
-      .getOrElse(Runtime.getRuntime.availableProcessors()).toString
-    val spark = MasterEnv.configure(SparkSession.builder(), cpus)
-      .config("spark.sql.shuffle.partitions", shufflePartitions)
-      // NOTE on AQE sizing, measured on the 10× scale corpus: widening
-      // every shuffle (initialPartitionNum=16×cpus, advisory=16m) stabilized
-      // the one huge-cardinality aggregation (d0's ~1.2×10⁸-group posting
-      // join: 43-234 s swings at 32 GB heap → steady ~40 s) but taxed every
-      // iterative small-shuffle operator 2-5× (d6's CC rounds checkpoint
-      // hundreds of near-empty partitions per iteration). Session conf
-      // stays at Spark defaults; the posting join sizes its OWN pair-agg
-      // shuffle instead (Dedup.boundedScoredPairs).
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // Never bin-pack multiple parquet files into one scan partition
-      // (openCost = maxPartitionBytes → each file at least fills its bin).
-      // Packing exists to amortize per-file metadata over many tiny files,
-      // but a compressed corpus that lands as a few single-row-group files
-      // is unsplittable BELOW file granularity — the 100× ScaleGen
-      // documents table (8 × ~7 MB files) was packed into ~1 partition and
-      // ran the whole linear t-family near-single-threaded (40-130×).
-      // Nothing is lost for parquet at any scale: a split finer than a row
-      // group cannot parallelize a parquet read, so one ~row-group-sized
-      // file per task is exactly the 100 TB-cluster shape too.
-      .config("spark.sql.files.openCostInBytes", (128L * 1024 * 1024).toString)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // NOTE on AQE sizing, measured on the 10× scale corpus: widening
+    // every shuffle (initialPartitionNum=16×cpus, advisory=16m) stabilized
+    // the one huge-cardinality aggregation (d0's ~1.2×10⁸-group posting
+    // join: 43-234 s swings at 32 GB heap → steady ~40 s) but taxed every
+    // iterative small-shuffle operator 2-5× (d6's CC rounds checkpoint
+    // hundreds of near-empty partitions per iteration). Session conf
+    // stays at Spark defaults; the posting join sizes its OWN pair-agg
+    // shuffle instead (Dedup.boundedScoredPairs). The shared conf block
+    // (incl. the openCostInBytes no-bin-packing rationale) lives in
+    // MasterEnv.standardBuilder.
+    val spark = MasterEnv.standardBuilder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def materialize(name: String): Unit =
@@ -180,6 +163,9 @@ object Bench {
     // comma-decimal locale would emit 0,468 and break the driver's JSON parse
     def jnum(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // env-derived strings (master, cpus, sf_dir) are user-typed: a stray
+    // quote or backslash must not break the driver's JSON parse
+    def jstr(s: String): String = s.replaceAll("""["\\\n\r\t]""", " ")
     // max heap in GiB: the d0-style huge-cardinality aggregates are
     // GC-shaped, so runs at different -Xmx are not like-for-like (measured
     // sf1 d0_cache_build 14.5 s at one heap vs 65.5 s at another, same code)
@@ -202,7 +188,7 @@ object Bench {
     // cpus recorded so a run under different local[N] conditions can't be
     // mistaken for a like-for-like regression; quoted because the env value
     // may be non-numeric ("*" for local[*]) and must not break the JSON
-    val full = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":$sfNum,"sf_dir":"$sfDir","cpus":"$cpus","master":"${MasterEnv.master(cpus)}",$contention}"""
+    val full = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":$sfNum,"sf_dir":"${jstr(sfDir)}","cpus":"${jstr(cpus)}","master":"${jstr(MasterEnv.master(cpus))}",$contention}"""
     println(full)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
@@ -225,7 +211,7 @@ object Bench {
     val he = errors.take(3)
       .map { case (k, v) => s"\"" + k + "\":\"" + v.take(60) + "\"" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"queries":$hq,"errors":$he,"sf":$sfNum,"cpus":"$cpus","master":"${MasterEnv.master(cpus)}",$contention}""")
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"queries":$hq,"errors":$he,"sf":$sfNum,"cpus":"${jstr(cpus)}","master":"${jstr(MasterEnv.master(cpus))}",$contention}""")
     graft.llm.Dedup.releaseCaches()
     graft.streaming.Streams.releaseSinks()
     graft.data.Frames.releaseTracked()

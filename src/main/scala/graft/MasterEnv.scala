@@ -33,4 +33,37 @@ object MasterEnv {
       withMaster.config("spark.executor.extraClassPath", sys.props("java.class.path"))
     else withMaster
   }
+
+  /** Resolved shuffle-partition count: SPARK_GRAFT_CPUS may be "*" (a valid
+    * local[N] master but not a partition count) — fall back to the machine's
+    * cores. */
+  def shufflePartitions(cpus: String): String =
+    scala.util.Try(cpus.trim.toInt).toOption
+      .getOrElse(Runtime.getRuntime.availableProcessors()).toString
+
+  /** The ONE session builder behind every graft main (Verify/Bench/Run/
+    * RecallProbe): resolved master plus the conf block each run needs. A
+    * conf added here reaches every artifact-producing entry point, so their
+    * recorded numbers stay like-for-like.
+    *
+    *   - shuffle.partitions sized to the master's cores, not Spark's 200;
+    *   - UTC session timezone: oracle comparisons are timezone-sensitive;
+    *   - nanosAsLong: the testdata generator writes nanos timestamps;
+    *   - openCostInBytes = maxPartitionBytes: never bin-pack parquet files
+    *     into one scan partition. Packing amortizes per-file metadata over
+    *     many tiny files, but a compressed corpus landing as a few
+    *     single-row-group files is unsplittable BELOW file granularity —
+    *     the 100× ScaleGen documents table (8 × ~7 MB files) was packed
+    *     into ~1 partition and ran the whole linear t-family near-single-
+    *     threaded. Nothing is lost at any scale: a split finer than a row
+    *     group cannot parallelize a parquet read, so one ~row-group-sized
+    *     file per task is exactly the 100 TB-cluster shape too.
+    */
+  def standardBuilder(cpus: String): SparkSession.Builder =
+    configure(SparkSession.builder(), cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions(cpus))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.files.openCostInBytes", (128L * 1024 * 1024).toString)
+      .config("spark.ui.enabled", "false")
 }

@@ -28,14 +28,10 @@ object RecallProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/tmp/graft_scale/sf1")
     val out = args.lift(1).getOrElse("scale_r10/recall_sf1.json")
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.files.openCostInBytes", (128L * 1024 * 1024).toString)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // same session as Verify/Bench (MasterEnv honors SPARK_GRAFT_MASTER),
+    // so recall/timing artifacts stay comparable with the bench numbers
+    val spark = MasterEnv.standardBuilder(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val docs = Tables(spark, sfDir, "documents")

@@ -16,16 +16,10 @@ object Run {
         s"bad conf override '$a': expected --conf:key=value")
       (kv(0), kv(1))
     }
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // one scan partition per parquet file — see Bench.scala's
-      // openCostInBytes note (packed single-row-group files serialize scans)
-      .config("spark.sql.files.openCostInBytes", (128L * 1024 * 1024).toString)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // same session as Verify/Bench (MasterEnv honors SPARK_GRAFT_MASTER),
+    // so a dev run reproduces exactly what the artifact runs measure
+    val spark = MasterEnv.standardBuilder(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
     // timing starts BEFORE build: streaming queries (and cache-building

@@ -10,18 +10,7 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // "*" is a valid local[N] master but not a partition count
-    val shufflePartitions = scala.util.Try(cpus.trim.toInt).toOption
-      .getOrElse(Runtime.getRuntime.availableProcessors()).toString
-    val spark = MasterEnv.configure(SparkSession.builder(), cpus)
-      .config("spark.sql.shuffle.partitions", shufflePartitions)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // one scan partition per parquet file — see Bench.scala's
-      // openCostInBytes note (packed single-row-group files serialize scans)
-      .config("spark.sql.files.openCostInBytes", (128L * 1024 * 1024).toString)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = MasterEnv.standardBuilder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // declaration order (not the unordered queries map): shared caches are

@@ -36,9 +36,12 @@ object Frames {
     * release — for intermediates a RETURNED lazy plan still reads (so they
     * cannot be released inside the operator). Verify/Bench/specs call
     * [[releaseTracked]] at end of run, next to Dedup.releaseCaches. */
-  def trackedCheckpoint(df: DataFrame): DataFrame = synchronized {
+  def trackedCheckpoint(df: DataFrame): DataFrame = {
+    // checkpoint OUTSIDE the lock: it is an eager Spark job (GB-scale at
+    // sf10) and holding the monitor for its duration would serialize any
+    // concurrent caller; only the registration needs mutual exclusion
     val out = df.localCheckpoint(eager = true)
-    tracked += out
+    synchronized { tracked += out }
     out
   }
 

@@ -847,12 +847,6 @@ object Dedup {
     pairCache.clear()
   }
 
-  /** graft.data.Frames.materializeAndRelease — used by connectedComponents,
-    * whose per-round edge/label caches would otherwise leak one set per
-    * invocation. */
-  private def materializeAndRelease(result: DataFrame, caches: DataFrame*): DataFrame =
-    graft.data.Frames.materializeAndRelease(result, caches: _*)
-
   /** Connected components by min-label propagation WITH pointer doubling:
     * each round every node takes the min label among itself and its
     * neighbors (Pregel-style), then shortcuts through its current label's
@@ -950,7 +944,7 @@ object Dedup {
       .select(col("node"), col("node").as("label"))
     // unpersisting the re-bound edges copy removes the shared CacheManager
     // entry the caller registered (uncache matches by canonicalized plan)
-    materializeAndRelease(labels.union(isolated), edges, labels)
+    graft.data.Frames.materializeAndRelease(labels.union(isolated), edges, labels)
   }
 
   /** 64-bit SimHash over token xxhash64 values: per doc, for each of 64 bit
@@ -1034,7 +1028,7 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .filter(bit_count(xorC) <= maxHamming && col("tbl") === canonicalTbl)
       .select(col("doc_a"), col("doc_b"), bit_count(xorC).as("hamming"))
-    materializeAndRelease(result, sig)
+    graft.data.Frames.materializeAndRelease(result, sig)
   }
 
   /** Banded AND/OR MinHash LSH parameters. 64 minhashes sliced into 16 bands

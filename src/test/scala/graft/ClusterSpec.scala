@@ -27,12 +27,16 @@ class ClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // stop the cluster BEFORE the JVM's shutdown hooks run: executors torn
   // down by the hook race their own shutdown and log FAILED exits. Only
-  // if the lazy val actually initialized — forcing it here would re-run
-  // the whole (possibly already-failed) 60 s cluster boot in teardown.
+  // if the boot actually succeeded — forcing it here would re-run the
+  // whole (possibly already-failed) cluster boot in teardown.
   @volatile private var booted = false
   override def afterAll(): Unit = if (booted) spark.stop()
 
-  lazy val spark: SparkSession = {
+  // A Try inside the lazy val memoizes boot FAILURE too: a thrown lazy-val
+  // initializer is retried on every access, so without this a failed
+  // 60 s registration wait would repeat per test (~7 min of failing) and
+  // the half-booted master/worker threads would never be torn down.
+  private lazy val sparkBoot: scala.util.Try[SparkSession] = scala.util.Try {
     val s = SparkSession.builder()
       .master("local-cluster[2,4,2048]")
       .appName("cluster-spec")
@@ -52,11 +56,15 @@ class ClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     val deadline = System.currentTimeMillis() + 60000
     while (s.sparkContext.getExecutorMemoryStatus.size < 3 &&
         System.currentTimeMillis() < deadline) Thread.sleep(200)
-    assert(s.sparkContext.getExecutorMemoryStatus.size >= 3,
-      "local-cluster executors did not register within 60s")
+    if (s.sparkContext.getExecutorMemoryStatus.size < 3) {
+      s.stop() // tear the half-booted cluster down before failing the suite
+      sys.error("local-cluster executors did not register within 60s")
+    }
     booted = true
     s
   }
+
+  def spark: SparkSession = sparkBoot.get
 
   /** executor JVM pids, one per executor id — probed with one tiny task
     * per slot so both executors answer. */
@@ -156,15 +164,31 @@ class ClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
       .trigger(Trigger.ProcessingTime("1 second"))
       .start()
     try {
-      Thread.sleep(25000)
-      val progress = q.recentProgress.filter(_.stateOperators.nonEmpty)
-      assert(progress.length >= 6, "too few progress samples")
+      // poll rather than one fixed sleep: under machine load micro-batches
+      // stretch past the 1 s trigger, so "N samples in 25 s" is flaky —
+      // wait (bounded) until eviction evidence has actually had time to
+      // appear, then assert on what was collected
+      // state with eviction ≈ rate×(delay + batch lag) while input ≈
+      // rate×T, so the ratio only separates once T ≫ the lag term — wait
+      // for ~70 s of source data (well inside the 100-entry
+      // recentProgress window at 1 s triggers) before asserting
+      val deadline = System.currentTimeMillis() + 180000
+      def prog() = q.recentProgress.filter(_.stateOperators.nonEmpty)
+      while (System.currentTimeMillis() < deadline && (prog().length < 8 ||
+          prog().map(_.stateOperators.head.numRowsRemoved).sum == 0 ||
+          prog().map(_.numInputRows).sum < 140000L)) Thread.sleep(1000)
+      val progress = prog()
+      assert(progress.length >= 8, "too few progress samples within 180s")
       val state = progress.map(_.stateOperators.head.numRowsTotal)
       val input = progress.map(_.numInputRows).sum
-      val mid = state(progress.length / 2)
-      assert(input > 10000L, s"rate source barely ran ($input rows)")
-      assert(state.last <= math.max(mid, 1000L) * 1.6,
-        s"state grew $mid -> ${state.last} over the second half — no eviction across JVMs")
+      assert(input >= 140000L, s"rate source barely ran ($input rows)")
+      // scale-invariant plateau check: without eviction the dedup state
+      // holds every distinct id seen (≈ numInputRows, which counts SOURCE
+      // rows, each a distinct value pre-explode) and would fail this by
+      // 3×; with watermark eviction it is bounded by ~(delay+lag)·rate
+      // regardless of how long the run stretched under load
+      assert(state.last <= input / 3,
+        s"state ${state.last} tracks input $input — no eviction across JVMs")
       assert(progress.map(_.stateOperators.head.numRowsRemoved).sum > 0,
         "watermark never evicted a state row")
     } finally {
