@@ -249,6 +249,61 @@ class ClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res.trials.filter(_.early_stopped).forall(_.metric.isDefined))
   }
 
+  test("executor loss mid-stream: state recovers from checkpoint, replay equals batch") {
+    // the streaming half of the chaos matrix: a complete-mode window
+    // aggregation builds its state across 16 micro-batches in EXECUTOR
+    // state stores; SIGKILL of an executor mid-replay forces the retried
+    // tasks to reload that state from the shared checkpoint — the final
+    // table must still equal the batch analog exactly (no lost or
+    // double-counted events)
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val base = s"${sys.props("java.io.tmpdir")}/graft_mc_chaos_${System.nanoTime()}"
+    val stage = s"$base/events"
+    val events = graft.data.Tables(spark, sf, "events")
+    events.repartition(16).write.parquet(stage)
+    def aggOf(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+    val expected = aggOf(spark.read.parquet(stage))
+      .collect().map(_.toString).sorted
+    val victims = executorPids()
+    val victim = victims.values.min
+    val schema = spark.read.parquet(stage).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val q = aggOf(stream).writeStream
+      .format("memory").queryName("mc_chaos_agg").outputMode("complete")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      // kill once ≥2 micro-batches have committed (so real state is in the
+      // stores) and well before the 16th (so recovery happens mid-replay)
+      val deadline = System.currentTimeMillis() + 60000
+      while (q.isActive && Option(q.lastProgress).forall(_.batchId < 2) &&
+          System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val batchAtKill = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+      assert(batchAtKill >= 2, s"replay never reached batch 2 (at $batchAtKill)")
+      assert(q.isActive && batchAtKill < 14,
+        s"replay finished before the kill could land (batch $batchAtKill) — stage more files")
+      Runtime.getRuntime.exec(Array("kill", "-9", victim.toString)).waitFor()
+      q.awaitTermination(120000)
+      assert(!q.isActive, "replay did not finish within 120s of the executor kill")
+      val got = spark.table("mc_chaos_agg").collect().map(_.toString).sorted
+      assert(got.sameElements(expected),
+        s"stream after executor loss diverged from batch: ${got.length} vs ${expected.length} rows")
+      // and the cluster healed: the victim is gone, a replacement serves work
+      val healed = executorPids()
+      assert(healed.size == 2 && !healed.values.toSet.contains(victim),
+        s"no replacement executor after kill: $healed")
+    } finally {
+      try q.stop() catch { case _: Throwable => }
+      graft.streaming.Streams.deleteRecursively(new java.io.File(base))
+    }
+  }
+
   test("executor loss mid-trial: lost trial errors, slot re-registers, experiment completes") {
     val space = Searchspace(Seq(DoubleParam("x", 0, 5)))
     object SlowFn extends TrainFn {
