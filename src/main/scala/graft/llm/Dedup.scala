@@ -501,13 +501,7 @@ object Dedup {
     * guard; `size(toks) >= k` already guarantees non-empty arrays). */
   def contaminationWide(docs: DataFrame, isProbe: Column, k: Int = 8,
       minShared: Int = 1): DataFrame = {
-    val grams = docs.filter(size(tokens) >= k)
-      .select(col("doc_id"), tokens.as("toks"))
-      .select(col("doc_id"),
-        array_distinct(transform(
-          sequence(lit(1), size(col("toks")) - (k - 1)),
-          i => xxhash64((0 until k).map(j => element_at(col("toks"), i + j)): _*))).as("gs"))
-      .select(col("doc_id"), explode_outer(col("gs")).as("h"))
+    val grams = wideGrams(docs, k)
     val probe = grams.filter(isProbe)
       .select(col("doc_id").as("probe_id"), col("h"))
     grams.join(broadcast(probe), "h")
@@ -516,6 +510,19 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** The width-`k` gram projection of [[contaminationWide]] (doc_id, h):
+    * distinct xxhash64-chained k-grams, one row per (doc, gram). Stateless
+    * narrow plan, so it applies unchanged to a STREAMING documents frame —
+    * graft.streaming.Streams uses it for decontamination-at-ingest. */
+  private[graft] def wideGrams(docs: DataFrame, k: Int = 8): DataFrame =
+    docs.filter(size(tokens) >= k)
+      .select(col("doc_id"), tokens.as("toks"))
+      .select(col("doc_id"),
+        array_distinct(transform(
+          sequence(lit(1), size(col("toks")) - (k - 1)),
+          i => xxhash64((0 until k).map(j => element_at(col("toks"), i + j)): _*))).as("gs"))
+      .select(col("doc_id"), explode_outer(col("gs")).as("h"))
 
   /** The cross-side (a×b) exact ≥-threshold pair join, PREFIX-FILTERED —
     * the set-similarity join of Chaudhuri et al. (ICDE'06) / Bayardo et al.

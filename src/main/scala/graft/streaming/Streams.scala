@@ -85,19 +85,36 @@ object Streams {
     // (a Files.copy of a directory path would copy only the empty dir
     // entry, leaving a sourceless stream — the sf1 full-suite run hit
     // exactly that as UNABLE_TO_INFER_SCHEMA ×9).
-    val src = java.nio.file.Paths.get(s"$d/events.parquet")
+    val dir = streamSourceDir(s, d, "events")
+    val schema = schemaCache.getOrElseUpdate(dir.toString, s.read.parquet(dir.toString).schema)
+    val reader = s.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    graft.data.Tables.normalizeEventTs(reader.parquet(dir.toString))
+  }
+
+  /** Resolve table `name` to a DIRECTORY the file stream source can read
+    * (it requires a basePath), and set the state-partition auto hint.
+    * Driver testdata ships tables as single FILES → stage into a temp dir
+    * once per SF dir (idempotent; a production deployment streams a landing
+    * dir or Kafka topic and skips this). ScaleGen corpora write Spark
+    * output DIRECTORIES → streamed directly (a Files.copy of a directory
+    * path would copy only the empty dir entry, leaving a sourceless
+    * stream — the sf1 full-suite run hit exactly that as
+    * UNABLE_TO_INFER_SCHEMA ×9). */
+  private def streamSourceDir(s: SparkSession, d: String,
+      name: String): java.nio.file.Path = {
+    val src = java.nio.file.Paths.get(s"$d/$name.parquet")
     val dir = if (java.nio.file.Files.isDirectory(src)) src else {
       val staging = java.nio.file.Paths.get(
-        s"${sys.props("java.io.tmpdir")}/graft_events_${math.abs(d.hashCode)}")
+        s"${sys.props("java.io.tmpdir")}/graft_${name}_${math.abs(d.hashCode)}")
       java.nio.file.Files.createDirectories(staging)
-      val staged = staging.resolve("events.parquet")
+      val staged = staging.resolve(s"$name.parquet")
       if (!java.nio.file.Files.exists(staged) ||
           java.nio.file.Files.size(staged) != java.nio.file.Files.size(src))
         java.nio.file.Files.copy(src, staged,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       staging
     }
-    val schema = schemaCache.getOrElseUpdate(dir.toString, s.read.parquet(dir.toString).schema)
     // state-store auto-sizing hint: partitions track the SOURCE's file
     // count (the same proxy the batch scan parallelizes on), clamped to
     // [2, defaultParallelism]. The fixed default of 2 was tuned on 100k-row
@@ -106,19 +123,28 @@ object Streams {
     // two tasks — st_stream_dedup read 50 s and the session window OOMed
     // the driver's task-result path. An explicit
     // `graft.stream.statePartitions` still overrides (see runToTable).
-    val nFiles = Option(dir.toFile.listFiles((_, n) => n.endsWith(".parquet")))
-      .map(_.length).getOrElse(1)
     // 2× file count: state tasks do strictly more work per input split than
     // the scan (store commit + emission on top of the agg), so giving the
     // state stage twice the scan's parallelism overlaps commit with compute.
     // Measured at the 100× corpus (16 source files): session window 32.7 s
     // at 16 partitions → 24.6 s at 32. Small replays are unaffected — the
     // staged single-file sf0.1 source still lands on the floor of 2.
+    val nFiles = Option(dir.toFile.listFiles((_, n) => n.endsWith(".parquet")))
+      .map(_.length).getOrElse(1)
     val auto = math.max(2, math.min(2 * nFiles, s.sparkContext.defaultParallelism))
     s.conf.set("graft.stream.statePartitionsAuto", auto.toString)
-    val reader = s.readStream.schema(schema)
-    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    graft.data.Tables.normalizeEventTs(reader.parquet(dir.toString))
+    dir
+  }
+
+  /** Streaming view of the documents table — the INGEST side of the
+    * decontamination/dedup pipeline. No event-time normalization: documents
+    * carry no timestamp column; the operators over this stream are
+    * stateless gram scans plus bounded (true-contamination-sized)
+    * aggregations. */
+  def documentsStream(s: SparkSession, d: String): DataFrame = {
+    val dir = streamSourceDir(s, d, "documents")
+    val schema = schemaCache.getOrElseUpdate(dir.toString, s.read.parquet(dir.toString).schema)
+    s.readStream.schema(schema).parquet(dir.toString)
   }
 
   /** Run a streaming DataFrame to completion (AvailableNow) into a memory
@@ -478,6 +504,38 @@ object Streams {
         |       max(ts) AS last_ts
         |FROM events GROUP BY user_id""".stripMargin) { (s, d) =>
       fsmFinal(runToTable(s, fsm(s, eventsStream(s, d)), "update"))
+    },
+
+    // Decontamination AT INGEST: the d7b wide-gram scan applied to the
+    // documents STREAM. The eval-set gram index is batch-built and
+    // broadcast (benchmark-sized and FIXED as the corpus grows — the d7b
+    // argument), so each micro-batch's grams join it map-side with zero
+    // join state; the only streaming state is the contaminated-pair
+    // counts, which track TRUE contamination, not corpus size. This is
+    // the 100 TB shape that flags a crawl shard before it lands — the
+    // post-hoc alternative (d7b itself) re-reads the whole corpus. Same
+    // oracle as d7b: stream == batch is the invariant.
+    QueryDef("st_stream_decontaminate",
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(
+        |           range(1, len(string_split(text,' ')) - 6),
+        |           i -> array_to_string(string_split(text,' ')[i:i+7], ' '))) AS grams
+        |  FROM documents
+        |  WHERE len(string_split(text,' ')) >= 8)
+        |SELECT c.doc_id, p.doc_id AS probe_id,
+        |       len(list_intersect(c.grams, p.grams)) AS n_shared
+        |FROM g c JOIN g p ON p.doc_id % 10 = 0 AND c.doc_id <> p.doc_id
+        |WHERE len(list_intersect(c.grams, p.grams)) >= 1""".stripMargin) { (s, d) =>
+      val probe = graft.llm.Dedup.wideGrams(Tables(s, d, "documents"))
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("probe_id"), col("h"))
+      val flags = graft.llm.Dedup.wideGrams(documentsStream(s, d))
+        .join(broadcast(probe), "h")
+        .filter(col("doc_id") =!= col("probe_id"))
+        .groupBy("doc_id", "probe_id")
+        .agg(count(lit(1)).as("n_shared"))
+      runToTable(s, flags, "complete")
     }
   )
 }

@@ -44,6 +44,16 @@ class StreamingSuite extends AnyFunSuite {
     assert(rows(stream) == rows(batch))
   }
 
+  test("st_stream_decontaminate equals the batch wide-gram contamination scan") {
+    // decontamination-at-ingest: the streamed documents against the
+    // batch-built broadcast eval index must flag exactly the pairs the
+    // post-hoc batch pass (d7b) flags
+    val stream = SparkEntry.queries("st_stream_decontaminate")(spark, sf)
+    val batch = SparkEntry.queries("d7b_contamination_wide")(spark, sf)
+    assert(rows(stream) == rows(batch))
+    assert(stream.count() > 0)
+  }
+
   test("st_stream_static_join equals its batch join") {
     val stream = SparkEntry.queries("st_stream_static_join")(spark, sf)
     val batch = Tables(spark, sf, "events")
