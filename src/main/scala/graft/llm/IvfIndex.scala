@@ -190,4 +190,47 @@ object IvfIndex {
   def nearDupPairsCached(cacheKey: String, probes: DataFrame, corpus: DataFrame,
       threshold: Double, nClusters: Int, nProbe: Int): DataFrame =
     nearDupPairs(cachedIndex(cacheKey, corpus, nClusters), probes, threshold, nProbe)
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): cluster-scoped semantic
+    * dedup. Pairwise cosine is computed ONLY within each KMeans cell (the
+    * paper's ε-ball check inside each cluster), over-threshold members are
+    * grouped by connected components, and one keeper survives per group —
+    * the paper's policy: keep the member with the LOWEST cosine to its
+    * cluster centroid (the most "extreme" exemplar), tiebreak vec_id.
+    *
+    * Scale shape: the only corpus-wide shuffle is the join on `cell`
+    * (against the cell-partitioned index layout the candidates do not move
+    * at all — only the left projection shuffles); the within-cell candidate
+    * volume is Σ|cell|², the quantity a deployment CONTROLS by scaling
+    * nClusters with the corpus (the paper runs k = 11k on 600M docs) —
+    * never the global n². CC rounds move (node, label) longs over the
+    * near-dup subgraph only. Output: one row per vector with its cell,
+    * semantic group, centroid cosine, and survival flag. */
+  def semDedup(index: IvfModel, threshold: Double): DataFrame = {
+    val spark = index.assigned.sparkSession
+    val centDf = broadcast(spark.createDataFrame(index.centroids).toDF("cell", "centroid"))
+    val withCent = index.assigned
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("cell"))
+      .join(centDf, Seq("cell"))
+      .withColumn("cent_cos", Similarity.cosine(col("v"), col("centroid")))
+      .select(col("vec_id"), col("v"), col("cell"), col("cent_cos"))
+    val a = withCent.select(col("cell"), col("vec_id").as("doc_a"), col("v").as("va"))
+    val b = withCent.select(col("cell"), col("vec_id").as("doc_b"), col("v").as("vb"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(Similarity.cosine(col("va"), col("vb")) > threshold)
+      .select("doc_a", "doc_b")
+    val comps = Dedup.connectedComponents(pairs, withCent.select(col("vec_id").as("node")))
+    val w = Window.partitionBy("grp").orderBy(col("cent_cos"), col("vec_id"))
+    withCent.join(comps, withCent("vec_id") === comps("node"))
+      .select(col("vec_id"), col("cell"), col("label").as("grp"),
+        round(col("cent_cos"), 6).as("cent_cos"))
+      .withColumn("keep", row_number().over(w) === 1)
+  }
+
+  /** [[semDedup]] against the same persisted per-corpus index. */
+  def semDedupCached(cacheKey: String, corpus: DataFrame, threshold: Double,
+      nClusters: Int): DataFrame =
+    semDedup(cachedIndex(cacheKey, corpus, nClusters), threshold)
 }

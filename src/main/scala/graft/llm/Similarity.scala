@@ -132,6 +132,24 @@ object Similarity {
         threshold = 0.3, nClusters = 8, nProbe = 4)
     },
 
+    // SemDeDup (Abbas et al. 2023): cluster-scoped SEMANTIC dedup — the
+    // embedding-space analog of d6's shingle near-dup grouping, and the
+    // production answer to "drop meaning-level duplicates at 100 TB":
+    // pairwise cosine runs only WITHIN each KMeans cell, so candidate
+    // volume is Σ|cell|² (controlled by scaling nClusters), never the
+    // corpus square; groups form by connected components over the
+    // within-cell over-threshold pairs; one keeper per group survives
+    // (lowest centroid-cosine — the paper's "keep the extreme exemplar"
+    // policy). Clustering is engine-specific → no SQL oracle; DataPlaneSpec
+    // proves (a) every semantic group is a refinement of the EXACT global
+    // cosine-CC groups (zero false merges), (b) grouped members really
+    // exceed the threshold under exact recomputation, (c) exactly one
+    // keeper per group, (d) determinism across runs.
+    QueryDef.noOracle("sim_semdedup") { (s, d) =>
+      IvfIndex.semDedupCached(d, Tables(s, d, "embeddings"),
+        threshold = 0.3, nClusters = 8)
+    },
+
     // Per-label embedding centroids: element-wise mean via posexplode +
     // (label, pos) hash aggregation — the class-centroid computation a
     // training pipeline runs (and the same shape an IVF coarse quantizer

@@ -507,6 +507,59 @@ object TextStats {
             log(col("cg") / col("tg"))), 6).as("ml_score"))
         .select(col("doc_id"), col("n_tokens"), col("ml_score"),
           (col("ml_score") > 0).as("keep"))
+    },
+
+    // DSIR (Xie et al. 2023, "Data Selection for Language Models via
+    // Importance Resampling"): per-doc importance weight = mean log-ratio
+    // of target vs raw distributions over HASHED n-gram features
+    // (unigrams + bigrams → md5-prefix bucket, B = 256; target = the src0
+    // slice, add-1 smoothing over the bucket space). The published
+    // successor to t15's Moore-Lewis selection — and the reason it scales
+    // past it: the feature table is FIXED-SIZE (≤ B rows no matter the
+    // corpus), so both the frequency table and the totals ride broadcasts
+    // at any scale, where t15's vocab-sized table must shuffle by word at
+    // 100 TB. Two passes over the feature stream (one aggregate, one
+    // broadcast-join + per-doc aggregate); shuffles carry (doc_id,
+    // partials) only. ln drift: per-doc MEAN rounded to 1e-6 (the
+    // t8/t15 precedent); `keep` thresholds the ROUNDED score.
+    QueryDef("t16_dsir_weights",
+      """WITH t AS (SELECT doc_id, source, string_split(text,' ') AS ts FROM documents),
+        |f AS (SELECT doc_id, source, substr(md5(feat),1,2) AS b FROM (
+        |   SELECT doc_id, source,
+        |          unnest(ts || list_transform(range(1, len(ts)),
+        |                                      i -> ts[i] || ' ' || ts[i+1])) AS feat
+        |   FROM t)),
+        |freq AS (SELECT b, CAST(count(*) AS DOUBLE) AS cg,
+        |                CAST(count(*) FILTER (WHERE source='src0') AS DOUBLE) AS ci
+        |         FROM f GROUP BY b),
+        |tot AS (SELECT CAST(sum(cg) AS DOUBLE) AS tg, CAST(sum(ci) AS DOUBLE) AS ti
+        |        FROM freq)
+        |SELECT doc_id, n_feats, dsir_score, dsir_score > 0 AS keep FROM (
+        |  SELECT doc_id, count(*) AS n_feats,
+        |         round(avg(ln((ci+1)/(ti+256)) - ln((cg+1)/(tg+256))), 6) AS dsir_score
+        |  FROM f JOIN freq USING (b) CROSS JOIN tot GROUP BY doc_id)""".stripMargin) { (s, d) =>
+      val t = Tables(s, d, "documents")
+        .select(col("doc_id"), col("source"), toks.as("ts"))
+      val n = size(col("ts"))
+      // bigram list guarded for sub-2-token docs: Spark's sequence(1, 0)
+      // would count DOWN (the t4 ANSI lesson: never index past the array)
+      val bigrams = when(n >= 2, transform(sequence(lit(1), n - 1),
+          i => concat_ws(" ", try_element_at(col("ts"), i), try_element_at(col("ts"), i + 1))))
+        .otherwise(array().cast("array<string>"))
+      val f = t.select(col("doc_id"), col("source"),
+          explode(concat(col("ts"), bigrams)).as("feat"))
+        .select(col("doc_id"), col("source"), substring(md5(col("feat")), 1, 2).as("b"))
+      val freq = f.groupBy("b").agg(
+        count(lit(1)).cast("double").as("cg"),
+        count(when(col("source") === "src0", 1)).cast("double").as("ci"))
+      val tot = freq.agg(sum("cg").as("tg"), sum("ci").as("ti"))
+      f.join(broadcast(freq), "b").crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_feats"),
+          round(avg(log((col("ci") + 1) / (col("ti") + lit(256))) -
+            log((col("cg") + 1) / (col("tg") + lit(256)))), 6).as("dsir_score"))
+        .select(col("doc_id"), col("n_feats"), col("dsir_score"),
+          (col("dsir_score") > 0).as("keep"))
     }
   )
 

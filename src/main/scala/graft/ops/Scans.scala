@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.data.Tables
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Scans / sources (SURVEY §2.B S1–S6).
@@ -27,6 +28,20 @@ object Scans {
   private def layoutKey(d: String, table: String): String = {
     val f = new java.io.File(s"$d/$table.parquet")
     math.abs((d, f.length, f.lastModified).hashCode).toString + "_" + jvmId
+  }
+
+  /** 32-bit Morton (Z-order) code over the low 16 bits of two keys — the
+    * mask-spread bit-interleave ladder. Pure +|&<< integer arithmetic:
+    * Spark and DuckDB compute the identical code (no hash, no float). */
+  private[graft] def zval(x0: Column, y0: Column): Column = {
+    def spread(v0: Column): Column = {
+      val v = v0.bitwiseAND(lit(65535L))
+      val a = v.bitwiseOR(shiftleft(v, 8)).bitwiseAND(lit(16711935L))
+      val b = a.bitwiseOR(shiftleft(a, 4)).bitwiseAND(lit(252645135L))
+      val c = b.bitwiseOR(shiftleft(b, 2)).bitwiseAND(lit(858993459L))
+      c.bitwiseOR(shiftleft(c, 1)).bitwiseAND(lit(1431655765L))
+    }
+    spread(x0).bitwiseOR(shiftleft(spread(y0), 1))
   }
 
   val entries: Seq[QueryDef] = Seq(
@@ -165,6 +180,58 @@ object Scans {
         .filter(col("o_orderpriority") === "1-URGENT")
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"), graft.ops.Exact.moneySum(col("o_totalprice")).as("total"))
+    },
+
+    // S13: Z-ORDER layout — the Delta/Iceberg `OPTIMIZE ZORDER BY` idea as
+    // a declared operator: interleave the bits of two join/filter keys
+    // (Morton code via the classic mask-spread ladder — pure integer
+    // arithmetic, so the DuckDB oracle computes the identical code) and
+    // range-partition + sort the table by that code. Files then carry
+    // TIGHT min/max ranges on BOTH dimensions simultaneously, so parquet
+    // row-group stats prune point/range scans on EITHER key — at 100 TB
+    // this is the difference between a two-key lookup reading a handful of
+    // files and scanning the corpus (a linear sort gives locality on one
+    // key only; the non-sort key spans its full range in every file —
+    // PlanSpec measures both layouts' per-file spans). Interleaving only
+    // helps when the two keys occupy comparable bit-widths, so suppkey is
+    // pre-shifted <<4 to align the ranges (the schema's part:supplier
+    // cardinality ratio is a fixed 20:1 ≈ 2⁴ at every SF; a production
+    // z-order computes per-column range-partition RANKS for exactly this
+    // normalization — a rank is SF-free here because the ratio is). The
+    // declared result aggregates per z-bucket over the WRITTEN layout, so
+    // the oracle also proves the layout roundtrip preserved content. The
+    // write runs once per corpus via the s8 layoutKey idiom.
+    QueryDef("s13_zorder_layout",
+      """WITH k AS (SELECT (l_partkey & 65535) AS x, ((l_suppkey << 4) & 65535) AS y,
+        |                  l_partkey, l_suppkey FROM lineitem),
+        |s1 AS (SELECT *, ((x | (x << 8)) & 16711935) AS xa,
+        |              ((y | (y << 8)) & 16711935) AS ya FROM k),
+        |s2 AS (SELECT *, ((xa | (xa << 4)) & 252645135) AS xb,
+        |              ((ya | (ya << 4)) & 252645135) AS yb FROM s1),
+        |s3 AS (SELECT *, ((xb | (xb << 2)) & 858993459) AS xc,
+        |              ((yb | (yb << 2)) & 858993459) AS yc FROM s2),
+        |s4 AS (SELECT *, ((xc | (xc << 1)) & 1431655765) AS xd,
+        |              ((yc | (yc << 1)) & 1431655765) AS yd FROM s3),
+        |z AS (SELECT l_partkey, l_suppkey, (xd | (yd << 1)) AS zval FROM s4)
+        |SELECT (zval >> 14) AS zbucket, count(*) AS n,
+        |       min(zval) AS min_z, max(zval) AS max_z,
+        |       min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+        |       min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+        |FROM z GROUP BY zbucket""".stripMargin) { (s, d) =>
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_s13_${layoutKey(d, "lineitem")}"
+      if (!new java.io.File(tmp, "_SUCCESS").exists())
+        Tables(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            zval(col("l_partkey"), shiftleft(col("l_suppkey"), 4)).as("zval"))
+          .repartitionByRange(8, col("zval"))
+          .sortWithinPartitions("zval")
+          .write.mode("overwrite").parquet(tmp)
+      s.read.parquet(tmp)
+        .groupBy(shiftright(col("zval"), 14).as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("zval")).as("min_z"), max(col("zval")).as("max_z"),
+          min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
+          min(col("l_suppkey")).as("min_sk"), max(col("l_suppkey")).as("max_sk"))
     },
 
     // S11 setup: the ORC sink write as its own named line — the roundtrip

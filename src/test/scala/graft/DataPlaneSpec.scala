@@ -831,4 +831,99 @@ class DataPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
     val win = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pos")).toMap
     assert(dist == win, "distributed epoch order diverged from the window order")
   }
+
+  test("sim_semdedup: refinement of exact cosine components, genuine edges, one keeper, deterministic") {
+    val e = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // exact ground truth at the query's threshold: full all-pairs cosine
+    // (computable at spec scale) and its global connected components
+    val a = e.select(col("vec_id").as("doc_a"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("doc_b"), col("v").as("vb"))
+    val exactPairsDf = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .filter(Similarity.cosine(col("va"), col("vb")) > 0.3)
+      .select("doc_a", "doc_b")
+    val exactPairSet = exactPairsDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactComp = Dedup.connectedComponents(exactPairsDf, e.select(col("vec_id").as("node")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    def run() = SparkEntry.queries("sim_semdedup")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("grp"), r.getAs[Boolean]("keep")))
+      .sortBy(_._1).toSeq
+    val sd = run()
+    assert(sd.map(_._1).toSet == exactComp.keySet, "one row per vector")
+
+    // (a) refinement: cluster-scoped pairs are a SUBSET of the exact pairs,
+    // so CC over them can only split, never merge — any two vectors sharing
+    // a semantic group must share an exact global component
+    val byGrp = sd.groupBy(_._2).values
+    for (grp <- byGrp; if grp.size >= 2) {
+      val comps = grp.map(m => exactComp(m._1)).toSet
+      assert(comps.size == 1,
+        s"semantic group ${grp.head._2} spans exact components $comps — false merge")
+      // (b) every grouped member has a genuine over-threshold neighbour in
+      // its group under EXACT recomputation (no phantom edges)
+      val ids = grp.map(_._1).toSet
+      for (m <- grp) {
+        val hasEdge = ids.exists(o => o != m._1 &&
+          (exactPairSet.contains((math.min(m._1, o), math.max(m._1, o)))))
+        assert(hasEdge, s"vec ${m._1} in group ${m._2} has no exact >0.3 neighbour in-group")
+      }
+      // (c) exactly one keeper per group
+      assert(grp.count(_._3) == 1, s"group ${grp.head._2}: expected exactly one keeper")
+    }
+    // singletons are their own keepers
+    for (grp <- byGrp; if grp.size == 1)
+      assert(grp.head._3, s"singleton ${grp.head._1} must keep itself")
+    // (d) deterministic: a second run (cached index, same seed) is identical
+    assert(run() == sd, "sim_semdedup must be run-to-run deterministic")
+    // the selection is live on testdata: some dups actually dropped
+    assert(sd.exists(!_._3), "expected at least one dropped semantic duplicate")
+  }
+
+  test("s13 z-order: per-file ranges tight on BOTH keys; linear sort leaves suppkey unprunable") {
+    val li = Tables(spark, sf, "lineitem").select("l_orderkey", "l_partkey", "l_suppkey")
+    val z = li.withColumn("zv",
+      graft.ops.Scans.zval(col("l_partkey"), shiftleft(col("l_suppkey"), 4)))
+    val base = s"${sys.props("java.io.tmpdir")}/graft_s13_spec_${System.nanoTime()}"
+    z.repartitionByRange(8, col("zv")).sortWithinPartitions("zv")
+      .write.mode("overwrite").parquet(s"$base/zorder")
+    li.repartitionByRange(8, col("l_partkey")).sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(s"$base/linear")
+    // per-file [min,max] of each key, normalized to the key's global range —
+    // exactly the row-group stats parquet pruning consults
+    def spans(dir: String): Seq[(Double, Double, (Long, Long))] = {
+      val df = spark.read.parquet(dir)
+        .withColumn("f", input_file_name())
+        .groupBy("f").agg(
+          min("l_partkey").as("pk0"), max("l_partkey").as("pk1"),
+          min("l_suppkey").as("sk0"), max("l_suppkey").as("sk1"))
+        .collect()
+      val pkAll = (df.map(_.getAs[Long]("pk0")).min, df.map(_.getAs[Long]("pk1")).max)
+      val skAll = (df.map(_.getAs[Long]("sk0")).min, df.map(_.getAs[Long]("sk1")).max)
+      df.map { r =>
+        val pk = (r.getAs[Long]("pk1") - r.getAs[Long]("pk0")).toDouble / (pkAll._2 - pkAll._1)
+        val sk = (r.getAs[Long]("sk1") - r.getAs[Long]("sk0")).toDouble / (skAll._2 - skAll._1)
+        (pk, sk, (r.getAs[Long]("sk0"), r.getAs[Long]("sk1")))
+      }.toSeq
+    }
+    val zs = spans(s"$base/zorder")
+    val ls = spans(s"$base/linear")
+    def avg(xs: Seq[Double]) = xs.sum / xs.size
+    info(f"z-order  avg spans: pk=${avg(zs.map(_._1))}%.3f sk=${avg(zs.map(_._2))}%.3f")
+    info(f"linear   avg spans: pk=${avg(ls.map(_._1))}%.3f sk=${avg(ls.map(_._2))}%.3f")
+    // z-order: BOTH dims localized per file
+    assert(avg(zs.map(_._1)) <= 0.6, s"z-order partkey spans too wide: $zs")
+    assert(avg(zs.map(_._2)) <= 0.6, s"z-order suppkey spans too wide: $zs")
+    // linear: partkey perfectly localized, suppkey spans ~the full range
+    assert(avg(ls.map(_._1)) <= 0.2, s"linear partkey spans unexpectedly wide: $ls")
+    assert(avg(ls.map(_._2)) >= 0.9, s"linear layout should NOT localize suppkey: $ls")
+    // the pruning consequence: a 10%-wide suppkey-only predicate overlaps
+    // every linear file but only a strict subset of z-ordered files
+    def overlapping(s: Seq[(Double, Double, (Long, Long))]) =
+      s.count { case (_, _, (lo, hi)) => lo <= 49 && hi >= 40 }
+    assert(overlapping(ls) == ls.size, "linear: suppkey slice should hit every file")
+    assert(overlapping(zs) < zs.size,
+      s"z-order: suppkey slice must PRUNE files (${overlapping(zs)}/${zs.size})")
+    graft.streaming.Streams.deleteRecursively(new java.io.File(base))
+  }
 }

@@ -372,6 +372,25 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("Window"), s"p8: small-n path lost its window plan:\n$p")
   }
 
+  test("t16 DSIR: fixed-size feature table rides broadcasts, no vocab-sized join shuffle") {
+    val p = plan("t16_dsir_weights")
+    // the ≤256-row bucket-frequency table must broadcast-join the feature
+    // stream (t15's vocab-sized table can't make this promise at 100 TB)
+    assert(p.contains("BroadcastHashJoin"),
+      s"t16: bucket frequencies must ride a broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"t16: a corpus-sized shuffle join crept into the score pass:\n$p")
+  }
+
+  test("s13 z-order code is pure integer arithmetic inside codegen (no sort on read-back)") {
+    val p = plan("s13_zorder_layout")
+    // the declared query reads the WRITTEN layout and aggregates: one
+    // exchange (the z-bucket aggregate), no join, no global sort
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"s13 read-back should shuffle once, for the bucket aggregate:\n$p")
+  }
+
   test("j12 bucketed join plans zero exchanges over the co-located layout") {
     graft.ops.BucketedLayout.ensure(spark, sf) // charge the layout build here
     val p = plan("j12_bucketed_join")
