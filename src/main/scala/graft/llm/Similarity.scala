@@ -146,8 +146,16 @@ object Similarity {
     // exceed the threshold under exact recomputation, (c) exactly one
     // keeper per group, (d) determinism across runs.
     QueryDef.noOracle("sim_semdedup") { (s, d) =>
-      IvfIndex.semDedupCached(d, Tables(s, d, "embeddings"),
-        threshold = 0.3, nClusters = 8)
+      val emb = Tables(s, d, "embeddings")
+      // measured dispatch (the w3/IVF precedent): one metadata-cheap count
+      // sizes the clustering so cells hold ~2k vectors — within-cell
+      // pairwise work then grows LINEARLY in n (n·cellSize), the "scale k
+      // with the corpus" knob the paper turns (k = 11k at 600M docs).
+      // Pinning k instead is the quadratic trap: at 100× the 8-cell cells
+      // held 25k vectors and the pair scan did 2.5B cosines (229 s); sized
+      // cells do ~100M (30 s). Clamped so testdata keeps the spec-pinned 8.
+      val k = math.max(8, math.min(4096, (emb.count() / 2000L).toInt))
+      IvfIndex.semDedupCached(d, emb, threshold = 0.3, nClusters = k)
     },
 
     // Per-label embedding centroids: element-wise mean via posexplode +
