@@ -71,6 +71,48 @@ object RecallProbe {
     // as a count collapse or explosion, not a recall drop)
     val (d5bCount, tD5b) = timed(Dedup.simhashPairs(docs, maxHamming = 3).count())
 
+    // sim_semdedup: cell-capture recall — what fraction of the EXACT global
+    // over-threshold cosine pairs land inside one KMeans cell (the only
+    // pairs SemDeDup can see). Counts computed distributively (the pair
+    // sets are tens of millions at sf1 — never collected). Exact truth is
+    // n²: bounded to corpora where that still finishes (sf1: 20k² = 200M
+    // cosine evals); past it the artifact records the skip explicitly.
+    val emb = Tables(spark, sfDir, "embeddings")
+    val nVec = emb.count()
+    val semJson = if (nVec > 50000L) {
+      s""""semdedup":{"skipped":"exact truth is n^2; n=$nVec"}"""
+    } else {
+      import graft.llm.IvfIndex
+      val k = math.max(8, math.min(4096, (nVec / 2000L).toInt))
+      val (idx, tBuild) = timed(IvfIndex.build(emb, k))
+      val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val a = e.select(col("vec_id").as("doc_a"), col("v").as("va"))
+      val b = e.select(col("vec_id").as("doc_b"), col("v").as("vb"))
+      // one 200M-eval scan, recall read off at several thresholds: cell
+      // capture is threshold-dependent (a 0.9-cosine near-duplicate pair
+      // almost always co-clusters; a 0.3 pair often spans cells — SemDeDup
+      // is built for the high-τ near-identical regime)
+      val exactP = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+        .withColumn("cos", graft.llm.Similarity.cosine(col("va"), col("vb")))
+        .filter(col("cos") > 0.3)
+        .select("doc_a", "doc_b", "cos")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (_, tExact) = timed(exactP.count())
+      val cellHit = IvfIndex.withinCellPairs(idx, 0.3)
+        .join(exactP, Seq("doc_a", "doc_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (_, tCell) = timed(cellHit.count())
+      val perThreshold = Seq(0.3, 0.6, 0.9).map { t =>
+        val truth = exactP.filter(col("cos") > t).count()
+        val hit = cellHit.filter(col("cos") > t).count()
+        val r = if (truth == 0) 1.0 else hit.toDouble / truth
+        s""""$t":{"truth_pairs":$truth,"cell_pairs_hit":$hit,"pair_recall":$r}"""
+      }.mkString(",")
+      exactP.unpersist(); cellHit.unpersist()
+      idx.unpersist()
+      s""""semdedup":{"n_vectors":$nVec,"n_cells":$k,"exact_s":$tExact,"cell_s":$tCell,"build_s":$tBuild,$perThreshold}"""
+    }
+
     Dedup.releaseCaches()
     val dir = java.nio.file.Paths.get(out).getParent
     if (dir != null) java.nio.file.Files.createDirectories(dir)
@@ -79,6 +121,7 @@ object RecallProbe {
          |"d3":{"truth_pairs":${truth.size},"lsh_pairs":${lsh.size},"recall":$d3Recall,"false_positives":$d3Fp,"truth_s":$tTruth,"lsh_s":$tLsh},
          |"d8b":{"exact_near":${exactNear.size},"lsh_near":${lshNear.size},"recall":$d8Recall,"false_positives":$d8Fp,"exact_s":$tD8,"lsh_s":$tD8b},
          |"d5b":{"pairs":$d5bCount,"s":$tD5b},
+         |$semJson,
          |"loadavg":${java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage}}""".stripMargin.replace("\n", "")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
     println(json)

@@ -207,6 +207,20 @@ object IvfIndex {
     * never the global n². CC rounds move (node, label) longs over the
     * near-dup subgraph only. Output: one row per vector with its cell,
     * semantic group, centroid cosine, and survival flag. */
+  /** The within-cell over-threshold cosine pairs SemDeDup groups over —
+    * public so RecallProbe can measure cell-capture recall against the
+    * exact global pair set at scales where truth is still computable. */
+  def withinCellPairs(index: IvfModel, threshold: Double): DataFrame = {
+    val assigned = index.assigned
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("cell"))
+    val a = assigned.select(col("cell"), col("vec_id").as("doc_a"), col("v").as("va"))
+    val b = assigned.select(col("cell"), col("vec_id").as("doc_b"), col("v").as("vb"))
+    a.join(b, Seq("cell"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(Similarity.cosine(col("va"), col("vb")) > threshold)
+      .select("doc_a", "doc_b")
+  }
+
   def semDedup(index: IvfModel, threshold: Double): DataFrame = {
     val spark = index.assigned.sparkSession
     val centDf = broadcast(spark.createDataFrame(index.centroids).toDF("cell", "centroid"))
@@ -215,12 +229,7 @@ object IvfIndex {
       .join(centDf, Seq("cell"))
       .withColumn("cent_cos", Similarity.cosine(col("v"), col("centroid")))
       .select(col("vec_id"), col("v"), col("cell"), col("cent_cos"))
-    val a = withCent.select(col("cell"), col("vec_id").as("doc_a"), col("v").as("va"))
-    val b = withCent.select(col("cell"), col("vec_id").as("doc_b"), col("v").as("vb"))
-    val pairs = a.join(b, Seq("cell"))
-      .filter(col("doc_a") < col("doc_b"))
-      .filter(Similarity.cosine(col("va"), col("vb")) > threshold)
-      .select("doc_a", "doc_b")
+    val pairs = withinCellPairs(index, threshold)
     val comps = Dedup.connectedComponents(pairs, withCent.select(col("vec_id").as("node")))
     val w = Window.partitionBy("grp").orderBy(col("cent_cos"), col("vec_id"))
     withCent.join(comps, withCent("vec_id") === comps("node"))

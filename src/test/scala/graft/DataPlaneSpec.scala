@@ -880,6 +880,29 @@ class DataPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sd.exists(!_._3), "expected at least one dropped semantic duplicate")
   }
 
+  test("s13 Morton code equals a bit-by-bit reference interleave (seeded, incl. wrap cases)") {
+    import spark.implicits._
+    // independent derivation: the mask-spread ladder vs a plain bit loop —
+    // a wrong mask/shift constant agrees with DuckDB (same formula both
+    // sides) but cannot agree with this
+    def ref(x0: Long, y0: Long): Long = {
+      val x = x0 & 65535L; val y = y0 & 65535L
+      (0 until 16).foldLeft(0L) { (z, i) =>
+        z | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    }
+    val rng = new scala.util.Random(13)
+    val cases = Seq((0L, 0L), (65535L, 65535L), (65536L, 1L), (123456789L, 987654321L)) ++
+      List.fill(500)((rng.nextLong().abs % 1000000L, rng.nextLong().abs % 1000000L))
+    cases.toDF("x", "y")
+      .withColumn("z", graft.ops.Scans.zval(col("x"), col("y")))
+      .collect()
+      .foreach { r =>
+        val (x, y, z) = (r.getAs[Long]("x"), r.getAs[Long]("y"), r.getAs[Long]("z"))
+        assert(z == ref(x, y), s"zval($x, $y) = $z != ${ref(x, y)}")
+      }
+  }
+
   test("s13 z-order: per-file ranges tight on BOTH keys; linear sort leaves suppkey unprunable") {
     val li = Tables(spark, sf, "lineitem").select("l_orderkey", "l_partkey", "l_suppkey")
     val z = li.withColumn("zv",
