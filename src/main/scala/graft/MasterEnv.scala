@@ -60,8 +60,23 @@ object MasterEnv {
     *     file per task is exactly the 100 TB-cluster shape too.
     */
   def standardBuilder(cpus: String): SparkSession.Builder =
-    configure(SparkSession.builder(), cpus)
-      .config("spark.sql.shuffle.partitions", shufflePartitions(cpus))
+    standardConfs(configure(SparkSession.builder(), cpus), shufflePartitions(cpus))
+
+  /** The same conf block pinned to an EXPLICIT master — for suites that
+    * must not honor SPARK_GRAFT_MASTER (ClusterSpec pins its own
+    * local-cluster). Multi-JVM masters get the executor classpath shipped
+    * exactly as [[configure]] does, so the multi-JVM evidence suite runs
+    * the same session shape as the multi-JVM Verify/Bench artifacts. */
+  def standardBuilderFor(masterStr: String, partitions: Int): SparkSession.Builder = {
+    val base = SparkSession.builder().master(masterStr)
+    val withCp = if (isMultiJvm(masterStr))
+      base.config("spark.executor.extraClassPath", sys.props("java.class.path"))
+    else base
+    standardConfs(withCp, partitions.toString)
+  }
+
+  private def standardConfs(b: SparkSession.Builder, partitions: String): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", partitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.files.openCostInBytes", (128L * 1024 * 1024).toString)

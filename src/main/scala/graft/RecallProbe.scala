@@ -116,8 +116,11 @@ object RecallProbe {
     Dedup.releaseCaches()
     val dir = java.nio.file.Paths.get(out).getParent
     if (dir != null) java.nio.file.Files.createDirectories(dir)
+    // same sanitization as Bench.jstr: a quote/backslash in a user-typed
+    // path must not corrupt the JSON artifact
+    def jstr(s: String): String = s.replaceAll("""["\\\n\r\t]""", " ")
     val json =
-      s"""{"sf_dir":"$sfDir","n_docs":$nDocs,
+      s"""{"sf_dir":"${jstr(sfDir)}","n_docs":$nDocs,
          |"d3":{"truth_pairs":${truth.size},"lsh_pairs":${lsh.size},"recall":$d3Recall,"false_positives":$d3Fp,"truth_s":$tTruth,"lsh_s":$tLsh},
          |"d8b":{"exact_near":${exactNear.size},"lsh_near":${lshNear.size},"recall":$d8Recall,"false_positives":$d8Fp,"exact_s":$tD8,"lsh_s":$tD8b},
          |"d5b":{"pairs":$d5bCount,"s":$tD5b},

@@ -46,6 +46,7 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     graft.llm.Dedup.releaseCaches()
     graft.streaming.Streams.releaseSinks()
+    graft.ops.Scans.releaseLayouts()
     graft.data.Frames.releaseTracked()
     spark.stop()
   }

@@ -30,6 +30,22 @@ object Scans {
     math.abs((d, f.length, f.lastModified).hashCode).toString + "_" + jvmId
   }
 
+  // layoutKey dirs are PER-JVM by design (a fresh write each session keeps
+  // named setup lines like-for-like across bench rounds) — which also means
+  // every session would leak its copies (s13's is a full lineitem
+  // projection, GBs at 100×) unless released. Registered here; Verify/Bench/
+  // Run call releaseLayouts() at end of run (the Streams.releaseSinks
+  // idiom). The d.hashCode-keyed dirs (s4/s5/s7/s9/s10/s12, j12's buckets)
+  // are deliberate cross-session caches, bounded at one per corpus — not
+  // registered.
+  private val layoutDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def layoutDir(path: String): String = { layoutDirs.add(path); path }
+  def releaseLayouts(): Unit = {
+    layoutDirs.forEach(d =>
+      graft.streaming.Streams.deleteRecursively(new java.io.File(d)))
+    layoutDirs.clear()
+  }
+
   /** 32-bit Morton (Z-order) code over the low 16 bits of two keys — the
     * mask-spread bit-interleave ladder. Pure +|&<< integer arithmetic:
     * Spark and DuckDB compute the identical code (no hash, no float). */
@@ -151,7 +167,7 @@ object Scans {
     QueryDef("s8_partition_layout",
       """SELECT o_orderpriority, count(*) AS n
         |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_s8_${layoutKey(d, "orders")}"
+      val tmp = layoutDir(s"${sys.props("java.io.tmpdir")}/graft_s8_${layoutKey(d, "orders")}")
       if (!new java.io.File(tmp, "_SUCCESS").exists())
         Tables(s, d, "orders")
           .write.mode("overwrite").partitionBy("o_orderpriority").parquet(tmp)
@@ -172,7 +188,7 @@ object Scans {
         |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(22,8))) AS DOUBLE), 2) AS total
         |FROM orders WHERE o_orderpriority = '1-URGENT'
         |GROUP BY o_orderstatus""".stripMargin) { (s, d) =>
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_s8_${layoutKey(d, "orders")}"
+      val tmp = layoutDir(s"${sys.props("java.io.tmpdir")}/graft_s8_${layoutKey(d, "orders")}")
       if (!new java.io.File(tmp, "_SUCCESS").exists())
         Tables(s, d, "orders")
           .write.mode("overwrite").partitionBy("o_orderpriority").parquet(tmp)
@@ -218,7 +234,7 @@ object Scans {
         |       min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
         |       min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
         |FROM z GROUP BY zbucket""".stripMargin) { (s, d) =>
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_s13_${layoutKey(d, "lineitem")}"
+      val tmp = layoutDir(s"${sys.props("java.io.tmpdir")}/graft_s13_${layoutKey(d, "lineitem")}")
       if (!new java.io.File(tmp, "_SUCCESS").exists())
         Tables(s, d, "lineitem")
           .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
@@ -241,7 +257,7 @@ object Scans {
     QueryDef("s11_orc_write",
       """SELECT count(*) AS n_rows
         |FROM lineitem WHERE l_shipdate >= DATE '1997-01-01'""".stripMargin) { (s, d) =>
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_s11_${layoutKey(d, "lineitem")}"
+      val tmp = layoutDir(s"${sys.props("java.io.tmpdir")}/graft_s11_${layoutKey(d, "lineitem")}")
       if (!new java.io.File(tmp, "_SUCCESS").exists())
         Tables(s, d, "lineitem")
           .filter(col("l_shipdate") >= lit("1997-01-01").cast("date"))
@@ -260,7 +276,7 @@ object Scans {
         |       round(CAST(sum(CAST(l_quantity AS DECIMAL(22,8))) AS DOUBLE), 2) AS sum_qty
         |FROM lineitem WHERE l_shipdate >= DATE '1997-01-01'
         |GROUP BY l_returnflag""".stripMargin) { (s, d) =>
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_s11_${layoutKey(d, "lineitem")}"
+      val tmp = layoutDir(s"${sys.props("java.io.tmpdir")}/graft_s11_${layoutKey(d, "lineitem")}")
       if (!new java.io.File(tmp, "_SUCCESS").exists())
         Tables(s, d, "lineitem")
           .filter(col("l_shipdate") >= lit("1997-01-01").cast("date"))

@@ -37,18 +37,11 @@ class ClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
   // 60 s registration wait would repeat per test (~7 min of failing) and
   // the half-booted master/worker threads would never be torn down.
   private lazy val sparkBoot: scala.util.Try[SparkSession] = scala.util.Try {
-    val s = SparkSession.builder()
-      .master("local-cluster[2,4,2048]")
+    // the ONE conf block (MasterEnv) pinned to this suite's explicit
+    // local-cluster master — a conf added for Verify/Bench artifacts
+    // reaches the multi-JVM evidence suite too, no drift
+    val s = MasterEnv.standardBuilderFor("local-cluster[2,4,2048]", 8)
       .appName("cluster-spec")
-      // local-cluster workers launch executors from SPARK_HOME — the graft
-      // classes ride the driver's own classpath (MasterEnv does the same
-      // for Verify/Bench runs under SPARK_GRAFT_MASTER)
-      .config("spark.executor.extraClassPath", sys.props("java.class.path"))
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.files.openCostInBytes", (128L * 1024 * 1024).toString)
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     // wait for both executors to register before any test schedules work —
     // otherwise the first job's tasks all land on whichever executor came
@@ -150,47 +143,16 @@ class ClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     // state stores live in EXECUTOR heaps and checkpoint through the
     // shared filesystem — the combination neither the local[4] continuous
     // test nor the AvailableNow replays cover
-    import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.streaming.Trigger
     val ckpt = s"${sys.props("java.io.tmpdir")}/graft_mc_cont_${System.nanoTime()}"
-    val dedup = spark.readStream.format("rate")
-      .option("rowsPerSecond", "2000").load()
-      .withColumn("dup", explode(array(lit(0), lit(1))))
-      .select(col("timestamp").as("ts"), col("value").as("event_id"))
+    // same shape, poll, and thresholds as StreamingSuite's local[4] run —
+    // one harness, so a flakiness fix tunes both suites at once
+    val dedup = StreamPlateau.dupEvents(spark)
       .withWatermark("ts", "5 seconds")
       .dropDuplicatesWithinWatermark("event_id")
-    val q = dedup.writeStream.format("noop").outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.ProcessingTime("1 second"))
-      .start()
+    val q = StreamPlateau.start(dedup, "append", ckpt)
     try {
-      // poll rather than one fixed sleep: under machine load micro-batches
-      // stretch past the 1 s trigger, so "N samples in 25 s" is flaky —
-      // wait (bounded) until eviction evidence has actually had time to
-      // appear, then assert on what was collected
-      // state with eviction ≈ rate×(delay + batch lag) while input ≈
-      // rate×T, so the ratio only separates once T ≫ the lag term — wait
-      // for ~70 s of source data (well inside the 100-entry
-      // recentProgress window at 1 s triggers) before asserting
-      val deadline = System.currentTimeMillis() + 180000
-      def prog() = q.recentProgress.filter(_.stateOperators.nonEmpty)
-      while (System.currentTimeMillis() < deadline && (prog().length < 8 ||
-          prog().map(_.stateOperators.head.numRowsRemoved).sum == 0 ||
-          prog().map(_.numInputRows).sum < 140000L)) Thread.sleep(1000)
-      val progress = prog()
-      assert(progress.length >= 8, "too few progress samples within 180s")
-      val state = progress.map(_.stateOperators.head.numRowsTotal)
-      val input = progress.map(_.numInputRows).sum
-      assert(input >= 140000L, s"rate source barely ran ($input rows)")
-      // scale-invariant plateau check: without eviction the dedup state
-      // holds every distinct id seen (≈ numInputRows, which counts SOURCE
-      // rows, each a distinct value pre-explode) and would fail this by
-      // 3×; with watermark eviction it is bounded by ~(delay+lag)·rate
-      // regardless of how long the run stretched under load
-      assert(state.last <= input / 3,
-        s"state ${state.last} tracks input $input — no eviction across JVMs")
-      assert(progress.map(_.stateOperators.head.numRowsRemoved).sum > 0,
-        "watermark never evicted a state row")
+      StreamPlateau.awaitAndAssert(
+        Seq(StreamPlateau.Check(q, "mc-dedup", needRemoved = true)))
     } finally {
       try q.stop() catch { case _: Throwable => }
       graft.streaming.Streams.deleteRecursively(new java.io.File(ckpt))

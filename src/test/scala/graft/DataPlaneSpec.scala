@@ -22,6 +22,7 @@ class DataPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def afterAll(): Unit = {
     graft.llm.Dedup.releaseCaches()
     graft.data.Frames.releaseTracked()
+    graft.ops.Scans.releaseLayouts()
   }
 
   lazy val spark: SparkSession = SparkSession.builder()
@@ -749,6 +750,7 @@ class DataPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
         .map(i => md5hex(ts.slice(i, i + 5).mkString(" "))).min
     }.toMap
     assert(got == expected, s"clamped-slice fingerprints diverged: $got vs $expected")
+    graft.streaming.Streams.deleteRecursively(new java.io.File(dir))
   }
 
   test("t14 handles a corpus-universal gram: df=n_docs counted by aggregate, values exact") {
@@ -783,6 +785,7 @@ class DataPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the universal grams really are universal (df = n_docs) — the skew
     // shape is present, not hypothetical
     assert(df.values.max == nDocs, s"fixture lost its universal gram: max df = ${df.values.max}")
+    graft.streaming.Streams.deleteRecursively(new java.io.File(dir))
   }
 
   test("t15 Moore-Lewis score matches a Scala-side recount; both keep outcomes occur") {

@@ -15,7 +15,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // t14's builder eagerly checkpoints its gram counts even for plan-only
   // inspection — release the tracked blocks at suite end
-  override def afterAll(): Unit = graft.data.Frames.releaseTracked()
+  override def afterAll(): Unit = {
+    graft.data.Frames.releaseTracked()
+    graft.ops.Scans.releaseLayouts()
+    // the per-run warehouse (bucketed j12/orders_bkt tables) would
+    // otherwise accumulate one copy per suite run
+    graft.streaming.Streams.deleteRecursively(new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")))
+  }
 
   private val sf = "/root/testdata/sf0.001"
 

@@ -198,76 +198,31 @@ class StreamingSuite extends AnyFunSuite {
     // against the rate source, and their state stores must PLATEAU —
     // watermarks evict dedup keys and closed sessions; the FSM's state
     // tracks the (bounded) keyspace, not the (unbounded) event count.
-    import org.apache.spark.sql.streaming.Trigger
     val tmp = s"${sys.props("java.io.tmpdir")}/graft_cont_${System.nanoTime()}"
-    def rate() = spark.readStream.format("rate")
-      .option("rowsPerSecond", "2000").load() // (timestamp, value)
-
-    // at-least-once shape: every event emitted twice → dedup has real work
-    val dupEvents = rate()
-      .withColumn("dup", explode(array(lit(0), lit(1))))
-      .select(col("timestamp").as("ts"), col("value").as("event_id"),
-        (col("value") % 50000).as("user_id"))
+    val dupEvents = StreamPlateau.dupEvents(spark)
     val dedup = dupEvents
       .withWatermark("ts", "5 seconds")
       .dropDuplicatesWithinWatermark("event_id")
-    // sessions: a user recurs every ~25 s at 2000 rows/s over 50k users,
-    // far beyond the 2 s gap — sessions close, emit (append), and evict
     val sessions = dupEvents
       .withWatermark("ts", "5 seconds")
       .groupBy(session_window(col("ts"), "2 seconds"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
     // FSM over a BOUNDED keyspace: state rows ≤ 200 keys forever
-    val fsmIn = rate().select(
-      col("timestamp").as("ts"), (col("value") % 200).as("user_id"),
-      concat(lit("t"), col("value") % 3).as("event_type"))
+    val fsmIn = spark.readStream.format("rate")
+      .option("rowsPerSecond", "2000").load()
+      .select(col("timestamp").as("ts"), (col("value") % 200).as("user_id"),
+        concat(lit("t"), col("value") % 3).as("event_type"))
     val fsm = Streams.fsm(spark, fsmIn)
 
-    def start(df: DataFrame, mode: String, name: String) =
-      df.writeStream.format("noop").outputMode(mode)
-        .option("checkpointLocation", s"$tmp/$name")
-        .trigger(Trigger.ProcessingTime("1 second"))
-        .start()
-    val qs = Seq(start(dedup, "append", "dedup"),
-      start(sessions, "append", "sess"), start(fsm, "update", "fsm"))
+    val qs = Seq(StreamPlateau.start(dedup, "append", s"$tmp/dedup"),
+      StreamPlateau.start(sessions, "append", s"$tmp/sess"),
+      StreamPlateau.start(fsm, "update", s"$tmp/fsm"))
     try {
-      // poll rather than one fixed sleep: three concurrent 1 s-trigger
-      // queries on local[4] stretch under machine load, so "N samples in
-      // 30 s" is flaky — wait (bounded) until the eviction evidence has
-      // had time to appear, then assert on what was collected
-      // state with eviction ≈ rate×(delay + batch lag) while input ≈
-      // rate×T, so the ratio only separates once T ≫ the lag term — wait
-      // for ~70 s of source data (well inside the 100-entry recentProgress
-      // window at 1 s triggers) before asserting
-      val deadline = System.currentTimeMillis() + 180000
-      def ready(q: org.apache.spark.sql.streaming.StreamingQuery,
-          needRemoved: Boolean): Boolean = {
-        val p = q.recentProgress.filter(_.stateOperators.nonEmpty)
-        p.length >= 8 && p.map(_.numInputRows).sum >= 140000L &&
-          (!needRemoved || p.map(_.stateOperators.head.numRowsRemoved).sum > 0)
-      }
-      while (System.currentTimeMillis() < deadline &&
-          !(ready(qs(0), true) && ready(qs(1), true) && ready(qs(2), false)))
-        Thread.sleep(1000)
-      for ((q, label) <- qs.zip(Seq("dedup", "sess", "fsm"))) {
-        val progress = q.recentProgress.filter(_.stateOperators.nonEmpty)
-        assert(progress.length >= 8, s"$label: too few progress samples in 180s")
-        val state = progress.map(_.stateOperators.head.numRowsTotal)
-        val input = progress.map(_.numInputRows).sum
-        val last = state.last
-        assert(input >= 140000L, s"$label: rate source barely ran ($input rows)")
-        // scale-invariant plateau: without eviction dedup state holds every
-        // distinct id (≈ input source rows) and session state ~one session
-        // per source row — both would fail this by 3× — while with
-        // eviction both are bounded by ~(delay+gap+lag)·rate no matter how
-        // long the run stretched under load. fsm's bound is its keyspace.
-        assert(last < input / 3, s"$label: state ${last} ~ input ${input}: unbounded")
-        if (label != "fsm") {
-          val removed = progress.map(_.stateOperators.head.numRowsRemoved).sum
-          assert(removed > 0, s"$label: watermark never evicted a state row")
-        } else
-          assert(last <= 200L, s"fsm: state exceeded its 200-key keyspace: $last")
-      }
+      StreamPlateau.awaitAndAssert(Seq(
+        StreamPlateau.Check(qs(0), "dedup", needRemoved = true),
+        StreamPlateau.Check(qs(1), "sess", needRemoved = true),
+        StreamPlateau.Check(qs(2), "fsm", needRemoved = false,
+          keyspaceBound = Some(200L))))
     } finally {
       qs.foreach(q => try q.stop() catch { case _: Throwable => })
       Streams.deleteRecursively(new java.io.File(tmp))
