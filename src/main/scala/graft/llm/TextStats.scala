@@ -560,6 +560,56 @@ object TextStats {
             log((col("cg") + 1) / (col("tg") + lit(256)))), 6).as("dsir_score"))
         .select(col("doc_id"), col("n_feats"), col("dsir_score"),
           (col("dsir_score") > 0).as("keep"))
+    },
+
+    // CCNet-style perplexity filter (Wenzek et al. 2019): per-doc mean
+    // negative log-likelihood under a bigram LM with add-1 smoothing —
+    // the "does a language model like this text" gate that sits between
+    // rule-based quality (t11) and relevance selection (t15/t16). The LM
+    // here is trained on the corpus itself (self-perplexity, the
+    // deduped-corpus idiom); a deployment trains it once on a REFERENCE
+    // corpus, at which point the bigram/context tables are fixed-size and
+    // broadcast like t16's buckets — the corpus-keyed shuffles below are
+    // the training half, paid once. History counts use w1's occurrences
+    // AS A CONTEXT (not raw unigram counts): the correct conditional
+    // denominator. Log-domain output (ppl = e^nll): exp would amplify
+    // 1e-6 ln drift across engines into rounding-boundary hashes; the
+    // t8/t15 round-the-mean precedent stays exact. `keep` thresholds the
+    // ROUNDED score; 3.4 ≈ the sf0.01 median, so both outcomes are live.
+    QueryDef("t17_bigram_perplexity",
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents
+        |           WHERE len(string_split(text,' ')) >= 2),
+        |bg AS (SELECT doc_id,
+        |              unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS big,
+        |              unnest(list_transform(range(1, len(ts)), i -> ts[i])) AS w1
+        |       FROM t),
+        |cb AS (SELECT big, CAST(count(*) AS DOUBLE) AS cb FROM bg GROUP BY big),
+        |ch AS (SELECT w1, CAST(count(*) AS DOUBLE) AS ch FROM bg GROUP BY w1),
+        |vv AS (SELECT CAST(count(DISTINCT word) AS DOUBLE) AS v
+        |       FROM (SELECT unnest(string_split(text,' ')) AS word FROM documents))
+        |SELECT doc_id, n_bigrams, nll, nll <= 3.4 AS keep FROM (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |         round(avg(-ln((cb + 1) / (ch + v))), 6) AS nll
+        |  FROM bg JOIN cb USING (big) JOIN ch USING (w1) CROSS JOIN vv
+        |  GROUP BY doc_id)""".stripMargin) { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      val t = docs.filter(size(toks) >= 2).select(col("doc_id"), toks.as("ts"))
+      val n = size(col("ts"))
+      val bg = t.select(col("doc_id"), explode(transform(sequence(lit(1), n - 1),
+          i => struct(
+            concat_ws(" ", try_element_at(col("ts"), i), try_element_at(col("ts"), i + 1)).as("big"),
+            try_element_at(col("ts"), i).as("w1")))).as("p"))
+        .select(col("doc_id"), col("p.big").as("big"), col("p.w1").as("w1"))
+      val cb = bg.groupBy("big").agg(count(lit(1)).cast("double").as("cb"))
+      val ch = bg.groupBy("w1").agg(count(lit(1)).cast("double").as("ch"))
+      val vv = docs.select(explode(toks).as("word"))
+        .agg(countDistinct(col("word")).cast("double").as("v"))
+      bg.join(cb, "big").join(ch, "w1").crossJoin(broadcast(vv))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(-log((col("cb") + 1) / (col("ch") + col("v")))), 6).as("nll"))
+        .select(col("doc_id"), col("n_bigrams"), col("nll"),
+          (col("nll") <= 3.4).as("keep"))
     }
   )
 

@@ -835,6 +835,24 @@ class DataPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dist == win, "distributed epoch order diverged from the window order")
   }
 
+  test("t17 bigram perplexity: keep thresholds the rounded score, both outcomes live, bigram count exact") {
+    val nToks = Tables(spark, sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = SparkEntry.queries("t17_bigram_perplexity")(spark, sf).collect()
+    assert(rows.length == nToks.count(_._2 >= 2), "one row per >=2-token doc")
+    rows.foreach { r =>
+      val (id, nb, nll, keep) = (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"),
+        r.getAs[Double]("nll"), r.getAs[Boolean]("keep"))
+      assert(nb == nToks(id) - 1, s"doc $id: bigram count $nb != tokens-1")
+      assert(keep == (nll <= 3.4), s"doc $id: keep must threshold the rounded nll")
+      assert(nll > 0, s"doc $id: smoothed bigram nll must be positive")
+    }
+    val keeps = rows.map(_.getAs[Boolean]("keep"))
+    assert(keeps.contains(true) && keeps.contains(false),
+      "perplexity gate must be live on testdata — both outcomes present")
+  }
+
   test("sim_semdedup: refinement of exact cosine components, genuine edges, one keeper, deterministic") {
     val e = Tables(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
