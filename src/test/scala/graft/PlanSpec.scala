@@ -389,6 +389,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"t16: a corpus-sized shuffle join crept into the score pass:\n$p")
   }
 
+  test("t17 perplexity: count tables hash-join the bigram stream, vocab scalar broadcasts") {
+    val p = plan("t17_bigram_perplexity")
+    // the one-row vocab total must ride a broadcast (nested-loop on ONE
+    // row is the broadcast fan-out, fine); the two count joins must be
+    // real equi-joins, never a cartesian
+    assert(!p.contains("CartesianProduct"), s"t17: cartesian crept in:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"t17: count joins missing:\n$p")
+  }
+
   test("s13 z-order code is pure integer arithmetic inside codegen (no sort on read-back)") {
     val p = plan("s13_zorder_layout")
     // the declared query reads the WRITTEN layout and aggregates: one
