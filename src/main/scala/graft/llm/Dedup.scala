@@ -351,8 +351,135 @@ object Dedup {
     // NOT comparable.
     QueryDef.noOracle("d3_minhash_pairs") { (s, d) =>
       bandedLshPairs(Tables(s, d, "documents"), jaccardThreshold = 0.8)
+    },
+
+    // d10: EXACT duplicated-SUBSTRING spans (Lee et al. 2021, "Deduplicating
+    // Training Data Makes Language Models Better" — the ExactSubstr
+    // modality). Lee et al. build a corpus suffix array to find every
+    // substring of >= 50 tokens that occurs twice; the distributed
+    // formulation here is the k-gram-ANCHOR equivalent the big pipelines
+    // actually run (no suffix array shards): a token POSITION is
+    // `duplicated` when the 5-gram starting there occurs >= 2 times in the
+    // whole corpus (within- or cross-doc), and maximal runs of consecutive
+    // duplicated positions are the reported spans (gaps-and-islands). A
+    // true duplicated substring of m >= 5 tokens duplicates all of its
+    // m-4 anchors, so every Lee-et-al span IS one of these runs; a run can
+    // additionally stitch anchors matching DIFFERENT sources, so the stat
+    // upper-bounds per-source span length — the right side to err on for a
+    // trimming filter. Differs from t14 (bag-of-grams df fraction) by being
+    // POSITIONAL: it reports where the duplicated material sits and how
+    // long it runs, which is what span-trimming (vs doc-dropping) needs.
+    // Output per doc with >= 1 duplicated anchor: token count, tokens
+    // covered by any duplicated 5-gram, and the count / max length of
+    // maximal runs spanning >= 10 tokens.
+    //
+    // Scale shape: anchors = one generator pass, (doc_id, pos, 8-byte
+    // xxhash64, n_tok) — text never shuffles. Gram frequency is
+    // groupBy(gh).count() with map-side partials (skew-proof against a
+    // corpus-universal gram; the t14 lesson applied from birth, never a
+    // count-window over gh), the anchors table is checkpointed ONCE (d0
+    // idiom) so the frequency pass and the semi-join probe read the same
+    // blocks, and the islands window partitions by doc_id — bounded by a
+    // single document's length, never corpus-wide. Nothing is quadratic.
+    // Oracle groups by the gram STRING where Spark groups by xxhash64 —
+    // identical partitions absent a 64-bit collision (d4/t14 precedent).
+    QueryDef("d10_substring_spans",
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents
+        |           WHERE len(string_split(text,' ')) >= 5),
+        |g AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tok, i AS pos,
+        |             array_to_string(ts[i:i+4], ' ') AS gram
+        |      FROM t, UNNEST(range(1, len(ts)-3)) AS u(i)),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |da AS (SELECT doc_id, n_tok, pos FROM g JOIN dup USING (gram)),
+        |cov AS (SELECT doc_id, max(n_tok) AS n_tok,
+        |               count(DISTINCT pos + o) AS dup_cov
+        |        FROM da, UNNEST(range(0, 5)) AS v(o) GROUP BY doc_id),
+        |isl AS (SELECT doc_id, count(*) + 4 AS span_len FROM (
+        |          SELECT doc_id, pos,
+        |                 pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |          FROM da) GROUP BY doc_id, grp),
+        |sp AS (SELECT doc_id,
+        |              CAST(sum(CASE WHEN span_len >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+        |              CAST(coalesce(max(CASE WHEN span_len >= 10 THEN span_len END), 0) AS BIGINT) AS max_span
+        |       FROM isl GROUP BY doc_id)
+        |SELECT doc_id, n_tok, dup_cov, n_spans, max_span
+        |FROM cov JOIN sp USING (doc_id)""".stripMargin) { (s, d) =>
+      substringSpans(Tables(s, d, "documents"))
     }
   )
+
+  /** d10's plan (see the QueryDef comment): positional 5-gram anchors →
+    * skew-proof corpus frequency → semi-join back → per-doc coverage +
+    * gaps-and-islands runs. Exposed for PlanSpec (no Window over the gram
+    * key; map-side partial aggregation on the frequency pass) and for
+    * DataPlaneSpec's planted-span fixtures. */
+  /** d10's positional anchor table — (doc_id, n_tok, pos: 1-based, gh):
+    * one row per token position that starts a k-gram. Exposed so PlanSpec
+    * can audit the generator discipline and the single corpus scan before
+    * the query checkpoints it. */
+  private[graft] def substringAnchors(docs: DataFrame, k: Int = 5): DataFrame =
+    docs.filter(size(tokens) >= k)
+      .select(col("doc_id"), tokens.as("ts"))
+      // Project the gram array, THEN explode_outer the bound attribute —
+      // and the OUTER variant is load-bearing, not just the t10/t14 habit:
+      // for any NON-outer generator (explode/posexplode),
+      // InferFiltersFromGenerate adds `size(gs) > 0 AND isnotnull(gs)`,
+      // and because the array is only a Project away from the scan, the
+      // filter pushes below it with the FULL transform inlined — each
+      // predicate re-splits the text and rebuilds the whole gram-hash
+      // array per row, in an interpreted (non-codegen) Filter. Measured
+      // 11x on the identical array: posexplode 5.2 s vs explode_outer
+      // 0.45 s at sf0.1. Outer generators never get the inferred filter.
+      // The position therefore rides INSIDE a (pos, gh) struct element
+      // instead of coming from posexplode.
+      .select(col("doc_id"), size(col("ts")).cast("long").as("n_tok"),
+        transform(sequence(lit(1), size(col("ts")) - (k - 1)), i =>
+          struct(i.cast("int").as("pos"),
+            xxhash64((0 until k).map(j => element_at(col("ts"), i + j)): _*)
+              .as("gh"))).as("gs"))
+      .select(col("doc_id"), col("n_tok"), explode_outer(col("gs")).as("g"))
+      .select(col("doc_id"), col("n_tok"), col("g.pos").as("pos"),
+        col("g.gh").as("gh"))
+
+  private[graft] def substringSpans(docs: DataFrame, k: Int = 5,
+      minSpan: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val anchors = graft.data.Frames.trackedCheckpoint(substringAnchors(docs, k))
+    // Corpus gram frequency: an AGGREGATE (map-side partials — the hottest
+    // gram's reducer sees one partial per upstream partition), never a
+    // count-window over gh (the t14 skew trap).
+    val dupGrams = anchors.groupBy("gh").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("gh")
+    val da = anchors.join(dupGrams, Seq("gh"), "left_semi")
+    // One doc-partitioned pipeline computes everything: islands (maximal
+    // anchor runs) via gaps-and-islands, then token COVERAGE by interval
+    // arithmetic over the islands — island i covers positions
+    // [s_i, s_i+c_i+k-2]; consecutive islands can overlap when the anchor
+    // gap is < k, and since interval ends are strictly increasing the
+    // union is sum(len) - sum(overlap with the immediately previous
+    // island) (lag window, same doc_id partitioning — no extra shuffle).
+    // The naive alternative (explode each anchor into its k covered
+    // positions + countDistinct + a join back) costs a k-fold row blowup,
+    // a distinct aggregate, and a doc-keyed join; this one reuses the
+    // single doc_id exchange for both windows and the two aggregates.
+    val grp = col("pos") -
+      row_number().over(Window.partitionBy("doc_id").orderBy("pos"))
+    val isl = da.select(col("doc_id"), col("n_tok"), col("pos"), grp.as("grp"))
+      .groupBy("doc_id", "grp")
+      .agg(max(col("n_tok")).as("n_tok"), min(col("pos")).as("s"),
+        (count(lit(1)) + (k - 1)).as("span_len"))
+    val prevEnd = lag(col("s") + col("span_len") - 1, 1)
+      .over(Window.partitionBy("doc_id").orderBy("s"))
+    isl.select(col("doc_id"), col("n_tok"), col("span_len"),
+        greatest(lit(0L), coalesce(prevEnd - col("s") + 1, lit(0L))).as("ov"))
+      .groupBy("doc_id")
+      .agg(max(col("n_tok")).as("n_tok"),
+        (sum(col("span_len")) - sum(col("ov"))).as("dup_cov"),
+        sum(when(col("span_len") >= minSpan, 1L).otherwise(0L)).as("n_spans"),
+        coalesce(max(when(col("span_len") >= minSpan, col("span_len"))), lit(0L))
+          .as("max_span"))
+      .select("doc_id", "n_tok", "dup_cov", "n_spans", "max_span")
+  }
 
   /** Incremental dedup: flag each BATCH doc (rows where `isBatch` is true)
     * that duplicates any CORPUS doc (the rest) — see the d8 comment for the

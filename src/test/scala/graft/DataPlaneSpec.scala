@@ -103,6 +103,76 @@ class DataPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(prefix.nonEmpty)
   }
 
+  test("d10 substring spans: planted fixture + randomized property check vs brute force") {
+    import spark.implicits._
+    // Scala brute force over STRING grams (hash-free truth): duplicated
+    // anchors (k-gram occurs >= 2x in corpus), distinct covered positions,
+    // maximal anchor runs >= minSpan
+    def truth(docs: Seq[(Long, String)], k: Int = 5, minSpan: Int = 10)
+        : Map[Long, (Long, Long, Long, Long)] = {
+      val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toVector }
+        .filter(_._2.length >= k)
+      val freq = toks.flatMap { case (_, ts) => ts.sliding(k).map(_.mkString(" ")) }
+        .groupBy(identity).view.mapValues(_.size).toMap
+      toks.flatMap { case (id, ts) =>
+        val anchors = (0 to ts.length - k)
+          .filter(p => freq(ts.slice(p, p + k).mkString(" ")) >= 2)
+        if (anchors.isEmpty) None
+        else {
+          val cov = anchors.flatMap(p => p until p + k).distinct.size
+          val runs = anchors.foldLeft(List.empty[(Int, Int)]) {
+            case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+            case (acc, p) => (p, p) :: acc
+          }.map { case (s, e) => e - s + k }
+          val big = runs.filter(_ >= minSpan)
+          Some(id -> (ts.length.toLong, cov.toLong, big.size.toLong,
+            big.sorted.lastOption.getOrElse(0).toLong))
+        }
+      }.toMap
+    }
+    def run(docs: Seq[(Long, String)]): Map[Long, (Long, Long, Long, Long)] =
+      graft.llm.Dedup.substringSpans(docs.toDF("doc_id", "text")).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+
+    // Handcrafted corpus: per-doc-unique filler so junction grams never
+    // collide; span12 shared A<->B, span6 (t1..t6) shared A<->D, E repeats
+    // its own opening 5-gram WITHIN itself, C fully unique
+    val span12 = (1 to 12).map(i => s"s$i").mkString(" ")
+    val span6 = (1 to 6).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      1L -> s"a1 a2 a3 a4 a5 $span12 a6 a7 a8 $span6 a9",
+      2L -> s"b1 b2 $span12 b3 b4 b5 b6",
+      3L -> (1 to 12).map(i => s"c$i").mkString(" "),
+      4L -> s"d1 d2 d3 $span6 d4 d5",
+      5L -> "e1 e2 e3 e4 e5 x1 e1 e2 e3 e4 e5")
+    val got = run(docs)
+    // A: 27 tokens; covered = 12 (span12) + 6 (span6); one >= 10-token run
+    assert(got(1L) == ((27L, 18L, 1L, 12L)), s"doc A: ${got.get(1L)}")
+    assert(got(2L) == ((18L, 12L, 1L, 12L)), s"doc B: ${got.get(2L)}")
+    assert(!got.contains(3L), "unique doc C must be absent")
+    assert(got(4L) == ((11L, 6L, 0L, 0L)), s"doc D: ${got.get(4L)}")
+    // E: the within-doc repeat duplicates both occurrences (10 covered
+    // positions, two 5-token runs — both under minSpan)
+    assert(got(5L) == ((11L, 10L, 0L, 0L)), s"doc E: ${got.get(5L)}")
+    assert(got == truth(docs), "fixture disagrees with brute force")
+
+    // Randomized corpora: tiny vocab forces dense gram collisions,
+    // including in-doc repeats and sub-k docs (excluded)
+    val rnd = new scala.util.Random(1017L)
+    for (round <- 1 to 3) {
+      val vocab = (0 until 8).map(i => s"w$i")
+      val rdocs = (0 until 40).map { i =>
+        val n = 3 + rnd.nextInt(28)
+        (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val exp = truth(rdocs)
+      assert(exp.nonEmpty, s"round $round: fixture lost its duplicated grams")
+      assert(run(rdocs) == exp, s"round $round: spans disagree with brute force")
+    }
+    graft.data.Frames.releaseTracked()
+  }
+
   test("d4b prefix filter is exact on randomized corpora (property check vs brute force)") {
     import spark.implicits._
     // the prefix/length/positional bound math is subtle enough to deserve
@@ -955,9 +1025,13 @@ class DataPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
     def avg(xs: Seq[Double]) = xs.sum / xs.size
     info(f"z-order  avg spans: pk=${avg(zs.map(_._1))}%.3f sk=${avg(zs.map(_._2))}%.3f")
     info(f"linear   avg spans: pk=${avg(ls.map(_._1))}%.3f sk=${avg(ls.map(_._2))}%.3f")
-    // z-order: BOTH dims localized per file
-    assert(avg(zs.map(_._1)) <= 0.6, s"z-order partkey spans too wide: $zs")
-    assert(avg(zs.map(_._2)) <= 0.6, s"z-order suppkey spans too wide: $zs")
+    // z-order: BOTH dims localized per file. 0.7, not 0.6: file boundaries
+    // depend on repartitionByRange's reservoir sampling, and the avg pk
+    // span was measured at 0.612 on one suite run vs 0.588 on another with
+    // identical data — the discriminating contrast is vs linear's 1.0
+    // suppkey span and the pruning assertions below, not the exact figure
+    assert(avg(zs.map(_._1)) <= 0.7, s"z-order partkey spans too wide: $zs")
+    assert(avg(zs.map(_._2)) <= 0.7, s"z-order suppkey spans too wide: $zs")
     // linear: partkey perfectly localized, suppkey spans ~the full range
     assert(avg(ls.map(_._1)) <= 0.2, s"linear partkey spans unexpectedly wide: $ls")
     assert(avg(ls.map(_._2)) >= 0.9, s"linear layout should NOT localize suppkey: $ls")

@@ -344,6 +344,50 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"t14: expected partial+final pairs on df and the per-doc rollup:\n$p")
   }
 
+  test("d10 anchors: staged gram explode, single corpus scan") {
+    // same generator discipline as t10/t14: the gram array is a staged
+    // bound attribute (never a transform re-evaluated per element) over
+    // exactly one corpus scan
+    val g = graft.llm.Dedup.substringAnchors(
+      graft.data.Tables(spark, sf, "documents"))
+      .queryExecution.executedPlan.toString
+    // explode_outer of a bound struct-array attribute — NOT a non-outer
+    // explode/posexplode: InferFiltersFromGenerate gives non-outer
+    // generators a size(...)>0 filter that pushes below the staging
+    // Project with the full transform inlined, re-splitting the text per
+    // predicate in an interpreted Filter (measured 11x on this build)
+    assert("Generate explode(?:_outer)?\\([a-zA-Z_]+#\\d+\\)".r.findFirstIn(g).isDefined,
+      s"d10: Generate input must be a bound attribute:\n$g")
+    // the REAL invariant behind both guards: the gram transform is planned
+    // exactly once — an inferred filter or collapsed projection would clone
+    // it into a second (interpreted) evaluation site
+    assert("transform\\(sequence".r.findAllIn(g).size == 1,
+      s"d10: gram transform planned more than once (inferred-filter trap):\n$g")
+    assert("FileScan parquet".r.findAllIn(g).size == 1,
+      s"d10: corpus scanned more than once in the anchor build:\n$g")
+  }
+
+  test("d10 spans: skew-proof gram frequency, doc-bounded window, one checkpointed anchor build") {
+    val p = plan("d10_substring_spans")
+    // gram frequency must be an AGGREGATE over gh (map-side partials),
+    // never a count window over gh — the t14 skew trap: a corpus-universal
+    // gram would ship every one of its positions to ONE task
+    assert(!p.contains("windowspecdefinition(gh"),
+      s"d10: gram frequency regressed to a window over gh:\n$p")
+    // the islands window is legitimate ONLY partitioned by doc_id (state
+    // bounded by a single document's length)
+    assert(p.contains("windowspecdefinition(doc_id"),
+      s"d10: islands row_number window missing or re-keyed:\n$p")
+    // the duplicated-anchor probe is a semi join (moves 8-byte gh keys, no
+    // payload duplication), and both branches read the ONE checkpointed
+    // anchor RDD — no branch re-plans the corpus scan + explode
+    assert(p.contains("LeftSemi"), s"d10: dup-gram probe lost its semi join:\n$p")
+    assert(!p.contains("FileScan parquet"),
+      s"d10: a branch re-plans the anchor build from the corpus scan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"d10: quadratic join fallback:\n$p")
+  }
+
   test("d4b prefix pair scan and d6b LSH grouping plan no cartesian or nested-loop join") {
     for (q <- Seq("d4b_jaccard_prefix", "d6b_neardup_groups_lsh")) {
       val p = plan(q)
