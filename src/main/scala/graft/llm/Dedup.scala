@@ -444,7 +444,17 @@ object Dedup {
   private[graft] def substringSpans(docs: DataFrame, k: Int = 5,
       minSpan: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val anchors = graft.data.Frames.trackedCheckpoint(substringAnchors(docs, k))
+    // The anchor build is planned TWICE (frequency branch + probe branch)
+    // on purpose — the opposite call from t14, for a measured reason: the
+    // positional anchor table is FATTER than the corpus text it derives
+    // from (28 bytes per token position vs ~6 bytes per token), so
+    // checkpointing it costs more than a second codegen'd scan+split+hash
+    // pass (sf10: 12.6 s with the checkpoint vs 9.2 s without, cold; ~tie
+    // warm). t14 checkpoints because its gram-count frame is
+    // POST-aggregation (smaller than the corpus); d10's intermediate is
+    // pre-aggregation. At 100 TB the same arithmetic holds: two pruned
+    // column scans beat writing + reading a >corpus-sized spill.
+    val anchors = substringAnchors(docs, k)
     // Corpus gram frequency: an AGGREGATE (map-side partials — the hottest
     // gram's reducer sees one partial per upstream partition), never a
     // count-window over gh (the t14 skew trap).

@@ -546,9 +546,22 @@ object TextStats {
       val bigrams = when(n >= 2, transform(sequence(lit(1), n - 1),
           i => concat_ws(" ", try_element_at(col("ts"), i), try_element_at(col("ts"), i + 1))))
         .otherwise(array().cast("array<string>"))
+      // Stage the feature array in a projection and explode it OUTER (the
+      // d10 lesson: a non-outer generator gets an InferFiltersFromGenerate
+      // size(...)>0 predicate with the full bigram transform inlined,
+      // re-evaluated per row in an interpreted Filter; outer generators
+      // never get one — and ts is never empty, so outer == inner here).
+      // Measured at sf10: 18.4 s inner vs 12.6 s outer. f is deliberately
+      // NOT checkpointed even though the frequency pass and the probe pass
+      // each plan it: the feature stream is corpus-sized, and
+      // materializing it measured 28-31 s vs 12.6 s for two codegen'd
+      // rebuild passes (the d10 fat-intermediate arithmetic).
       val f = t.select(col("doc_id"), col("source"),
-          explode(concat(col("ts"), bigrams)).as("feat"))
-        .select(col("doc_id"), col("source"), substring(md5(col("feat")), 1, 2).as("b"))
+          concat(col("ts"), bigrams).as("feats"))
+        .select(col("doc_id"), col("source"),
+          explode_outer(col("feats")).as("feat"))
+        .select(col("doc_id"), col("source"),
+          substring(md5(col("feat")), 1, 2).as("b"))
       val freq = f.groupBy("b").agg(
         count(lit(1)).cast("double").as("cg"),
         count(when(col("source") === "src0", 1)).cast("double").as("ci"))
@@ -595,16 +608,36 @@ object TextStats {
       val docs = Tables(s, d, "documents")
       val t = docs.filter(size(toks) >= 2).select(col("doc_id"), toks.as("ts"))
       val n = size(col("ts"))
-      val bg = t.select(col("doc_id"), explode(transform(sequence(lit(1), n - 1),
+      // Staged struct array + explode_outer (the d10 inferred-filter
+      // lesson; the old inner explode of the raw transform re-planned the
+      // generator pass per consumer AND carried the filter clone —
+      // 23.0 s at sf10 in the r10b suite, 8.0 s now). Keys are multi-arg
+      // xxhash64 (the t14/d7b idiom): the count joins move 8-byte longs,
+      // never bigram strings; every reported column is a count over key
+      // equivalence classes, which both keyings induce identically absent
+      // a 64-bit collision (hash-compare would catch one).
+      val bg = t.select(col("doc_id"), transform(sequence(lit(1), n - 1),
           i => struct(
-            concat_ws(" ", try_element_at(col("ts"), i), try_element_at(col("ts"), i + 1)).as("big"),
-            try_element_at(col("ts"), i).as("w1")))).as("p"))
-        .select(col("doc_id"), col("p.big").as("big"), col("p.w1").as("w1"))
-      val cb = bg.groupBy("big").agg(count(lit(1)).cast("double").as("cb"))
-      val ch = bg.groupBy("w1").agg(count(lit(1)).cast("double").as("ch"))
-      val vv = docs.select(explode(toks).as("word"))
+            xxhash64(try_element_at(col("ts"), i), try_element_at(col("ts"), i + 1)).as("bh"),
+            xxhash64(try_element_at(col("ts"), i)).as("wh"))).as("gs"))
+        .select(col("doc_id"), explode_outer(col("gs")).as("p"))
+        .select(col("doc_id"), col("p.bh").as("bh"), col("p.wh").as("wh"))
+      // ONE aggregation of the bigram stream to the distinct-bigram table
+      // (bh, wh, c) — post-aggregation small, so THIS is the frame worth
+      // checkpointing (the t14 arithmetic; checkpointing the corpus-sized
+      // bg stream itself measured 9.5 s vs 8.1 s for this shape, and
+      // 4.4 s vs 6.5 s warm). Both LM tables derive from it without
+      // touching the corpus again: cb = Σ over contexts, ch = Σ over
+      // continuations. Total corpus passes: the probe + this build + the
+      // vocab count = 3, vs 4 for the naive plan.
+      val cbw = graft.data.Frames.trackedCheckpoint(
+        bg.groupBy("bh", "wh").agg(count(lit(1)).as("c")))
+      val cb = cbw.groupBy("bh").agg(sum("c").cast("double").as("cb"))
+      val ch = cbw.groupBy("wh").agg(sum("c").cast("double").as("ch"))
+      val vv = docs.select(toks.as("ts"))
+        .select(explode_outer(col("ts")).as("word"))
         .agg(countDistinct(col("word")).cast("double").as("v"))
-      bg.join(cb, "big").join(ch, "w1").crossJoin(broadcast(vv))
+      bg.join(cb, "bh").join(ch, "wh").crossJoin(broadcast(vv))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"),
           round(avg(-log((col("cb") + 1) / (col("ch") + col("v")))), 6).as("nll"))
