@@ -94,6 +94,40 @@ object Bpe {
     merges.toSeq.toDF("step", "left", "right", "merged", "pair_count")
   }
 
+  /** ENCODE with a trained merge table — the apply half of the tokenizer
+    * loop. Scalable shape: the merges are applied to the DISTINCT-word
+    * vocab (corpus-sublinear), in training order with the same greedy
+    * fold and the same every-4th checkpoint cadence; the corpus then
+    * joins its token stream against the encoded vocab — at sane vocab
+    * sizes that join broadcasts, and the heavy fold work never touches
+    * corpus-scale rows. Returns per-doc (doc_id, n_words, n_pieces,
+    * pieces_per_word). */
+  def applyBpe(docs: DataFrame, merges: Seq[(String, String)],
+      eow: String = "</w>"): DataFrame = {
+    val words = docs.select(split(col("text"), " ").as("ts"))
+      .select(explode_outer(col("ts")).as("word"))
+      .where(col("word").isNotNull && length(col("word")) > 0)
+      .distinct()
+    var enc = graft.data.Frames.trackedCheckpoint(words.select(
+      col("word"),
+      concat(
+        transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1))),
+        array(lit(eow))).as("syms")))
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      val next = enc.select(col("word"), mergeFold(col("syms"), l, r).as("syms"))
+      enc = if ((i + 1) % 4 == 0) graft.data.Frames.trackedCheckpoint(next) else next
+    }
+    docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), explode_outer(col("ts")).as("word"))
+      .where(col("word").isNotNull && length(col("word")) > 0)
+      .join(enc.select(col("word"), size(col("syms")).as("np")), Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("np")).as("n_pieces"),
+        round(sum(col("np")).cast("double") / count(lit(1)), 6).as("pieces_per_word"))
+  }
+
   val entries: Seq[QueryDef] = Seq(
     // Iterative trainer output is not expressible as one SQL query (a
     // driver loop of data-dependent argmaxes) -> rows-only driver check;
@@ -101,6 +135,17 @@ object Bpe {
     // reference implementation on planted and randomized corpora.
     QueryDef.noOracle("t18_bpe_train") { (s, d) =>
       trainBpe(Tables(s, d, "documents"), nMerges = 20)
+    },
+
+    // Train 20 merges, then encode the same corpus with them — the
+    // end-to-end tokenizer pipeline entry (train is the dominant term;
+    // the apply pass adds one vocab fold chain + a token-stream join).
+    QueryDef.noOracle("t18b_bpe_encode") { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      val merges = trainBpe(docs, nMerges = 20).collect()
+        .sortBy(_.getInt(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      applyBpe(docs, merges)
     }
   )
 }

@@ -90,6 +90,36 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("applyBpe: encoding with the trained merges matches the reference encode") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31L)
+    val vocabWords = Seq("lower", "lowest", "low", "slow", "slower", "aaa", "ab")
+    val texts = (0 until 25).map { _ =>
+      Seq.fill(3 + rnd.nextInt(8))(vocabWords(rnd.nextInt(vocabWords.size))).mkString(" ")
+    }
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merges = referenceBpe(texts, 10).map { case (_, l, r, _, _) => (l, r) }
+    assert(merges.nonEmpty)
+    // reference encode: same greedy fold applied in training order
+    def encode(word: String): Vector[String] =
+      merges.foldLeft(word.map(_.toString).toVector :+ "</w>") { case (syms, (l, r)) =>
+        syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
+          else acc :+ x
+        }
+      }
+    val exp = texts.zipWithIndex.map { case (t, i) =>
+      val ws = t.split(" ", -1).filter(_.nonEmpty)
+      val np = ws.map(w => encode(w).size.toLong).sum
+      (i.toLong, ws.length.toLong, np,
+        BigDecimal(np.toDouble / ws.length).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1)
+    val got = graft.llm.Bpe.applyBpe(docs, merges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq.sortBy(_._1)
+    graft.data.Frames.releaseTracked()
+    assert(got == exp, s"encode diverges:\nspark = $got\nref   = $exp")
+  }
+
   test("early stop: merges halt when no pair reaches minCount") {
     // every word unique and 2 chars -> after the few shared-pair merges
     // the counts drop under 2 and the loop must stop before nMerges
