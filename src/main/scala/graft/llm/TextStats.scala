@@ -28,8 +28,8 @@ object TextStats {
   /** t14's per-(doc, gram) count table — (doc_id, gh: long, c: long), one
     * row per distinct 5-gram a doc contains. Extracted so PlanSpec can
     * audit the gram-build half of the plan (generator discipline, map-side
-    * combine, single corpus scan) even though the query checkpoints this
-    * frame before the df join. Gram key = one multi-arg xxhash64 over the
+    * combine, single corpus scan); the query plans this build once per
+    * branch (see the t14 QueryDef comment for the two-scan rationale). Gram key = one multi-arg xxhash64 over the
     * 5 tokens (the d7b idiom): no per-gram string allocation, 8-byte join
     * keys (see the t14 QueryDef comment for the oracle-parity argument). */
   private[graft] def boilerplateGramCounts(
@@ -445,16 +445,21 @@ object TextStats {
       // has df ≈ n_docs — at deployment scale that single task receives
       // billions of rows. groupBy("gh").count() is skew-proof: map-side
       // partial counts mean the reducer for the hottest gram sees one
-      // partial per upstream partition, never the rows. The naive
-      // self-join alternative was (rightly) rejected because column
-      // pruning specializes the df side's aggregate so ReusedExchange
-      // cannot fire and the gram build plans TWICE — the localCheckpoint
-      // (the d0 idiom) materializes c ONCE and both the df aggregate and
-      // the join probe read its blocks; the checkpoint is tracked for
-      // end-of-run release (Frames.releaseTracked) because the RETURNED
-      // plan still reads it. Same two shuffles the window had; no
-      // single-task tail.
-      val c = graft.data.Frames.trackedCheckpoint(boilerplateGramCounts(s, d))
+      // partial per upstream partition, never the rows. The gram-count
+      // build plans TWICE (df branch + probe branch) ON PURPOSE — this is
+      // the d10 checkpoint arithmetic revisited: through round 10a the
+      // build was localCheckpoint'ed so both branches read one
+      // materialization, on the theory that planning twice loses. Measured
+      // at the 100x corpus: cold-JVM the two-scan plan wins (10.1 s vs
+      // 17.6 s), in steady-state Bench conditions it is a wash (10-12 s
+      // both ways) — the (doc_id, gh, c) frame is nearly positional-sized
+      // (~0.8 rows per token position), so materializing it buys nothing.
+      // What decides it is MEMORY: this was the GB-scale checkpoint that
+      // had to be released inside Bench's timed window to avoid OOMing the
+      // sf10 suite; two scans have no resident footprint at all.
+      // Checkpoint only post-aggregation-SMALL frames (t17's
+      // distinct-bigram table); rescan corpus-sized streams.
+      val c = boilerplateGramCounts(s, d)
       val dfTab = c.groupBy("gh").agg(count(lit(1)).as("df"))
       val boiler = sum(when(col("df") >= 2, col("c")))
       val frac = coalesce(boiler, lit(0L)).cast("double") / sum(col("c"))
