@@ -405,8 +405,81 @@ object Dedup {
         |SELECT doc_id, n_tok, dup_cov, n_spans, max_span
         |FROM cov JOIN sp USING (doc_id)""".stripMargin) { (s, d) =>
       substringSpans(Tables(s, d, "documents"))
+    },
+
+    // d11: the ACTIONABLE half of d10 — Lee et al. 2021's point is to
+    // REMOVE the duplicated substrings, not just count them (trim, don't
+    // drop: RefinedWeb/Gopher keep the document minus its boilerplate).
+    // Every maximal duplicated-anchor run spanning >= 10 tokens is cut
+    // from the text; output is every document with its token counts and
+    // md5 of the trimmed text (hash, not text — result rows stay small
+    // and the driver compare stays exact).
+    //
+    // Scale shape: the expensive half (anchors -> df -> islands) is
+    // d10's, shuffling only 8-byte gram hashes and doc-bounded windows.
+    // The REBUILD half never shuffles a token: the per-doc covered-
+    // position array (tiny — only docs with >= 10-token spans have one)
+    // joins back to the corpus scan and the trim is a map-side
+    // filter/transform over the token array. At 100 TB the interval
+    // table broadcasts; the corpus is never re-keyed.
+    QueryDef("d11_substring_trim",
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+        |g AS (SELECT doc_id, i AS pos, array_to_string(ts[i:i+4], ' ') AS gram
+        |      FROM (SELECT * FROM t WHERE len(ts) >= 5), UNNEST(range(1, len(ts)-3)) AS u(i)),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |da AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+        |isl AS (SELECT doc_id, min(pos) AS s, count(*) + 4 AS len FROM (
+        |          SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |          FROM da) GROUP BY doc_id, grp HAVING count(*) + 4 >= 10),
+        |iv AS (SELECT doc_id, flatten(array_agg(range(s, s+len))) AS cov FROM isl GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |       CAST(len(ts) AS BIGINT) AS n_tok,
+        |       CAST(len(ts) - coalesce(len(list_distinct(cov)), 0) AS BIGINT) AS n_clean,
+        |       CAST(coalesce(len(list_distinct(cov)), 0) AS BIGINT) AS n_removed,
+        |       md5(coalesce(array_to_string(list_transform(
+        |         list_filter(list_transform(range(1, len(ts)+1), i -> {'i': i, 'w': ts[i]}),
+        |           p -> NOT list_contains(coalesce(cov, []), p.i)),
+        |         p -> p.w), ' '), '')) AS clean_hash
+        |FROM t LEFT JOIN iv USING (doc_id)""".stripMargin) { (s, d) =>
+      // oracle-parity trap caught by an exact-duplicate doc (every token
+      // trimmed): DuckDB's array_to_string([]) is NULL where Spark's
+      // concat_ws is '' — the oracle coalesces before hashing
+      substringTrim(Tables(s, d, "documents"))
     }
   )
+
+  /** d11's plan (see the QueryDef comment): d10's anchor/df/island half,
+    * then a map-side trim — per-doc covered-position arrays join the
+    * corpus scan and a filter/transform rebuilds the text in place.
+    * Exposed for PlanSpec and DataPlaneSpec's trim fixtures. */
+  private[graft] def substringTrim(docs: DataFrame, k: Int = 5,
+      minSpan: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val anchors = substringAnchors(docs, k)
+    val dupGrams = anchors.groupBy("gh").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("gh")
+    val da = anchors.join(dupGrams, Seq("gh"), "left_semi")
+    val grp = col("pos") -
+      row_number().over(Window.partitionBy("doc_id").orderBy("pos"))
+    val iv = da.select(col("doc_id"), col("pos"), grp.as("grp"))
+      .groupBy("doc_id", "grp")
+      .agg(min(col("pos")).cast("long").as("s"), (count(lit(1)) + (k - 1)).as("len"))
+      .filter(col("len") >= minSpan)
+      .groupBy("doc_id")
+      .agg(flatten(collect_list(sequence(col("s"), col("s") + col("len") - 1)))
+        .as("cov"))
+    val cov = coalesce(col("cov"), array().cast("array<bigint>"))
+    val withPos = transform(sequence(lit(1L), size(col("ts")).cast("long")),
+      i => struct(i.as("i"), element_at(col("ts"), i.cast("int")).as("w")))
+    val kept = filter(withPos, p => !array_contains(cov, p.getField("i")))
+    docs.select(col("doc_id"), tokens.as("ts"))
+      .join(iv, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        size(col("ts")).cast("long").as("n_tok"),
+        (size(col("ts")) - size(array_distinct(cov))).cast("long").as("n_clean"),
+        size(array_distinct(cov)).cast("long").as("n_removed"),
+        md5(concat_ws(" ", transform(kept, p => p.getField("w")))).as("clean_hash"))
+  }
 
   /** d10's plan (see the QueryDef comment): positional 5-gram anchors →
     * skew-proof corpus frequency → semi-join back → per-doc coverage +

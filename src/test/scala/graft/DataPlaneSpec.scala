@@ -157,6 +157,48 @@ class DataPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(5L) == ((11L, 10L, 0L, 0L)), s"doc E: ${got.get(5L)}")
     assert(got == truth(docs), "fixture disagrees with brute force")
 
+    // d11 trim on the same handcrafted corpus: only the >= 10-token span
+    // (span12 in A and B) is cut; the short span6 and E's sub-threshold
+    // runs survive; C and D are untouched
+    def trimTruth(ds: Seq[(Long, String)], k: Int = 5, minSpan: Int = 10)
+        : Map[Long, (Long, Long, Long, String)] = {
+      val toks = ds.map { case (id, t) => id -> t.split(" ", -1).toVector }
+      val freq = toks.filter(_._2.length >= k)
+        .flatMap { case (_, ts) => ts.sliding(k).map(_.mkString(" ")) }
+        .groupBy(identity).view.mapValues(_.size).toMap
+      toks.map { case (id, ts) =>
+        val anchors = if (ts.length >= k)
+          (0 to ts.length - k).filter(p => freq(ts.slice(p, p + k).mkString(" ")) >= 2)
+        else Seq.empty
+        val runs = anchors.foldLeft(List.empty[(Int, Int)]) {
+          case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+          case (acc, p) => (p, p) :: acc
+        }.filter { case (s, e) => e - s + k >= minSpan }
+        val cov = runs.flatMap { case (s, e) => s until (e + k) }.toSet
+        val clean = ts.zipWithIndex.collect { case (w, i) if !cov.contains(i) => w }
+        id -> (ts.length.toLong, clean.size.toLong, cov.size.toLong,
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(clean.mkString(" ").getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString)
+      }.toMap
+    }
+    def runTrim(ds: Seq[(Long, String)]): Map[Long, (Long, Long, Long, String)] =
+      graft.llm.Dedup.substringTrim(ds.toDF("doc_id", "text")).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+        .toMap
+    val gotTrim = runTrim(docs)
+    assert(gotTrim == trimTruth(docs), "trim fixture disagrees with brute force")
+    assert(gotTrim(1L)._3 == 12L && gotTrim(2L)._3 == 12L,
+      s"A/B should each lose exactly span12: ${gotTrim(1L)} ${gotTrim(2L)}")
+    assert(gotTrim(3L)._3 == 0L && gotTrim(4L)._3 == 0L && gotTrim(5L)._3 == 0L,
+      "C untouched; D/E sub-threshold spans survive the trim")
+    // exact-duplicate docs trim to EMPTY (md5('') — the oracle-parity edge)
+    val dupDocs = docs ++ Seq(6L -> docs.head._2, 7L -> docs.head._2)
+    val full = runTrim(dupDocs)
+    assert(full(6L)._2 == 0L && full(6L)._4 == "d41d8cd98f00b204e9800998ecf8427e",
+      s"exact-dup doc should trim to empty: ${full(6L)}")
+    assert(full == trimTruth(dupDocs), "dup-doc trim disagrees with brute force")
+
     // Randomized corpora: tiny vocab forces dense gram collisions,
     // including in-doc repeats and sub-k docs (excluded)
     val rnd = new scala.util.Random(1017L)
@@ -169,6 +211,8 @@ class DataPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
       val exp = truth(rdocs)
       assert(exp.nonEmpty, s"round $round: fixture lost its duplicated grams")
       assert(run(rdocs) == exp, s"round $round: spans disagree with brute force")
+      assert(runTrim(rdocs) == trimTruth(rdocs),
+        s"round $round: trim disagrees with brute force")
     }
     graft.data.Frames.releaseTracked()
   }

@@ -396,6 +396,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"d10: quadratic join fallback:\n$p")
   }
 
+  test("d11 trim: map-side rebuild — interval table joins the scan, tokens never shuffle") {
+    val p = plan("d11_substring_trim")
+    // d10's analysis half: skew-proof df, doc-bounded islands window
+    assert(!p.contains("windowspecdefinition(gh"),
+      s"d11: gram frequency regressed to a window over gh:\n$p")
+    assert(p.contains("windowspecdefinition(doc_id"),
+      s"d11: islands window missing or re-keyed:\n$p")
+    assert(p.contains("LeftSemi"), s"d11: dup-gram probe lost its semi join:\n$p")
+    // exactly three pruned scans: freq branch, probe branch, and the text
+    // rebuild — the token arrays must be consumed where they are read,
+    // never shuffled (the trim is a map-side filter/transform; only the
+    // per-doc interval arrays move)
+    assert("FileScan parquet".r.findAllIn(p).size == 3,
+      s"d11: expected exactly three pruned corpus scans:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"d11: quadratic join fallback:\n$p")
+  }
+
   test("d4b prefix pair scan and d6b LSH grouping plan no cartesian or nested-loop join") {
     for (q <- Seq("d4b_jaccard_prefix", "d6b_neardup_groups_lsh")) {
       val p = plan(q)
