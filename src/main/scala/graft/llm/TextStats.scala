@@ -648,8 +648,79 @@ object TextStats {
           round(avg(-log((col("cb") + 1) / (col("ch") + col("v")))), 6).as("nll"))
         .select(col("doc_id"), col("n_bigrams"), col("nll"),
           (col("nll") <= 3.4).as("keep"))
+    },
+
+    // t19: CCNet/fastText-style QUALITY CLASSIFIER as multinomial Naive
+    // Bayes with add-1 smoothing — the supervised sibling of t17's LM
+    // filter (Wenzek et al. 2019 train a classifier on a reference corpus
+    // and keep what scores "reference-like"; Brown et al. 2020 do the same
+    // for GPT-3's quality filter). Weak labels here: docs from a pinned
+    // reference-source set are the positive class (the Wikipedia-as-
+    // positive trick), and every doc gets its log-odds score + keep
+    // decision. NB chosen over logistic regression deliberately: training
+    // is PURE COUNTING, so the whole train+apply pipeline is one
+    // deterministic dataflow with an exact SQL oracle — no float gradient
+    // whose partial-sum order varies across engines.
+    //
+    // Scale shape: training = ONE aggregation of the exploded token stream
+    // to the per-token class-count table (map-side combine; 8-byte-ish
+    // rows); totals/vocab/priors are 1-row frames that BROADCAST. Scoring
+    // re-keys the token stream once by token to pick up the class counts
+    // (the t8 join — vocabulary is corpus-sublinear so the shuffle carries
+    // the corpus token stream exactly once), then one doc-keyed aggregate.
+    // A deployment trains on the reference corpus once and broadcasts the
+    // count table; the scoring half is then map-side per shard. Log-odds
+    // stays in log domain (the t8/t15/t17 rounding precedent), and `keep`
+    // thresholds the ROUNDED score so both engines decide from the same
+    // number.
+    QueryDef("t19_nb_classifier",
+      """WITH lbl AS (SELECT doc_id, source IN ('src1','src2','src3','src4') AS pos,
+        |                    string_split(text,' ') AS ts FROM documents),
+        |tok AS (SELECT doc_id, pos, unnest(ts) AS w FROM lbl),
+        |tw AS (SELECT w, count(*) FILTER (WHERE pos) AS c1,
+        |              count(*) FILTER (WHERE NOT pos) AS c0 FROM tok GROUP BY w),
+        |tots AS (SELECT CAST(sum(c1) AS DOUBLE) AS tot1, CAST(sum(c0) AS DOUBLE) AS tot0,
+        |                CAST(count(*) AS DOUBLE) AS v FROM tw),
+        |pri AS (SELECT CAST(count(*) FILTER (WHERE pos) AS DOUBLE) AS n1,
+        |               CAST(count(*) FILTER (WHERE NOT pos) AS DOUBLE) AS n0 FROM lbl)
+        |SELECT doc_id, n_tok, log_odds, log_odds > 0 AS keep FROM (
+        |  SELECT doc_id, count(*) AS n_tok,
+        |         round(ln(n1 / n0) +
+        |               sum(ln((c1 + 1) / (tot1 + v)) - ln((c0 + 1) / (tot0 + v))), 6) AS log_odds
+        |  FROM tok JOIN tw USING (w) CROSS JOIN tots CROSS JOIN pri
+        |  GROUP BY doc_id, n1, n0)""".stripMargin) { (s, d) =>
+      nbClassifier(Tables(s, d, "documents"),
+        Seq("src1", "src2", "src3", "src4"))
     }
   )
+
+  /** t19's plan (see the QueryDef comment): NB train = one counting
+    * aggregate of the exploded token stream; score = token→count join +
+    * doc-keyed aggregate with broadcast scalars. Exposed for
+    * DataPlaneSpec's brute-force fixtures and PlanSpec. */
+  private[graft] def nbClassifier(docs: org.apache.spark.sql.DataFrame,
+      posSources: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val pos = col("source").isin(posSources: _*)
+    val tok = docs.select(col("doc_id"), pos.as("pos"), explode(toks).as("w"))
+    val tw = tok.groupBy("w").agg(
+      sum(when(col("pos"), 1L).otherwise(0L)).as("c1"),
+      sum(when(col("pos"), 0L).otherwise(1L)).as("c0"))
+    val tots = tw.agg(sum("c1").cast("double").as("tot1"),
+      sum("c0").cast("double").as("tot0"),
+      count(lit(1)).cast("double").as("v"))
+    val pri = docs.agg(
+      sum(when(pos, 1L).otherwise(0L)).cast("double").as("n1"),
+      sum(when(pos, 0L).otherwise(1L)).cast("double").as("n0"))
+    tok.join(tw, "w")
+      .crossJoin(broadcast(tots)).crossJoin(broadcast(pri))
+      .groupBy("doc_id", "n1", "n0")
+      .agg(count(lit(1)).as("n_tok"),
+        round(log(col("n1") / col("n0")) +
+          sum(log((col("c1") + 1) / (col("tot1") + col("v"))) -
+              log((col("c0") + 1) / (col("tot0") + col("v")))), 6).as("log_odds"))
+      .select(col("doc_id"), col("n_tok"), col("log_odds"),
+        (col("log_odds") > 0).as("keep"))
+  }
 
   /** The t11/t12 quality proxy: per-doc type-token ratio — an exact
     * division of exact ints, so cross-engine bit-identical. */

@@ -212,8 +212,70 @@ object Analytics {
     // bounds every approx field against the exact x8 row.
     QueryDef.noOracle("x8b_corpus_card_approx") { (s, d) =>
       corpusCard(Tables(s, d, "documents"), c => approx_count_distinct(c), "approx_dup_rate")
+    },
+
+    // X9: the ORDERED funnel — per user the first view, the first click
+    // strictly AFTER that view, the first purchase strictly after that
+    // click, and the stage reached. Sequenced mins can't collapse into one
+    // unordered aggregate (each stage's min is conditioned on the previous
+    // stage's result), so the scalable shape is a three-stage cascade:
+    // every events scan PRUNES to one event_type (pushed filter — each
+    // pass reads only its stage's rows, never the whole log), each stage's
+    // per-user min is map-side combined, and each stage joins the previous
+    // stage's per-user frame on user_id. All joins and aggregates share
+    // the user_id key, so after a stage's join-shuffle the groupBy reuses
+    // the same partitioning — no second exchange inside a stage. The
+    // alternative single-shuffle plan (collect each user's full event
+    // array and fold) moves the whole log through one shuffle and holds
+    // per-user arrays in memory — strictly worse at 100 TB, where the
+    // per-stage frames here are |users|-sized, not |events|-sized.
+    QueryDef("x9_funnel_stages",
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |v AS (SELECT user_id, min(ts) AS first_view FROM events
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS first_click FROM events e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts > v.first_view GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS first_purchase FROM events e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.first_click GROUP BY e.user_id)
+        |SELECT u.user_id, first_view, first_click, first_purchase,
+        |       CAST(CASE WHEN first_purchase IS NOT NULL THEN 3
+        |                 WHEN first_click IS NOT NULL THEN 2
+        |                 WHEN first_view IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
+        |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+        |       LEFT JOIN p USING (user_id)""".stripMargin) { (s, d) =>
+      funnelStages(Tables(s, d, "events"), Seq("view", "click", "purchase"))
     }
   )
+
+  /** x9's plan (see the QueryDef comment): per-user sequenced first-times
+    * through an ordered stage list — type-pruned scan + user-keyed min per
+    * stage, each conditioned on the previous stage's frame. Exposed for
+    * DataPlaneSpec's planted-sequence fixtures and PlanSpec. */
+  private[graft] def funnelStages(ev: DataFrame, stages: Seq[String]): DataFrame = {
+    val names = Seq("first_view", "first_click", "first_purchase")
+      .take(stages.size)
+    val users = ev.select("user_id").distinct()
+    val firsts = stages.zip(names).foldLeft(List.empty[(String, DataFrame)]) {
+      case (acc, (stage, name)) =>
+        val scan = ev.filter(col("event_type") === stage)
+        val conditioned = acc.headOption match {
+          case None => scan
+          case Some((prev, frame)) =>
+            scan.join(frame, "user_id").filter(col("ts") > col(prev))
+        }
+        (name, conditioned.groupBy("user_id").agg(min(col("ts")).as(name))) :: acc
+    }.reverse
+    val joined = firsts.foldLeft(users) { case (acc, (_, frame)) =>
+      acc.join(frame, Seq("user_id"), "left_outer")
+    }
+    // fold deepest stage LAST so its isNotNull check ends up outermost:
+    // a user at stage 3 must report 3, not the first non-null it hit
+    val stageCol = firsts.zipWithIndex.foldLeft(lit(0L)) {
+      case (els, ((name, _), i)) =>
+        when(col(name).isNotNull, (i + 1).toLong).otherwise(els)
+    }
+    joined.select(col("user_id") +: names.map(col) :+ stageCol.as("stage"): _*)
+  }
 
   /** Shared x8/x8b card builder — one card shape, parameterized by the
     * distinct-count implementation (exact countDistinct vs HLL++ sketch)

@@ -967,6 +967,89 @@ class DataPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
       "perplexity gate must be live on testdata — both outcomes present")
   }
 
+  test("t19 NB classifier matches a Scala-side recount; separable planted corpus classifies perfectly") {
+    // full-corpus recount (the t15 pattern): add-1 multinomial NB log-odds
+    val rows = Tables(spark, sf, "documents").select("doc_id", "source", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val posSrc = Set("src1", "src2", "src3", "src4")
+    val tokens = rows.map { case (id, src, t) =>
+      (id, posSrc(src), t.split(" ", -1).toSeq) }
+    val c1 = scala.collection.mutable.Map[String, Double]().withDefaultValue(0.0)
+    val c0 = scala.collection.mutable.Map[String, Double]().withDefaultValue(0.0)
+    for ((_, pos, ts) <- tokens; t <- ts) if (pos) c1(t) += 1 else c0(t) += 1
+    val vocab = (c1.keySet ++ c0.keySet).size.toDouble
+    val (tot1, tot0) = (c1.values.sum, c0.values.sum)
+    val n1 = tokens.count(_._2).toDouble; val n0 = tokens.size - n1
+    val expected = tokens.map { case (id, _, ts) =>
+      val s = math.log(n1 / n0) + ts.map(t =>
+        math.log((c1(t) + 1) / (tot1 + vocab)) -
+        math.log((c0(t) + 1) / (tot0 + vocab))).sum
+      id -> (BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        ts.size.toLong)
+    }.toMap
+    val q = SparkEntry.queries("t19_nb_classifier")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_tok"), r.getAs[Double]("log_odds"), r.getAs[Boolean]("keep")))
+    assert(q.length == rows.length, "one scored row per doc")
+    for ((id, (n, score, keep)) <- q) {
+      val (eScore, eN) = expected(id)
+      assert(n == eN, s"doc $id token count")
+      assert(math.abs(score - eScore) <= 2e-6, s"doc $id score $score vs recount $eScore")
+      assert(keep == (score > 0), s"doc $id keep must threshold the rounded score")
+    }
+    val keeps = q.map(_._2._3)
+    assert(keeps.contains(true) && keeps.contains(false),
+      "classifier must be live on the testdata — both outcomes present")
+
+    // planted separable corpus: class vocabularies are disjoint, so every
+    // doc must land on its own side regardless of the shared filler token
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "good clean prose good clean shared", "ref1"),
+      (2L, "clean good good prose shared shared", "ref1"),
+      (3L, "spam junk spam junk shared", "web1"),
+      (4L, "junk junk spam spam shared shared", "web2"),
+      (5L, "good prose clean clean shared", "ref2"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.llm.TextStats.nbClassifier(planted, Seq("ref1", "ref2"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    assert(got == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false, 5L -> true),
+      s"separable planted corpus misclassified: $got")
+  }
+
+  test("x9 funnel: planted sequences hit every ordering edge (strict after, skipped stages)") {
+    import spark.implicits._
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 00:$m%02d:00")
+    val ev = Seq(
+      // u1: clean view -> click -> purchase
+      (1L, "view", ts(1)), (1L, "click", ts(2)), (1L, "purchase", ts(3)),
+      // u2: purchase BEFORE the first view-then-click completes -> stage 2
+      (2L, "purchase", ts(1)), (2L, "view", ts(2)), (2L, "click", ts(3)),
+      // u3: no view at all -> stage 0 even with click+purchase present
+      (3L, "purchase", ts(1)), (3L, "click", ts(2)),
+      // u4: view only -> stage 1
+      (4L, "view", ts(5)),
+      // u5: click at the SAME ts as the view must not count (strictly
+      // after); the later click does, and the purchase after it
+      (5L, "view", ts(1)), (5L, "click", ts(1)),
+      (5L, "click", ts(4)), (5L, "purchase", ts(5)),
+      // u6: view then purchase but no click -> stage 1
+      (6L, "view", ts(3)), (6L, "purchase", ts(4)))
+      .toDF("user_id", "event_type", "ts")
+    val got = graft.ops.Analytics
+      .funnelStages(ev, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getTimestamp(1)), Option(r.getTimestamp(2)),
+         Option(r.getTimestamp(3)), r.getLong(4))).toMap
+    assert(got(1L) == ((Some(ts(1)), Some(ts(2)), Some(ts(3)), 3L)), s"u1: ${got(1L)}")
+    assert(got(2L) == ((Some(ts(2)), Some(ts(3)), None, 2L)), s"u2: ${got(2L)}")
+    assert(got(3L) == ((None, None, None, 0L)), s"u3: ${got(3L)}")
+    assert(got(4L) == ((Some(ts(5)), None, None, 1L)), s"u4: ${got(4L)}")
+    assert(got(5L) == ((Some(ts(1)), Some(ts(4)), Some(ts(5)), 3L)), s"u5: ${got(5L)}")
+    assert(got(6L) == ((Some(ts(3)), None, None, 1L)), s"u6: ${got(6L)}")
+    assert(got.size == 6, "one row per user with any event")
+  }
+
   test("sim_semdedup: refinement of exact cosine components, genuine edges, one keeper, deterministic") {
     val e = Tables(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

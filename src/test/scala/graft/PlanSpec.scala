@@ -469,6 +469,30 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       p.contains("BroadcastHashJoin"), s"t17: count joins missing:\n$p")
   }
 
+  test("t19 NB classifier: count-table equi-join, scalar totals broadcast, no window") {
+    val p = plan("t19_nb_classifier")
+    // train+score is aggregates and equi-joins only: the token→class-count
+    // join must be a real hash/merge join (the 1-row totals/priors ride
+    // broadcasts; nested-loop over ONE row is the broadcast fan-out, fine)
+    assert(!p.contains("CartesianProduct"), s"t19: cartesian crept in:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"t19: count join missing:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"t19: no step of NB train/score should need a window:\n$p")
+  }
+
+  test("x9 funnel: each stage scan prunes to its event_type at the source") {
+    val p = plan("x9_funnel_stages")
+    // three stage scans, each reading ONLY its type's rows (pushed filter),
+    // plus the distinct-users scan; equi-joins only
+    assert("EqualTo\\(event_type,".r.findAllIn(p).size >= 3,
+      s"x9: stage scans lost their event_type pushdown:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"x9: quadratic join fallback:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"x9: the cascade must stay aggregates+joins, never a per-user window:\n$p")
+  }
+
   test("s13 z-order code is pure integer arithmetic inside codegen (no sort on read-back)") {
     val p = plan("s13_zorder_layout")
     // the declared query reads the WRITTEN layout and aggregates: one
