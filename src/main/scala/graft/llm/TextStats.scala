@@ -691,8 +691,71 @@ object TextStats {
         |  GROUP BY doc_id, n1, n0)""".stripMargin) { (s, d) =>
       nbClassifier(Tables(s, d, "documents"),
         Seq("src1", "src2", "src3", "src4"))
+    },
+
+    // t20: BM25 top-k retrieval for a pinned query — the scoring pass a
+    // pipeline runs for retrieval-based decontamination ("which training
+    // docs does this eval question retrieve?") and targeted data selection.
+    // Okapi BM25 with the Lucene idf (always positive), k1=1.2, b=0.75.
+    //
+    // Scale shape: for a FIXED small query there is no inverted index to
+    // build and no explode — per-term tf is a map-side array filter inside
+    // the one corpus scan's codegen; df/N/avgdl reduce to ONE row that
+    // broadcasts; the ranking is a global top-k (TakeOrdered: per-partition
+    // heaps, k rows to the driver — never a full sort). One scan, one
+    // 1-row broadcast, zero wide shuffles at any corpus size. Ordering is
+    // cross-engine deterministic: rank on the ROUNDED score, ties to the
+    // lower doc_id.
+    QueryDef("t20_bm25_topk",
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+        |tf AS (SELECT doc_id, len(ts) AS dl,
+        |              len(list_filter(ts, x -> x = 'spark')) AS tf1,
+        |              len(list_filter(ts, x -> x = 'join')) AS tf2,
+        |              len(list_filter(ts, x -> x = 'window')) AS tf3
+        |       FROM t),
+        |st AS (SELECT count(*) AS n, avg(dl) AS avgdl,
+        |              sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |              sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+        |              sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+        |       FROM tf)
+        |SELECT doc_id, CAST(dl AS BIGINT) AS n_tok,
+        |       round(ln((n - df1 + 0.5) / (df1 + 0.5) + 1) * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |           + ln((n - df2 + 0.5) / (df2 + 0.5) + 1) * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |           + ln((n - df3 + 0.5) / (df3 + 0.5) + 1) * tf3 * 2.2 / (tf3 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS score
+        |FROM tf CROSS JOIN st
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      bm25TopK(Tables(s, d, "documents"),
+        Seq("spark", "join", "window"), 20)
     }
   )
+
+  /** t20's plan (see the QueryDef comment): one scan computing per-term
+    * tf map-side, a 1-row broadcast of (N, avgdl, df_t), map-side scoring,
+    * global top-k. Exposed for DataPlaneSpec's recount and PlanSpec. */
+  private[graft] def bm25TopK(docs: org.apache.spark.sql.DataFrame,
+      terms: Seq[String], k: Int): org.apache.spark.sql.DataFrame = {
+    val (k1, b) = (1.2, 0.75)
+    val tfCols = terms.indices.map { i =>
+      size(filter(toks, x => x === terms(i))).as(s"tf${i + 1}")
+    }
+    val tf = docs.select(
+      col("doc_id") +: size(toks).as("dl") +: tfCols: _*)
+    val dfAggs = terms.indices.map(i =>
+      sum(when(col(s"tf${i + 1}") > 0, 1L).otherwise(0L)).as(s"df${i + 1}"))
+    val st = tf.agg(count(lit(1)).as("n"),
+      avg(col("dl")).as("avgdl") +: dfAggs: _*)
+    val norm = lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))
+    val score = terms.indices.map { i =>
+      val (tfc, dfc) = (col(s"tf${i + 1}"), col(s"df${i + 1}"))
+      log((col("n") - dfc + 0.5) / (dfc + 0.5) + 1) *
+        tfc * (k1 + 1) / (tfc + norm)
+    }.reduce(_ + _)
+    tf.crossJoin(broadcast(st))
+      .select(col("doc_id"), col("dl").cast("long").as("n_tok"),
+        round(score, 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
 
   /** t19's plan (see the QueryDef comment): NB train = one counting
     * aggregate of the exploded token stream; score = token→count join +

@@ -1017,6 +1017,33 @@ class DataPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"separable planted corpus misclassified: $got")
   }
 
+  test("t20 BM25 top-k equals a Scala-side recount (set, scores, and tie-breaks)") {
+    val rows = Tables(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    val terms = Seq("spark", "join", "window")
+    val n = rows.length.toDouble
+    val avgdl = rows.map(_._2.size).sum.toDouble / n
+    val dfs = terms.map(t => rows.count(_._2.contains(t)).toDouble)
+    val expected = rows.map { case (id, ts) =>
+      val dl = ts.size.toDouble
+      val s = terms.zip(dfs).map { case (t, df) =>
+        val tf = ts.count(_ == t).toDouble
+        math.log((n - df + 0.5) / (df + 0.5) + 1) * tf * 2.2 /
+          (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      }.sum
+      (id, ts.size.toLong,
+        BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (id, _, sc) => (-sc, id) }.take(20)
+    val got = SparkEntry.queries("t20_bm25_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_tok"), r.getAs[Double]("score")))
+    assert(got.length == 20, "exactly k rows")
+    got.zip(expected).foreach { case ((gi, gn, gs), (ei, en, es)) =>
+      assert(gi == ei && gn == en, s"rank order diverged: got $gi expected $ei")
+      assert(math.abs(gs - es) <= 2e-6, s"doc $gi score $gs vs recount $es")
+    }
+    assert(got.forall(_._3 > 0), "every retrieved doc must actually score")
+  }
+
   test("x9 funnel: planted sequences hit every ordering edge (strict after, skipped stages)") {
     import spark.implicits._
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 00:$m%02d:00")

@@ -481,6 +481,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"t19: no step of NB train/score should need a window:\n$p")
   }
 
+  test("t20 BM25: no explode, stats broadcast, ranking is heap top-k not a global sort") {
+    val p = plan("t20_bm25_topk")
+    // per-term tf is an array filter INSIDE the scan's codegen — a
+    // Generate here would mean the corpus token stream got exploded
+    assert(!p.contains("Generate"), s"t20: tf regressed to an explode:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"t20: top-k must be per-partition heaps, never a full sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"t20: cartesian crept in:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).size == 2,
+      s"t20: expected the scoring scan + the stats scan, nothing more:\n$p")
+  }
+
   test("x9 funnel: each stage scan prunes to its event_type at the source") {
     val p = plan("x9_funnel_stages")
     // three stage scans, each reading ONLY its type's rows (pushed filter),
