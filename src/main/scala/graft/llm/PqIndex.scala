@@ -1,0 +1,190 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** A trained PQ model: per-subspace codebooks (driver-local, ~KBs) + the
+  * corpus encoded to m small codes per vector. At 100 TB `encoded` IS the
+  * scan — m bytes/vector instead of 4·dim — and the full-precision
+  * vectors are touched only for the per-probe shortlist rerank. */
+final case class PqModel(m: Int, dsub: Int,
+    codebooks: Seq[Seq[Seq[Double]]], encoded: DataFrame) {
+  def unpersist(): Unit = encoded.unpersist()
+}
+
+/** Product quantization (Jégou et al. 2011, "Product Quantization for
+  * Nearest Neighbor Search"): split each vector into m subvectors, KMeans
+  * each subspace to ksub codes, store each vector as m code ids.
+  *
+  * Search is ADC (asymmetric distance computation): the probe builds an
+  * m×ksub table of subspace dot products ONCE, every candidate's
+  * approximate dot is then m table lookups — no float vector is read
+  * until the exact rerank of the per-probe shortlist. This is the
+  * memory/IO tier of ANN (IVF prunes WHICH vectors are scanned; PQ
+  * shrinks WHAT a scan reads): a 100 TB float corpus becomes ~1.5 TB of
+  * codes, and the two compose (IVF-route, then ADC within the cell).
+  */
+object PqIndex {
+
+  /** Sample size for codebook training. 16k vectors bound the driver
+    * collect to single-digit MB at any corpus size. */
+  val TrainSample = 16384
+
+  /** Offline codebook training — seeded k-means++ Lloyd's per subspace,
+    * DRIVER-side over a bounded hash-ordered sample (the FAISS practice:
+    * codebooks are KB-sized, so training them is not distributed work —
+    * an MLlib fit per subspace measured 14-70 s of pure job-scheduling
+    * floor for the same KB of output). The hash order makes the sample an
+    * unbiased deterministic reservoir; everything CORPUS-sized (encode,
+    * ADC scan) stays distributed. */
+  def train(corpus: DataFrame, m: Int, ksub: Int): Seq[Seq[Seq[Double]]] = {
+    val sample = corpus
+      .select(col("embedding").cast("array<double>").as("e"), col("vec_id"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(TrainSample)
+      .collect().map(_.getSeq[Double](0).toArray)
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    require(sample.length >= ksub, s"${sample.length} vectors < $ksub codes")
+    val dsub = dim / m
+    (0 until m).map { s =>
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      lloyd(pts, ksub, seed = 42L + s).map(_.toSeq).toSeq
+    }
+  }
+
+  private def sqDist(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var i = 0
+    while (i < a.length) { val x = a(i) - b(i); d += x * x; i += 1 }
+    d
+  }
+
+  /** Seeded k-means++ init + Lloyd's iterations; empty clusters re-seed
+    * from a random point so every code stays live. */
+  private def lloyd(pts: Array[Array[Double]], k: Int, seed: Long,
+      iters: Int = 25): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    val n = pts.length
+    val cents = new Array[Array[Double]](k)
+    cents(0) = pts(rnd.nextInt(n)).clone()
+    val d2 = Array.fill(n)(Double.MaxValue)
+    for (c <- 1 until k) {
+      var i = 0
+      while (i < n) {
+        val dd = sqDist(pts(i), cents(c - 1)); if (dd < d2(i)) d2(i) = dd
+        i += 1
+      }
+      var r = rnd.nextDouble() * d2.sum; var j = 0
+      while (j < n - 1 && r > d2(j)) { r -= d2(j); j += 1 }
+      cents(c) = pts(j).clone()
+    }
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](pts.head.length))
+      val cnt = new Array[Int](k)
+      for (p <- pts) {
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < k) {
+          val dd = sqDist(p, cents(c)); if (dd < bd) { bd = dd; best = c }
+          c += 1
+        }
+        cnt(best) += 1
+        var i = 0; while (i < p.length) { sums(best)(i) += p(i); i += 1 }
+      }
+      for (c <- 0 until k)
+        cents(c) =
+          if (cnt(c) > 0) sums(c).map(_ / cnt(c))
+          else pts(rnd.nextInt(n)).clone()
+    }
+    cents
+  }
+
+  /** Map-side encode: each subvector to its nearest codebook entry
+    * (argmin of squared distance; first index on ties — deterministic).
+    * The codebooks ride into the plan as literals, so this is one
+    * narrow projection over the corpus scan — no shuffle, no UDF. */
+  def encode(corpus: DataFrame, codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val m = codebooks.size
+    val dsub = codebooks.head.head.size
+    val e = col("embedding").cast("array<double>")
+    val codeCols = (0 until m).map { s =>
+      val sub = slice(e, s * dsub + 1, dsub)
+      val dists = transform(typedLit(codebooks(s)), c =>
+        aggregate(zip_with(sub, c, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, v) => a + v))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    corpus.select(col("vec_id"), array(codeCols: _*).as("codes"))
+  }
+
+  def build(corpus: DataFrame, m: Int = 8, ksub: Int = 16): PqModel = {
+    val cbs = train(corpus, m, ksub)
+    val enc = encode(corpus, cbs).persist(StorageLevel.MEMORY_AND_DISK)
+    PqModel(m, cbs.head.head.size, cbs, enc)
+  }
+
+  /** ADC top-k: shortlist by table-lookup cosine over the CODES scan,
+    * exact-cosine rerank of the shortlist only. Output matches
+    * sim_ivf_ann: (probe_id, cand_id, cosine, rn). */
+  def search(model: PqModel, probes: DataFrame, corpus: DataFrame,
+      k: Int, shortlist: Int): DataFrame = {
+    val dsub = model.dsub
+    // driver-computed centroid norms — the candidate-norm half of the
+    // ADC cosine is codebook-only, so it too is a table lookup
+    val normTbl: Seq[Seq[Double]] =
+      model.codebooks.map(_.map(c => c.map(x => x * x).sum))
+    val pv = col("embedding").cast("array<double>")
+    // per-probe m×ksub dot-product table, built once per probe row
+    val tbl = transform(typedLit(model.codebooks), (subCb, s) =>
+      transform(subCb, c =>
+        aggregate(zip_with(slice(pv, s * dsub + 1, lit(dsub)), c,
+          (x, y) => x * y), lit(0.0), (a, v) => a + v)))
+    val p = probes.select(col("vec_id").as("probe_id"), pv.as("pvec"),
+      tbl.as("tbl"), sqrt(Similarity.dotProduct(pv, pv)).as("pnorm"))
+    def lookup(t: Column) = aggregate(
+      zip_with(col("codes"), t,
+        (code, row) => element_at(row, (code + 1).cast("int"))),
+      lit(0.0), (a, v) => a + v)
+    val approx = model.encoded.crossJoin(broadcast(p.drop("pvec")))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("adot", lookup(col("tbl")))
+      .withColumn("anorm", sqrt(lookup(typedLit(normTbl))))
+      .withColumn("acos", col("adot") / (col("pnorm") * col("anorm")))
+    // bounded per-partition top-shortlist (the bruteForceKnnAgg idiom) —
+    // a window here would sort the WHOLE code scan inside one task per
+    // probe, the single-task trap this repo dispatches away everywhere
+    val short = approx.groupBy("probe_id")
+      .agg(graft.functions.TopK.topk(shortlist, col("vec_id"), col("acos")).as("top"))
+      .select(col("probe_id"), explode(col("top")).as("s"))
+      .select(col("probe_id"), col("s._1").as("cand_id"))
+      .join(broadcast(p.select(col("probe_id"), col("pvec"))), "probe_id")
+    // exact rerank: full vectors are read ONLY for shortlist members
+    val cand = corpus.select(col("vec_id").as("cand_id"),
+      col("embedding").cast("array<double>").as("cv"))
+    val wK = Window.partitionBy("probe_id")
+      .orderBy(col("cos_raw").desc, col("cand_id"))
+    short.join(cand, "cand_id")
+      .withColumn("cos_raw", Similarity.cosine(col("pvec"), col("cv")))
+      .withColumn("rn", row_number().over(wK))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("cand_id"),
+        round(col("cos_raw"), 6).as("cosine"), col("rn"))
+  }
+
+  // per-corpus model cache — the offline/online split (the IvfIndex
+  // precedent): the declared ANN query measures probe time, the build
+  // cost is declared separately via sim_pq_build
+  private val modelCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), PqModel]
+
+  /** The shared per-corpus model (the d0_cache_build precedent: the
+    * declared sim_pq_build line owns the train+encode cost; probe queries
+    * reuse the encoded corpus). */
+  def cachedModel(cacheKey: String, corpus: DataFrame,
+      m: Int = 8, ksub: Int = 16): PqModel =
+    modelCache.getOrElseUpdate((cacheKey, m, ksub), build(corpus, m, ksub))
+
+  def searchCached(cacheKey: String, probes: DataFrame, corpus: DataFrame,
+      k: Int, shortlist: Int, m: Int = 8, ksub: Int = 16): DataFrame =
+    search(cachedModel(cacheKey, corpus, m, ksub), probes, corpus, k, shortlist)
+}

@@ -206,6 +206,34 @@ object Similarity {
       out
     },
 
+    // The OFFLINE half of PQ as its own declared operator: codebook train
+    // + corpus encode into the shared per-corpus cache (the d0_cache_build
+    // precedent — this setup line owns the one-time cost, sim_pq_ann then
+    // measures probe time against the encoded corpus). Reported as
+    // per-(subspace, code) occupancy — codebook utilization is what a
+    // deployment monitors for retraining.
+    QueryDef.noOracle("sim_pq_build") { (s, d) =>
+      val emb = Tables(s, d, "embeddings")
+      val model = PqIndex.cachedModel(d, emb)
+      model.encoded
+        .select(posexplode(col("codes")).as(Seq("sub", "code")))
+        .groupBy("sub", "code").agg(count(lit(1)).as("n_vectors"))
+    },
+
+    // Product quantization ANN (Jégou et al. 2011) — the MEMORY tier of
+    // approximate search, orthogonal to IVF's routing tier: the corpus
+    // scan reads m=8 byte-sized codes per vector instead of 64 floats
+    // (a 100 TB float corpus becomes ~1.5 TB of codes), approximate
+    // cosines are pure table lookups (ADC), and full vectors are touched
+    // only for the per-probe shortlist's exact rerank. Engine-specific
+    // clustering → no SQL oracle; DataPlaneSpec measures recall vs
+    // brute force and proves the rerank cosines exact.
+    QueryDef.noOracle("sim_pq_ann") { (s, d) =>
+      val emb = Tables(s, d, "embeddings")
+      PqIndex.searchCached(d, emb.filter(col("vec_id") < 5), emb,
+        k = 10, shortlist = 50)
+    },
+
     // L2-normalization to unit vectors — the preprocessing step that turns
     // cosine into a plain dot product (what any serious ANN index wants).
     // sqrt and / are IEEE-correctly-rounded, and the dot-product fold order

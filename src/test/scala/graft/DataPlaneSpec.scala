@@ -368,6 +368,32 @@ class DataPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.8, s"IVF recall $recall < 0.8")
   }
 
+  test("sim_pq_ann: recall vs brute-force top-10, exact rerank cosines, valid codes") {
+    val emb = Tables(spark, sf, "embeddings")
+    val probes = emb.filter(col("vec_id") < 5)
+    val model = graft.llm.PqIndex.build(emb)
+    // codes are well-formed: m entries, every code a trained centroid id
+    val codeRows = model.encoded.collect()
+    assert(codeRows.length == emb.count(), "one code row per vector")
+    codeRows.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.size == 8 && cs.forall(c => c >= 0 && c < 16),
+        s"vec ${r.getLong(0)}: malformed codes $cs")
+    }
+    val exact = Similarity.bruteForceKnn(probes, emb, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val pq = graft.llm.PqIndex.search(model, probes, emb, k = 10, shortlist = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    model.unpersist()
+    assert(pq.size == exact.size, "k rows per probe")
+    // the rerank is exact: any overlapping pair carries the identical cosine
+    for ((pair, c) <- pq if exact.contains(pair))
+      assert(c == exact(pair), s"$pair: rerank cosine $c != brute ${exact(pair)}")
+    val recall = pq.keySet.count(exact.contains).toDouble / exact.size
+    info(f"PQ recall@10 (shortlist 50) = $recall%.2f")
+    assert(recall >= 0.6, s"PQ recall@10 (shortlist 50) $recall < 0.6")
+  }
+
   test("sim_near_dup_ivf: subset of exact pairs with identical cosines, recall >= 0.6") {
     val exact = SparkEntry.queries("sim_near_dup_pairs")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
