@@ -234,6 +234,52 @@ object Similarity {
         k = 10, shortlist = 50)
     },
 
+    // LAION-style alignment filtering (Schuhmann et al. 2021 keep an
+    // image-text pair only if its CLIP score clears a threshold): here the
+    // modality pair is (text quality, embedding-vs-source-centroid cosine)
+    // over the 1:1 doc_id=vec_id join — a doc survives only if its
+    // embedding actually looks like its source's population AND the text
+    // passes the shared t11 gate. The cross-TABLE curation op the
+    // single-table gates can't express.
+    //
+    // Scale shape: the only corpus-wide shuffle is the 1:1 id join; the
+    // per-(source, pos) centroid aggregate is map-side combined and its
+    // result is |sources|×dim rows, which broadcast back; scoring is then
+    // map-side. keep thresholds the ROUNDED cosine (t17 precedent), and
+    // the quality half reuses TextStats.qualityPass so the two gates can
+    // never drift.
+    QueryDef("sim_align_filter",
+      s"""WITH j AS (SELECT d.doc_id, d.source, d.text, CAST(e.embedding AS DOUBLE[]) AS v
+        |           FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        |c AS (SELECT source, pos, avg(x) AS m FROM (
+        |        SELECT source, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM j)
+        |      GROUP BY source, pos),
+        |ca AS (SELECT source, list(m ORDER BY pos) AS cent FROM c GROUP BY source)
+        |SELECT doc_id,
+        |       round(list_dot_product(v, cent) /
+        |             sqrt(list_dot_product(v, v) * list_dot_product(cent, cent)), 6) AS align_score,
+        |       (${graft.llm.TextStats.qualityPassSql}) AS quality_ok,
+        |       round(list_dot_product(v, cent) /
+        |             sqrt(list_dot_product(v, v) * list_dot_product(cent, cent)), 6) >= 0.2
+        |         AND (${graft.llm.TextStats.qualityPassSql}) AS keep
+        |FROM j JOIN ca USING (source)""".stripMargin) { (s, d) =>
+      val j = Tables(s, d, "documents").select(col("doc_id"), col("source"), col("text"))
+        .join(Tables(s, d, "embeddings")
+          .select(col("vec_id").as("doc_id"), col("embedding").cast("array<double>").as("v")),
+          "doc_id")
+      val cent = j
+        .select(col("source"), posexplode(col("v")).as(Seq("pos0", "x")))
+        .groupBy("source", "pos0").agg(avg(col("x")).as("m"))
+        .groupBy("source")
+        .agg(transform(array_sort(collect_list(struct(col("pos0"), col("m")))),
+          p => p.getField("m")).as("cent"))
+      val q = graft.llm.TextStats.qualityPass
+      j.join(broadcast(cent), "source")
+        .withColumn("align_score", round(cosine(col("v"), col("cent")), 6))
+        .select(col("doc_id"), col("align_score"), q.as("quality_ok"),
+          (col("align_score") >= 0.2 && q).as("keep"))
+    },
+
     // L2-normalization to unit vectors — the preprocessing step that turns
     // cosine into a plain dot product (what any serious ANN index wants).
     // sqrt and / are IEEE-correctly-rounded, and the dot-product fold order

@@ -394,6 +394,24 @@ class DataPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.6, s"PQ recall@10 (shortlist 50) $recall < 0.6")
   }
 
+  test("sim_align_filter: keep = rounded-score threshold AND the shared t11 gate; both outcomes live") {
+    val rows = SparkEntry.queries("sim_align_filter")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2), r.getBoolean(3)))
+    assert(rows.length == 500, "one row per joined doc/embedding")
+    // quality_ok must be EXACTLY the shared gate (no drift between ops)
+    val gate = Tables(spark, sf, "documents")
+      .select(col("doc_id"), graft.llm.TextStats.qualityPass.as("q"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    rows.foreach { case (id, score, qok, keep) =>
+      assert(qok == gate(id), s"doc $id: quality_ok drifted from the t11 gate")
+      assert(keep == (score >= 0.2 && qok), s"doc $id: keep must be score>=0.2 AND gate")
+    }
+    assert(rows.exists(_._4) && rows.exists(!_._4), "both keep outcomes live")
+    // the score half must be live on its own (some quality-passing doc
+    // must fail alignment — otherwise the embedding gate is vacuous)
+    assert(rows.exists(r => r._3 && !r._4), "alignment must reject some quality-passing doc")
+  }
+
   test("sim_near_dup_ivf: subset of exact pairs with identical cosines, recall >= 0.6") {
     val exact = SparkEntry.queries("sim_near_dup_pairs")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

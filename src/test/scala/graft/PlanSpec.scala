@@ -493,6 +493,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"t20: expected the scoring scan + the stats scan, nothing more:\n$p")
   }
 
+  test("sim_align_filter: centroids ride a broadcast back; no cartesian") {
+    val p = plan("sim_align_filter")
+    // the |sources|×dim centroid table must come back as a broadcast —
+    // re-shuffling the corpus by source would be a second wide exchange
+    assert(p.contains("BroadcastHashJoin"),
+      s"sim_align_filter: centroid join lost its broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"sim_align_filter: quadratic join fallback:\n$p")
+  }
+
   test("x9 funnel: each stage scan prunes to its event_type at the source") {
     val p = plan("x9_funnel_stages")
     // three stage scans, each reading ONLY its type's rows (pushed filter),
