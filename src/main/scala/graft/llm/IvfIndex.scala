@@ -41,9 +41,9 @@ object IvfIndex {
   }
 
   /** Route each probe to its nProbe nearest centroids (shared by top-k
-    * search and threshold pair generation). Output: (probe_id, pv, cell),
-    * one row per routed cell. */
-  private def route(index: IvfModel, probes: DataFrame, nProbe: Int): DataFrame = {
+    * search, threshold pair generation, and the IVFPQ composition).
+    * Output: (probe_id, pv, cell), one row per routed cell. */
+  private[graft] def route(index: IvfModel, probes: DataFrame, nProbe: Int): DataFrame = {
     val spark = probes.sparkSession
     val centDf = broadcast(spark.createDataFrame(index.centroids).toDF("cell", "centroid"))
     val p = probes.select(col("vec_id").as("probe_id"), col("embedding").cast("array<double>").as("pv"))
@@ -178,6 +178,12 @@ object IvfIndex {
       built.unpersist()
       load(corpus.sparkSession, dir)
     })
+
+  /** The persisted per-corpus index, for composed consumers (IVFPQ) that
+    * pair it with another index tier. Same build-once semantics as the
+    * cached search paths below. */
+  def cachedIndexFor(cacheKey: String, corpus: DataFrame, nClusters: Int): IvfModel =
+    cachedIndex(cacheKey, corpus, nClusters)
 
   /** Probe against a persisted index for `cacheKey`'s corpus (the declared
     * `sim_ivf_ann` path: probes are served from a LOADED on-disk index,

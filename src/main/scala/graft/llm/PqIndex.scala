@@ -123,36 +123,37 @@ object PqIndex {
     PqModel(m, cbs.head.head.size, cbs, enc)
   }
 
-  /** ADC top-k: shortlist by table-lookup cosine over the CODES scan,
-    * exact-cosine rerank of the shortlist only. Output matches
-    * sim_ivf_ann: (probe_id, cand_id, cosine, rn). */
-  def search(model: PqModel, probes: DataFrame, corpus: DataFrame,
-      k: Int, shortlist: Int): DataFrame = {
+  /** Probe prep shared by plain-PQ and IVFPQ search: per-probe m×ksub
+    * dot-product table (built once per probe row), vector, norm. */
+  private def probePrep(model: PqModel, probes: DataFrame): DataFrame = {
     val dsub = model.dsub
-    // driver-computed centroid norms — the candidate-norm half of the
-    // ADC cosine is codebook-only, so it too is a table lookup
-    val normTbl: Seq[Seq[Double]] =
-      model.codebooks.map(_.map(c => c.map(x => x * x).sum))
     val pv = col("embedding").cast("array<double>")
-    // per-probe m×ksub dot-product table, built once per probe row
     val tbl = transform(typedLit(model.codebooks), (subCb, s) =>
       transform(subCb, c =>
         aggregate(zip_with(slice(pv, s * dsub + 1, lit(dsub)), c,
           (x, y) => x * y), lit(0.0), (a, v) => a + v)))
-    val p = probes.select(col("vec_id").as("probe_id"), pv.as("pvec"),
+    probes.select(col("vec_id").as("probe_id"), pv.as("pvec"),
       tbl.as("tbl"), sqrt(Similarity.dotProduct(pv, pv)).as("pnorm"))
+  }
+
+  /** ADC-score a (codes, tbl, pnorm) frame, shortlist per probe with the
+    * bounded top-k aggregator (a per-probe window would sort the whole
+    * code scan inside one task — the single-task trap this repo
+    * dispatches away everywhere), then exact-rerank shortlist members
+    * against the full vectors. */
+  private def shortlistAndRerank(model: PqModel, scoredInput: DataFrame,
+      p: DataFrame, corpus: DataFrame, k: Int, shortlist: Int): DataFrame = {
+    val normTbl: Seq[Seq[Double]] =
+      model.codebooks.map(_.map(c => c.map(x => x * x).sum))
     def lookup(t: Column) = aggregate(
       zip_with(col("codes"), t,
         (code, row) => element_at(row, (code + 1).cast("int"))),
       lit(0.0), (a, v) => a + v)
-    val approx = model.encoded.crossJoin(broadcast(p.drop("pvec")))
+    val approx = scoredInput
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("adot", lookup(col("tbl")))
       .withColumn("anorm", sqrt(lookup(typedLit(normTbl))))
       .withColumn("acos", col("adot") / (col("pnorm") * col("anorm")))
-    // bounded per-partition top-shortlist (the bruteForceKnnAgg idiom) —
-    // a window here would sort the WHOLE code scan inside one task per
-    // probe, the single-task trap this repo dispatches away everywhere
     val short = approx.groupBy("probe_id")
       .agg(graft.functions.TopK.topk(shortlist, col("vec_id"), col("acos")).as("top"))
       .select(col("probe_id"), explode(col("top")).as("s"))
@@ -169,6 +170,37 @@ object PqIndex {
       .filter(col("rn") <= k)
       .select(col("probe_id"), col("cand_id"),
         round(col("cos_raw"), 6).as("cosine"), col("rn"))
+  }
+
+  /** ADC top-k over the FULL code scan: shortlist by table-lookup cosine,
+    * exact-cosine rerank of the shortlist only. Output matches
+    * sim_ivf_ann: (probe_id, cand_id, cosine, rn). */
+  def search(model: PqModel, probes: DataFrame, corpus: DataFrame,
+      k: Int, shortlist: Int): DataFrame = {
+    val p = probePrep(model, probes)
+    val scored = model.encoded.crossJoin(broadcast(p.drop("pvec")))
+    shortlistAndRerank(model, scored, p, corpus, k, shortlist)
+  }
+
+  /** IVFPQ: the two tiers COMPOSED — IVF routes each probe to its nProbe
+    * cells (the scan-pruning tier), ADC scores only those cells' CODES
+    * (the memory tier), exact rerank as always. At 100 TB this is the
+    * production shape: the cell-partitioned code table is ~1.5 TB, a
+    * probe batch reads nProbe/nClusters of it, and full vectors are
+    * fetched per-shortlist only. */
+  def searchIvfPq(ivf: IvfModel, model: PqModel, probes: DataFrame,
+      corpus: DataFrame, k: Int, shortlist: Int, nProbe: Int): DataFrame = {
+    val p = probePrep(model, probes)
+    val routed = IvfIndex.route(ivf, probes, nProbe)
+      .select(col("probe_id"), col("cell"))
+      .join(p.drop("pvec"), "probe_id")
+    // candidates: the cell-partitioned CODE table (assigned ⋈ encoded is
+    // one storage table in a deployment); join on cell = partition-pruned
+    // subset read, only routed cells' codes are scanned
+    val cands = ivf.assigned.select(col("vec_id"), col("cell"))
+      .join(model.encoded, "vec_id")
+    val scored = cands.join(broadcast(routed), "cell")
+    shortlistAndRerank(model, scored, p, corpus, k, shortlist)
   }
 
   // per-corpus model cache — the offline/online split (the IvfIndex

@@ -280,6 +280,22 @@ object Similarity {
           (col("align_score") >= 0.2 && q).as("keep"))
     },
 
+    // IVFPQ — the two ANN tiers COMPOSED (the production shape at 100 TB:
+    // IVF prunes WHICH cells are scanned, PQ shrinks WHAT a scan reads;
+    // both indexes come from their own declared build/cache lines). A
+    // probe batch reads nProbe/nClusters of the ~64x-compressed code
+    // table and touches full vectors only for the shortlist rerank.
+    // Engine-specific → no SQL oracle; DataPlaneSpec measures recall and
+    // proves the result ⊆ the routed cells with exact rerank cosines.
+    QueryDef.noOracle("sim_ivfpq_ann") { (s, d) =>
+      val emb = Tables(s, d, "embeddings")
+      PqIndex.searchIvfPq(
+        IvfIndex.cachedIndexFor(d, emb, nClusters = 8),
+        PqIndex.cachedModel(d, emb),
+        emb.filter(col("vec_id") < 5), emb,
+        k = 10, shortlist = 50, nProbe = 4)
+    },
+
     // L2-normalization to unit vectors — the preprocessing step that turns
     // cosine into a plain dot product (what any serious ANN index wants).
     // sqrt and / are IEEE-correctly-rounded, and the dot-product fold order

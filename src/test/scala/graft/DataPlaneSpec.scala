@@ -394,6 +394,34 @@ class DataPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.6, s"PQ recall@10 (shortlist 50) $recall < 0.6")
   }
 
+  test("sim_ivfpq_ann: results come from routed cells, rerank exact, recall measured") {
+    val emb = Tables(spark, sf, "embeddings")
+    val probes = emb.filter(col("vec_id") < 5)
+    val ivf = IvfIndex.build(emb, nClusters = 8)
+    val pq = graft.llm.PqIndex.build(emb)
+    val got = graft.llm.PqIndex
+      .searchIvfPq(ivf, pq, probes, emb, k = 10, shortlist = 50, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every candidate must live in one of its probe's 4 routed cells —
+    // the IVF tier really pruned the scan
+    val cellOf = ivf.assigned.select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val routed = IvfIndex.route(ivf, probes, 4).select("probe_id", "cell")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    for (((pid, cid), _) <- got)
+      assert(routed.contains((pid, cellOf(cid))),
+        s"pair ($pid,$cid) came from unrouted cell ${cellOf(cid)}")
+    // rerank is exact where the answer overlaps brute force
+    val exact = Similarity.bruteForceKnn(probes, emb, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for ((pair, c) <- got if exact.contains(pair))
+      assert(c == exact(pair), s"$pair: rerank cosine $c != brute ${exact(pair)}")
+    val recall = got.keySet.count(exact.contains).toDouble / exact.size
+    info(f"IVFPQ recall@10 (nProbe 4/8, shortlist 50) = $recall%.2f")
+    assert(recall >= 0.5, s"IVFPQ recall $recall < 0.5")
+    ivf.unpersist(); pq.unpersist()
+  }
+
   test("sim_align_filter: keep = rounded-score threshold AND the shared t11 gate; both outcomes live") {
     val rows = SparkEntry.queries("sim_align_filter")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2), r.getBoolean(3)))
