@@ -160,6 +160,53 @@ object Sampling {
         .filter(keyUniform(col("o_orderkey")) < col("o_totalprice").cast("double") / col("mx"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).cast("long").as("key_sum"))
+    },
+
+    // P9: per-source quota cap — "no domain contributes more than N docs",
+    // the anti-over-representation rebalance C4/RefinedWeb-style pipelines
+    // apply before mixing (a handful of giant domains would otherwise
+    // dominate the corpus). Deterministic: each source keeps its N lowest
+    // (md5(doc_id), doc_id) docs — a seeded reservoir per group, stable
+    // across runs/retries/partitionings (the p5-p8 no-RNG idiom). A
+    // row_number window keyed by source is the w3 single-task trap (a
+    // 100 TB domain's rows sort in ONE task), so the builder dispatches on
+    // measured group size exactly like w3/p8: window under the threshold,
+    // Ranks.groupRank (range shuffle + zipWithIndex + broadcast offsets)
+    // with identical values beyond it. Output is |sources|×N rows at any
+    // corpus size.
+    QueryDef("p9_source_cap",
+      """SELECT doc_id, source, slot FROM (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS slot
+        |  FROM documents)
+        |WHERE slot <= 20""".stripMargin) { (s, d) =>
+      import graft.ops.Ranks
+      val cap = 20
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          md5(col("doc_id").cast("string")).as("h"))
+      val maxGroup = {
+        val total = docs.count()
+        if (total <= Ranks.WindowMaxGroupRows) total
+        else docs.groupBy("source").count().agg(max("count")).head().getLong(0)
+      }
+      val slotted =
+        if (maxGroup <= Ranks.WindowMaxGroupRows) {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("source").orderBy(col("h"), col("doc_id"))
+          docs.select(col("doc_id"), col("source"),
+            row_number().over(w).cast("long").as("slot"))
+        } else {
+          val ranked = Ranks.groupRank(docs, col("source"),
+            Seq(col("h"), col("doc_id")), s.sparkContext.defaultParallelism)
+          val offs = ranked.groupBy("source").agg(min(col("g_idx")).as("min_idx"))
+          ranked.join(broadcast(offs), "source")
+            .select(col("doc_id"), col("source"),
+              (col("g_idx") - col("min_idx") + 1).as("slot"))
+        }
+      slotted.filter(col("slot") <= cap)
+        .select(col("doc_id"), col("source"), col("slot"))
     }
   )
 }

@@ -1021,6 +1021,28 @@ class DataPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dist == win, "distributed epoch order diverged from the window order")
   }
 
+  test("p9 source cap: exactly N per source, reproducible, both rank paths agree") {
+    val rows = SparkEntry.queries("p9_source_cap")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySrc = rows.groupBy(_._2)
+    assert(bySrc.size == 20 && bySrc.values.forall(_.length == 20),
+      "every source capped at exactly 20 on the testdata")
+    bySrc.values.foreach(g =>
+      assert(g.map(_._3).sorted.sameElements(1L to 20L), "slots contiguous 1..20"))
+    // the distributed path (forced via direct groupRank) keeps the same docs
+    val h = md5(col("doc_id").cast("string"))
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), h.as("h"))
+    val ranked = graft.ops.Ranks.groupRank(docs, col("source"),
+      Seq(col("h"), col("doc_id")), 5)
+    val offs = ranked.groupBy("source").agg(min(col("g_idx")).as("min_idx"))
+    val dist = ranked.join(broadcast(offs), "source")
+      .select(col("doc_id"), col("source"), (col("g_idx") - col("min_idx") + 1).as("slot"))
+      .filter(col("slot") <= 20)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(dist == rows.toSet, "distributed cap diverged from the window cap")
+  }
+
   test("t17 bigram perplexity: keep thresholds the rounded score, both outcomes live, bigram count exact") {
     val nToks = Tables(spark, sf, "documents")
       .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
