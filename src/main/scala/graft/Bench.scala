@@ -213,6 +213,7 @@ object Bench {
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"queries":$hq,"errors":$he,"sf":$sfNum,"cpus":"${jstr(cpus)}","master":"${jstr(MasterEnv.master(cpus))}",$contention}""")
     graft.llm.Dedup.releaseCaches()
+    graft.llm.PqIndex.releaseModels()
     graft.streaming.Streams.releaseSinks()
     graft.ops.Scans.releaseLayouts()
     graft.data.Frames.releaseTracked()

@@ -77,9 +77,14 @@ object RecallProbe {
     // sets are tens of millions at sf1 — never collected). Exact truth is
     // n²: bounded to corpora where that still finishes (sf1: 20k² = 200M
     // cosine evals); past it the artifact records the skip explicitly.
+    // wrapped so a sfDir without an embeddings table records a skip instead
+    // of aborting the probe after the d3/d8 work is already done
+    val semJson = scala.util.Try {
     val emb = Tables(spark, sfDir, "embeddings")
     val nVec = emb.count()
-    val semJson = if (nVec > 50000L) {
+    // skip threshold matches the documented 20k budget (200M cosine evals);
+    // a 50k corpus would be a 2.5B-eval crossJoin
+    if (nVec > 20000L) {
       s""""semdedup":{"skipped":"exact truth is n^2; n=$nVec"}"""
     } else {
       import graft.llm.IvfIndex
@@ -112,6 +117,9 @@ object RecallProbe {
       idx.unpersist()
       s""""semdedup":{"n_vectors":$nVec,"n_cells":$k,"exact_s":$tExact,"cell_s":$tCell,"build_s":$tBuild,$perThreshold}"""
     }
+    }.recover { case e =>
+      s""""semdedup":{"skipped":"${e.getClass.getSimpleName.replaceAll("[\"\\\\]", " ")}"}"""
+    }.get
 
     Dedup.releaseCaches()
     val dir = java.nio.file.Paths.get(out).getParent

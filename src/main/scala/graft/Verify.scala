@@ -45,6 +45,7 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     graft.llm.Dedup.releaseCaches()
+    graft.llm.PqIndex.releaseModels()
     graft.streaming.Streams.releaseSinks()
     graft.ops.Scans.releaseLayouts()
     graft.data.Frames.releaseTracked()

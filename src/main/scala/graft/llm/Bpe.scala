@@ -118,7 +118,7 @@ object Bpe {
       val next = enc.select(col("word"), mergeFold(col("syms"), l, r).as("syms"))
       enc = if ((i + 1) % 4 == 0) graft.data.Frames.trackedCheckpoint(next) else next
     }
-    docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+    val perDoc = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
       .select(col("doc_id"), explode_outer(col("ts")).as("word"))
       .where(col("word").isNotNull && length(col("word")) > 0)
       .join(enc.select(col("word"), size(col("syms")).as("np")), Seq("word"))
@@ -126,6 +126,14 @@ object Bpe {
       .agg(count(lit(1)).as("n_words"),
         sum(col("np")).as("n_pieces"),
         round(sum(col("np")).cast("double") / count(lit(1)), 6).as("pieces_per_word"))
+    // every doc reports, like the sibling per-doc ops (d11's left join): a
+    // doc with no non-empty tokens would otherwise vanish through the inner
+    // vocab join — it surfaces as (0, 0, null) instead
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+        col("pieces_per_word"))
   }
 
   // Per-corpus merge-table cache (the d0 shared-cache idiom, keyed by the

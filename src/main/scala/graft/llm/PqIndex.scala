@@ -219,4 +219,13 @@ object PqIndex {
   def searchCached(cacheKey: String, probes: DataFrame, corpus: DataFrame,
       k: Int, shortlist: Int, m: Int = 8, ksub: Int = 16): DataFrame =
     search(cachedModel(cacheKey, corpus, m, ksub), probes, corpus, k, shortlist)
+
+  /** Unpersist every cached model's encoded frame and clear the cache —
+    * the Dedup.releaseCaches / Scans.releaseLayouts idiom, called from the
+    * same end-of-run release blocks so a long-lived shared JVM (test
+    * suites, interactive sessions) doesn't keep the blocks pinned. */
+  def releaseModels(): Unit = {
+    modelCache.values.foreach(_.unpersist())
+    modelCache.clear()
+  }
 }

@@ -650,6 +650,71 @@ object TextStats {
           (col("nll") <= 3.4).as("keep"))
     },
 
+    // t17b: the DEPLOYMENT shape of t17 — CCNet proper (Wenzek et al. 2019
+    // train the LM on a REFERENCE corpus, then score the crawl against it).
+    // The LM trains on the fixed reference slice (src0 — the t15/t16
+    // precedent), so both count tables are reference-sized and FIXED as the
+    // corpus grows: they broadcast at every scale, and the score pass is
+    // map-side — one corpus scan, two broadcast-hash joins, one doc-keyed
+    // aggregate. None of t17's corpus-keyed training shuffles are re-paid:
+    // a 100 TB crawl scored against a reference LM pays exactly one pass.
+    // Unseen bigrams/contexts hit add-1 smoothing with zero counts (left
+    // joins + coalesce): nll_i = -ln((cb+1)/(ch+V)). keep thresholds the
+    // ROUNDED score (t17 precedent); 3.5 ≈ the sf0.01 median nll, so
+    // both outcomes are live.
+    QueryDef("t17b_perplexity_score",
+      """WITH t AS (SELECT doc_id, source, string_split(text,' ') AS ts FROM documents
+        |           WHERE len(string_split(text,' ')) >= 2),
+        |bg AS (SELECT doc_id, source,
+        |              unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS big,
+        |              unnest(list_transform(range(1, len(ts)), i -> ts[i])) AS w1
+        |       FROM t),
+        |cb AS (SELECT big, CAST(count(*) AS DOUBLE) AS cb FROM bg WHERE source = 'src0' GROUP BY big),
+        |ch AS (SELECT w1, CAST(count(*) AS DOUBLE) AS ch FROM bg WHERE source = 'src0' GROUP BY w1),
+        |vv AS (SELECT CAST(count(DISTINCT word) AS DOUBLE) AS v
+        |       FROM (SELECT unnest(string_split(text,' ')) AS word FROM documents WHERE source = 'src0'))
+        |SELECT doc_id, n_bigrams, nll, nll <= 3.5 AS keep FROM (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |         round(avg(-ln((coalesce(cb, 0) + 1) / (coalesce(ch, 0) + v))), 6) AS nll
+        |  FROM bg LEFT JOIN cb USING (big) LEFT JOIN ch USING (w1) CROSS JOIN vv
+        |  GROUP BY doc_id)""".stripMargin) { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      val t = docs.filter(size(toks) >= 2)
+        .select(col("doc_id"), col("source"), toks.as("ts"))
+      val n = size(col("ts"))
+      // same staged-struct + explode_outer + xxhash64 keying as t17 (the
+      // d10 inferred-filter lesson; 8-byte join keys, count-equivalence
+      // classes identical to the oracle's string keys absent a collision)
+      def bigrams(src: org.apache.spark.sql.DataFrame) = src
+        .select(col("doc_id"), transform(sequence(lit(1), n - 1),
+          i => struct(
+            xxhash64(try_element_at(col("ts"), i), try_element_at(col("ts"), i + 1)).as("bh"),
+            xxhash64(try_element_at(col("ts"), i)).as("wh"))).as("gs"))
+        .select(col("doc_id"), explode_outer(col("gs")).as("p"))
+        .select(col("doc_id"), col("p.bh").as("bh"), col("p.wh").as("wh"))
+      // TRAIN half: reference-slice only — the source filter pushes into
+      // its own pruned scan, so the LM build touches |src0| rows, not the
+      // corpus, and its output is fixed-size w.r.t. the corpus decade
+      val refBg = bigrams(t.filter(col("source") === "src0"))
+      val cbw = refBg.groupBy("bh", "wh").agg(count(lit(1)).as("c"))
+      val cb = cbw.groupBy("bh").agg(sum("c").cast("double").as("cb"))
+      val ch = cbw.groupBy("wh").agg(sum("c").cast("double").as("ch"))
+      val vv = docs.filter(col("source") === "src0")
+        .select(explode_outer(toks).as("word"))
+        .agg(countDistinct(col("word")).cast("double").as("v"))
+      // SCORE half: one corpus pass, broadcast-hash joins only, then the
+      // doc-keyed aggregate — no corpus-keyed shuffle anywhere
+      bigrams(t).join(broadcast(cb), Seq("bh"), "left_outer")
+        .join(broadcast(ch), Seq("wh"), "left_outer")
+        .crossJoin(broadcast(vv))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(-log((coalesce(col("cb"), lit(0.0)) + 1) /
+            (coalesce(col("ch"), lit(0.0)) + col("v")))), 6).as("nll"))
+        .select(col("doc_id"), col("n_bigrams"), col("nll"),
+          (col("nll") <= 3.5).as("keep"))
+    },
+
     // t19: CCNet/fastText-style QUALITY CLASSIFIER as multinomial Naive
     // Bayes with add-1 smoothing — the supervised sibling of t17's LM
     // filter (Wenzek et al. 2019 train a classifier on a reference corpus
@@ -662,35 +727,105 @@ object TextStats {
     // deterministic dataflow with an exact SQL oracle — no float gradient
     // whose partial-sum order varies across engines.
     //
-    // Scale shape: training = ONE aggregation of the exploded token stream
-    // to the per-token class-count table (map-side combine; 8-byte-ish
-    // rows); totals/vocab/priors are 1-row frames that BROADCAST. Scoring
-    // re-keys the token stream once by token to pick up the class counts
-    // (the t8 join — vocabulary is corpus-sublinear so the shuffle carries
-    // the corpus token stream exactly once), then one doc-keyed aggregate.
-    // A deployment trains on the reference corpus once and broadcasts the
-    // count table; the scoring half is then map-side per shard. Log-odds
-    // stays in log domain (the t8/t15/t17 rounding precedent), and `keep`
-    // thresholds the ROUNDED score so both engines decide from the same
-    // number.
+    // Scale shape (r11, closing the r10 `weak` flag): the token stream is
+    // pre-aggregated to the per-doc TERM frame (doc_id, pos, w, tf) before
+    // ANY token-keyed work. That aggregation is doc-keyed — skew-proof, a
+    // doc contributes at most its own distinct terms — and cuts the scoring
+    // join input by the mean term frequency; the frame is POST-aggregation
+    // smaller than the corpus, so it is the one worth checkpointing (the
+    // t14/t17 arithmetic): training table, dispatch count, and scoring
+    // join all read the same blocks, one corpus scan total. The vocab
+    // count table then rides a BROADCAST under a measured dispatch (the
+    // IvfIndex idiom) — the r10 plan ran every token OCCURRENCE through a
+    // w-keyed shuffle whose hottest key ("the") was a single partition.
+    // Totals/priors are 1-row broadcasts. A deployment trains on the
+    // reference corpus once and broadcasts the count table (see t19b);
+    // log-odds stays in log domain (the t8/t15/t17 rounding precedent),
+    // `keep` thresholds the ROUNDED score, and the oracle scores the same
+    // (doc, term, tf) frame so term-level values are identical.
     QueryDef("t19_nb_classifier",
       """WITH lbl AS (SELECT doc_id, source IN ('src1','src2','src3','src4') AS pos,
         |                    string_split(text,' ') AS ts FROM documents),
         |tok AS (SELECT doc_id, pos, unnest(ts) AS w FROM lbl),
-        |tw AS (SELECT w, count(*) FILTER (WHERE pos) AS c1,
-        |              count(*) FILTER (WHERE NOT pos) AS c0 FROM tok GROUP BY w),
+        |dtf AS (SELECT doc_id, pos, w, count(*) AS tf FROM tok GROUP BY doc_id, pos, w),
+        |tw AS (SELECT w, sum(CASE WHEN pos THEN tf ELSE 0 END) AS c1,
+        |              sum(CASE WHEN pos THEN 0 ELSE tf END) AS c0 FROM dtf GROUP BY w),
         |tots AS (SELECT CAST(sum(c1) AS DOUBLE) AS tot1, CAST(sum(c0) AS DOUBLE) AS tot0,
         |                CAST(count(*) AS DOUBLE) AS v FROM tw),
         |pri AS (SELECT CAST(count(*) FILTER (WHERE pos) AS DOUBLE) AS n1,
         |               CAST(count(*) FILTER (WHERE NOT pos) AS DOUBLE) AS n0 FROM lbl)
         |SELECT doc_id, n_tok, log_odds, log_odds > 0 AS keep FROM (
-        |  SELECT doc_id, count(*) AS n_tok,
+        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok,
         |         round(ln(n1 / n0) +
-        |               sum(ln((c1 + 1) / (tot1 + v)) - ln((c0 + 1) / (tot0 + v))), 6) AS log_odds
-        |  FROM tok JOIN tw USING (w) CROSS JOIN tots CROSS JOIN pri
+        |               sum(tf * (ln((c1 + 1) / (tot1 + v)) - ln((c0 + 1) / (tot0 + v)))), 6) AS log_odds
+        |  FROM dtf JOIN tw USING (w) CROSS JOIN tots CROSS JOIN pri
         |  GROUP BY doc_id, n1, n0)""".stripMargin) { (s, d) =>
       nbClassifier(Tables(s, d, "documents"),
         Seq("src1", "src2", "src3", "src4"))
+    },
+
+    // t19b: the DEPLOYMENT shape of t19 — train the NB count tables ONCE on
+    // a fixed labeled slice (md5(doc_id) < '33', the held-out ~20% a
+    // pipeline labels once — the p5-p7 hash idiom, deliberately
+    // uncorrelated with source (testdata's source IS doc_id % 20, so any
+    // modulus slice would miss entire classes); positives as in t19), then
+    // score EVERY doc against the
+    // broadcast tables. The training tables are slice-sized and fixed as
+    // the corpus grows (the t16 rationale — no measured dispatch needed:
+    // they broadcast at every scale), so scoring a 100 TB crawl is one
+    // corpus scan → per-doc term frame → broadcast-hash join → doc-keyed
+    // aggregate; none of the training aggregation is re-paid. Tokens
+    // unseen in the slice hit add-1 smoothing with zero counts (left join
+    // + coalesce). Same rounding/threshold discipline as t19.
+    QueryDef("t19b_nb_score",
+      """WITH lbl AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) < '33' AS tr,
+        |                    source IN ('src1','src2','src3','src4') AS pos,
+        |                    string_split(text,' ') AS ts FROM documents),
+        |tok AS (SELECT doc_id, tr, pos, unnest(ts) AS w FROM lbl),
+        |dtf AS (SELECT doc_id, tr, pos, w, count(*) AS tf FROM tok GROUP BY doc_id, tr, pos, w),
+        |tw AS (SELECT w, sum(CASE WHEN pos THEN tf ELSE 0 END) AS c1,
+        |              sum(CASE WHEN pos THEN 0 ELSE tf END) AS c0
+        |       FROM dtf WHERE tr GROUP BY w),
+        |tots AS (SELECT CAST(sum(c1) AS DOUBLE) AS tot1, CAST(sum(c0) AS DOUBLE) AS tot0,
+        |                CAST(count(*) AS DOUBLE) AS v FROM tw),
+        |pri AS (SELECT CAST(count(*) FILTER (WHERE pos) AS DOUBLE) AS n1,
+        |               CAST(count(*) FILTER (WHERE NOT pos) AS DOUBLE) AS n0
+        |        FROM lbl WHERE tr)
+        |SELECT doc_id, n_tok, log_odds, log_odds > 0 AS keep FROM (
+        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok,
+        |         round(ln(n1 / n0) +
+        |               sum(tf * (ln((coalesce(c1, 0) + 1) / (tot1 + v)) -
+        |                         ln((coalesce(c0, 0) + 1) / (tot0 + v)))), 6) AS log_odds
+        |  FROM dtf LEFT JOIN tw USING (w) CROSS JOIN tots CROSS JOIN pri
+        |  GROUP BY doc_id, n1, n0)""".stripMargin) { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      val pos = col("source").isin("src1", "src2", "src3", "src4")
+      val tr = md5(col("doc_id").cast("string")) < "33"
+      // ONE checkpointed per-doc term frame serves both halves: the train
+      // aggregate filters it to the slice; the score join reads it whole
+      val dtf = graft.data.Frames.trackedCheckpoint(
+        docs.select(col("doc_id"), tr.as("tr"), pos.as("pos"), explode(toks).as("w"))
+          .groupBy("doc_id", "tr", "pos", "w").agg(count(lit(1)).as("tf")))
+      val tw = dtf.filter(col("tr")).groupBy("w").agg(
+        sum(when(col("pos"), col("tf")).otherwise(0L)).as("c1"),
+        sum(when(col("pos"), lit(0L)).otherwise(col("tf"))).as("c0"))
+      val tots = tw.agg(sum("c1").cast("double").as("tot1"),
+        sum("c0").cast("double").as("tot0"),
+        count(lit(1)).cast("double").as("v"))
+      val pri = docs.filter(tr).agg(
+        sum(when(pos, 1L).otherwise(0L)).cast("double").as("n1"),
+        sum(when(pos, 0L).otherwise(1L)).cast("double").as("n0"))
+      dtf.join(broadcast(tw), Seq("w"), "left_outer")
+        .crossJoin(broadcast(tots)).crossJoin(broadcast(pri))
+        .groupBy("doc_id", "n1", "n0")
+        .agg(sum(col("tf")).as("n_tok"),
+          round(log(col("n1") / col("n0")) +
+            sum(col("tf") *
+              (log((coalesce(col("c1"), lit(0L)) + 1) / (col("tot1") + col("v"))) -
+               log((coalesce(col("c0"), lit(0L)) + 1) / (col("tot0") + col("v"))))), 6)
+            .as("log_odds"))
+        .select(col("doc_id"), col("n_tok"), col("log_odds"),
+          (col("log_odds") > 0).as("keep"))
     },
 
     // t20: BM25 top-k retrieval for a pinned query — the scoring pass a
@@ -757,30 +892,42 @@ object TextStats {
       .limit(k)
   }
 
-  /** t19's plan (see the QueryDef comment): NB train = one counting
-    * aggregate of the exploded token stream; score = token→count join +
+  /** t19's vocab table rides a broadcast when it holds at most this many
+    * terms (tens of MB of (w, c1, c0) rows); a vocab beyond it shuffles
+    * the scoring join — still on the per-doc TERM frame, never the raw
+    * occurrence stream. */
+  val BroadcastMaxVocabRows = 1000000L
+
+  /** t19's plan (see the QueryDef comment): one corpus scan → checkpointed
+    * per-doc term frame (doc_id, pos, w, tf); NB train = one counting
+    * aggregate of that frame; score = term-frame ⋈ broadcast vocab counts +
     * doc-keyed aggregate with broadcast scalars. Exposed for
     * DataPlaneSpec's brute-force fixtures and PlanSpec. */
   private[graft] def nbClassifier(docs: org.apache.spark.sql.DataFrame,
       posSources: Seq[String]): org.apache.spark.sql.DataFrame = {
     val pos = col("source").isin(posSources: _*)
-    val tok = docs.select(col("doc_id"), pos.as("pos"), explode(toks).as("w"))
-    val tw = tok.groupBy("w").agg(
-      sum(when(col("pos"), 1L).otherwise(0L)).as("c1"),
-      sum(when(col("pos"), 0L).otherwise(1L)).as("c0"))
+    val dtf = graft.data.Frames.trackedCheckpoint(
+      docs.select(col("doc_id"), pos.as("pos"), explode(toks).as("w"))
+        .groupBy("doc_id", "pos", "w").agg(count(lit(1)).as("tf")))
+    val tw = dtf.groupBy("w").agg(
+      sum(when(col("pos"), col("tf")).otherwise(0L)).as("c1"),
+      sum(when(col("pos"), lit(0L)).otherwise(col("tf"))).as("c0"))
     val tots = tw.agg(sum("c1").cast("double").as("tot1"),
       sum("c0").cast("double").as("tot0"),
       count(lit(1)).cast("double").as("v"))
     val pri = docs.agg(
       sum(when(pos, 1L).otherwise(0L)).cast("double").as("n1"),
       sum(when(pos, 0L).otherwise(1L)).cast("double").as("n0"))
-    tok.join(tw, "w")
+    // measured dispatch (the IvfIndex idiom); the count is one aggregate
+    // job over dtf's checkpoint, not a corpus rescan
+    val twSide = if (tw.count() <= BroadcastMaxVocabRows) broadcast(tw) else tw
+    dtf.join(twSide, "w")
       .crossJoin(broadcast(tots)).crossJoin(broadcast(pri))
       .groupBy("doc_id", "n1", "n0")
-      .agg(count(lit(1)).as("n_tok"),
+      .agg(sum(col("tf")).as("n_tok"),
         round(log(col("n1") / col("n0")) +
-          sum(log((col("c1") + 1) / (col("tot1") + col("v"))) -
-              log((col("c0") + 1) / (col("tot0") + col("v")))), 6).as("log_odds"))
+          sum(col("tf") * (log((col("c1") + 1) / (col("tot1") + col("v"))) -
+              log((col("c0") + 1) / (col("tot0") + col("v"))))), 6).as("log_odds"))
       .select(col("doc_id"), col("n_tok"), col("log_odds"),
         (col("log_odds") > 0).as("keep"))
   }

@@ -19,9 +19,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.data.Frames.releaseTracked()
     graft.ops.Scans.releaseLayouts()
     // the per-run warehouse (bucketed j12/orders_bkt tables) would
-    // otherwise accumulate one copy per suite run
-    graft.streaming.Streams.deleteRecursively(new java.io.File(
-      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")))
+    // otherwise accumulate one copy per suite run — but only delete it if
+    // the shared getOrCreate session actually took THIS suite's per-run
+    // config (another suite may have created the session first, in which
+    // case the conf points at that session's live warehouse and deleting
+    // it would break its registered tables mid-run)
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    if (new java.io.File(wh).getName.startsWith("graft_warehouse_"))
+      graft.streaming.Streams.deleteRecursively(new java.io.File(wh))
   }
 
   private val sf = "/root/testdata/sf0.001"
@@ -469,16 +474,49 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       p.contains("BroadcastHashJoin"), s"t17: count joins missing:\n$p")
   }
 
-  test("t19 NB classifier: count-table equi-join, scalar totals broadcast, no window") {
+  test("t19 NB classifier: scoring joins the per-doc TERM frame, vocab broadcasts, no window") {
     val p = plan("t19_nb_classifier")
-    // train+score is aggregates and equi-joins only: the token→class-count
-    // join must be a real hash/merge join (the 1-row totals/priors ride
-    // broadcasts; nested-loop over ONE row is the broadcast fan-out, fine)
+    // train+score is aggregates and equi-joins only (the 1-row
+    // totals/priors ride broadcasts; nested-loop over ONE row is the
+    // broadcast fan-out, fine)
     assert(!p.contains("CartesianProduct"), s"t19: cartesian crept in:\n$p")
-    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
-      p.contains("BroadcastHashJoin"), s"t19: count join missing:\n$p")
+    // the r10 weak flag: the scoring join must consume the pre-aggregated
+    // (doc_id, w, tf) frame and the vocab table must ride a BROADCAST —
+    // never the raw occurrence stream through a Zipf-keyed shuffle
+    assert(p.contains("BroadcastHashJoin"),
+      s"t19: vocab counts must ride a broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"t19: a corpus-keyed shuffle join crept into the score pass:\n$p")
+    // the term frame feeding the join comes from dtf's checkpoint (the
+    // Scan ExistingRDD), proving the occurrence stream was aggregated
+    // before any w-keyed work and the corpus is scanned exactly once
+    assert(p.contains("Scan ExistingRDD"),
+      s"t19: scoring must read the checkpointed term frame:\n$p")
     assert(!p.contains("windowspecdefinition"),
       s"t19: no step of NB train/score should need a window:\n$p")
+  }
+
+  test("t17b perplexity-score: reference LM broadcasts, score pass has no corpus-keyed shuffle join") {
+    val p = plan("t17b_perplexity_score")
+    assert(!p.contains("CartesianProduct"), s"t17b: cartesian crept in:\n$p")
+    // deployment shape: both LM count tables are reference-sized and MUST
+    // broadcast — any SMJ/shuffled-hash join means the corpus bigram
+    // stream got re-keyed, the exact cost t17b exists to avoid
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"t17b: both LM tables must ride broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"t17b: a corpus-keyed shuffle join crept into the score pass:\n$p")
+  }
+
+  test("t19b NB-score: slice-trained vocab broadcasts, score pass has no corpus-keyed shuffle join") {
+    val p = plan("t19b_nb_score")
+    assert(!p.contains("CartesianProduct"), s"t19b: cartesian crept in:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"t19b: the slice-trained vocab table must ride a broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"t19b: a corpus-keyed shuffle join crept into the score pass:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"t19b: no step of NB train/score should need a window:\n$p")
   }
 
   test("t20 BM25: no explode, stats broadcast, ranking is heap top-k not a global sort") {
