@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ops._
-import graft.llm.{Bpe, Dedup, Mixture, Multimodal, Sampling, Similarity, TextStats}
+import graft.llm.{Bpe, Dedup, Mixture, Multimodal, Pipeline, Sampling, Similarity, TextStats}
 import graft.streaming.{Streams, WindowedAggs}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -20,7 +20,8 @@ object SparkEntry {
     Scans.entries ++ Projections.entries ++ Joins.entries ++
       Aggregations.entries ++ Windows.entries ++ Analytics.entries ++ SetOps.entries ++
       ScalarFns.entries ++ Dedup.entries ++ Similarity.entries ++
-      TextStats.entries ++ Bpe.entries ++ Mixture.entries ++ Multimodal.entries ++ Sampling.entries ++
+      TextStats.entries ++ Bpe.entries ++ Mixture.entries ++ Pipeline.entries ++
+      Multimodal.entries ++ Sampling.entries ++
       WindowedAggs.entries ++ Streams.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

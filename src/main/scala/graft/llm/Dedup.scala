@@ -452,7 +452,13 @@ object Dedup {
     * then a map-side trim — per-doc covered-position arrays join the
     * corpus scan and a filter/transform rebuilds the text in place.
     * Exposed for PlanSpec and DataPlaneSpec's trim fixtures. */
-  private[graft] def substringTrim(docs: DataFrame, k: Int = 5,
+  /** The per-doc covered-position arrays behind [[substringTrim]] —
+    * (doc_id, cov: array<long>), one row per doc that has at least one
+    * >= minSpan duplicated run. Duplicate-gram frequency is counted WITHIN
+    * the given docs frame (a pipeline trims after dedup/decontamination,
+    * against the surviving corpus). Shared by d11's text rebuild and the
+    * x10 composed pipeline's trim accounting (which needs counts only). */
+  private[graft] def trimCoverage(docs: DataFrame, k: Int = 5,
       minSpan: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val anchors = substringAnchors(docs, k)
@@ -461,13 +467,18 @@ object Dedup {
     val da = anchors.join(dupGrams, Seq("gh"), "left_semi")
     val grp = col("pos") -
       row_number().over(Window.partitionBy("doc_id").orderBy("pos"))
-    val iv = da.select(col("doc_id"), col("pos"), grp.as("grp"))
+    da.select(col("doc_id"), col("pos"), grp.as("grp"))
       .groupBy("doc_id", "grp")
       .agg(min(col("pos")).cast("long").as("s"), (count(lit(1)) + (k - 1)).as("len"))
       .filter(col("len") >= minSpan)
       .groupBy("doc_id")
       .agg(flatten(collect_list(sequence(col("s"), col("s") + col("len") - 1)))
         .as("cov"))
+  }
+
+  private[graft] def substringTrim(docs: DataFrame, k: Int = 5,
+      minSpan: Int = 10): DataFrame = {
+    val iv = trimCoverage(docs, k, minSpan)
     val cov = coalesce(col("cov"), array().cast("array<bigint>"))
     val withPos = transform(sequence(lit(1L), size(col("ts")).cast("long")),
       i => struct(i.as("i"), element_at(col("ts"), i.cast("int")).as("w")))

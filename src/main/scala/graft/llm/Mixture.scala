@@ -38,7 +38,7 @@ object Mixture {
   /** Document budget for x6 — small enough that sf0.01's 25-doc domains get
     * rate < 1 (the interesting regime) and sf0.001's ~2-doc domains hit the
     * rate-cap branch (min(1, ·)), so both CASE arms are oracle-exercised. */
-  private val SampleBudget = 200
+  private[graft] val SampleBudget = 200
 
   val entries: Seq[QueryDef] = Seq(
     // x5: temperature-scaled mixture weights per domain (`source`), plus the

@@ -181,32 +181,42 @@ object Sampling {
         |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS slot
         |  FROM documents)
         |WHERE slot <= 20""".stripMargin) { (s, d) =>
-      import graft.ops.Ranks
-      val cap = 20
-      val docs = Tables(s, d, "documents")
-        .select(col("doc_id"), col("source"),
-          md5(col("doc_id").cast("string")).as("h"))
-      val maxGroup = {
-        val total = docs.count()
-        if (total <= Ranks.WindowMaxGroupRows) total
-        else docs.groupBy("source").count().agg(max("count")).head().getLong(0)
-      }
-      val slotted =
-        if (maxGroup <= Ranks.WindowMaxGroupRows) {
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy("source").orderBy(col("h"), col("doc_id"))
-          docs.select(col("doc_id"), col("source"),
-            row_number().over(w).cast("long").as("slot"))
-        } else {
-          val ranked = Ranks.groupRank(docs, col("source"),
-            Seq(col("h"), col("doc_id")), s.sparkContext.defaultParallelism)
-          val offs = ranked.groupBy("source").agg(min(col("g_idx")).as("min_idx"))
-          ranked.join(broadcast(offs), "source")
-            .select(col("doc_id"), col("source"),
-              (col("g_idx") - col("min_idx") + 1).as("slot"))
-        }
-      slotted.filter(col("slot") <= cap)
+      sourceSlots(Tables(s, d, "documents"), s)
+        .filter(col("slot") <= 20)
         .select(col("doc_id"), col("source"), col("slot"))
     }
   )
+
+  /** p9's per-source reservoir rank — each doc's 1-based slot in its
+    * source's (md5(doc_id), doc_id) order — dispatched on MEASURED group
+    * size exactly like w3/p8 (a source-keyed row_number window is the
+    * single-task trap when one domain holds 100 TB of rows;
+    * Ranks.groupRank assigns identical values with cluster-wide
+    * parallelism beyond the threshold). Shared by the declared p9 query
+    * and the x10 composed pipeline's cap stage. Input needs
+    * (doc_id, source); output (doc_id, source, slot). */
+  private[graft] def sourceSlots(in: org.apache.spark.sql.DataFrame,
+      s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+    import graft.ops.Ranks
+    val docs = in.select(col("doc_id"), col("source"),
+      md5(col("doc_id").cast("string")).as("h"))
+    val maxGroup = {
+      val total = docs.count()
+      if (total <= Ranks.WindowMaxGroupRows) total
+      else docs.groupBy("source").count().agg(max("count")).head().getLong(0)
+    }
+    if (maxGroup <= Ranks.WindowMaxGroupRows) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("h"), col("doc_id"))
+      docs.select(col("doc_id"), col("source"),
+        row_number().over(w).cast("long").as("slot"))
+    } else {
+      val ranked = Ranks.groupRank(docs, col("source"),
+        Seq(col("h"), col("doc_id")), s.sparkContext.defaultParallelism)
+      val offs = ranked.groupBy("source").agg(min(col("g_idx")).as("min_idx"))
+      ranked.join(broadcast(offs), "source")
+        .select(col("doc_id"), col("source"),
+          (col("g_idx") - col("min_idx") + 1).as("slot"))
+    }
+  }
 }

@@ -562,6 +562,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"s13 read-back should shuffle once, for the bucket aggregate:\n$p")
   }
 
+  test("x10 full pipeline: manifest aggregates the checkpointed ledger, never re-scans the corpus") {
+    val p = plan("x10_full_pipeline")
+    // building the plan runs the pipeline's eager stages (ledger
+    // checkpoint, decontamination, trim, slot dispatch); the RETURNED
+    // manifest must then read only the checkpointed ledger and the
+    // budget-bounded tail frames — ten stage rollups, zero parquet
+    // re-scans (the "shared caches reused, no re-scan per stage" lock)
+    assert(!p.contains("Scan parquet"),
+      s"x10: a manifest stage re-scanned the corpus:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"x10: manifest must read the checkpointed ledger:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"x10: quadratic join fallback:\n$p")
+  }
+
   test("j12 bucketed join plans zero exchanges over the co-located layout") {
     graft.ops.BucketedLayout.ensure(spark, sf) // charge the layout build here
     val p = plan("j12_bucketed_join")
