@@ -74,6 +74,18 @@ object Similarity {
         round(col("s._2"), 6).as("cosine"), (col("pos") + 1).as("rn"))
   }
 
+  /** SemDeDup's sized clustering — measured dispatch (the w3/IVF
+    * precedent): one metadata-cheap count sizes the clustering so cells
+    * hold ~2k vectors; within-cell pairwise work then grows LINEARLY in n
+    * (n·cellSize), the "scale k with the corpus" knob the paper turns
+    * (k = 11k at 600M docs). Pinning k instead is the quadratic trap: at
+    * 100× the 8-cell cells held 25k vectors and the pair scan did 2.5B
+    * cosines (229 s); sized cells do ~100M (30 s). Clamped so testdata
+    * keeps the spec-pinned 8. Shared by sim_semdedup_build and
+    * sim_semdedup so both declare the SAME index. */
+  private[graft] def semDedupK(emb: DataFrame): Int =
+    math.max(8, math.min(4096, (emb.count() / 2000L).toInt))
+
   val entries: Seq[QueryDef] = Seq(
     // J9: brute-force top-10 cosine neighbors for 5 probe vectors; exact
     // (same fold order as the DuckDB oracle → identical doubles pre-round).
@@ -145,17 +157,23 @@ object Similarity {
     // cosine-CC groups (zero false merges), (b) grouped members really
     // exceed the threshold under exact recomputation, (c) exactly one
     // keeper per group, (d) determinism across runs.
+    // The OFFLINE half of SemDeDup as its own declared line (the
+    // sim_ivf_build / d0_cache_build precedent): the sized-cell KMeans
+    // index build + save, reported as per-cell occupancy. sim_semdedup
+    // (declared next) then reuses the persisted index, so its line
+    // measures the DECISION pass, not the one-time clustering a
+    // deployment amortizes across runs. Engine-specific clustering →
+    // rows-only; DataPlaneSpec proves the build/decision split is exact
+    // (same k, cells cover the corpus, decision unchanged).
+    QueryDef.noOracle("sim_semdedup_build") { (s, d) =>
+      val emb = Tables(s, d, "embeddings")
+      val model = IvfIndex.cachedIndexFor(d, emb, nClusters = semDedupK(emb))
+      model.assigned.groupBy("cell").agg(count(lit(1)).as("n_vectors"))
+    },
+
     QueryDef.noOracle("sim_semdedup") { (s, d) =>
       val emb = Tables(s, d, "embeddings")
-      // measured dispatch (the w3/IVF precedent): one metadata-cheap count
-      // sizes the clustering so cells hold ~2k vectors — within-cell
-      // pairwise work then grows LINEARLY in n (n·cellSize), the "scale k
-      // with the corpus" knob the paper turns (k = 11k at 600M docs).
-      // Pinning k instead is the quadratic trap: at 100× the 8-cell cells
-      // held 25k vectors and the pair scan did 2.5B cosines (229 s); sized
-      // cells do ~100M (30 s). Clamped so testdata keeps the spec-pinned 8.
-      val k = math.max(8, math.min(4096, (emb.count() / 2000L).toInt))
-      IvfIndex.semDedupCached(d, emb, threshold = 0.3, nClusters = k)
+      IvfIndex.semDedupCached(d, emb, threshold = 0.3, nClusters = semDedupK(emb))
     },
 
     // Per-label embedding centroids: element-wise mean via posexplode +

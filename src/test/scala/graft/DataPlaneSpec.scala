@@ -1219,6 +1219,29 @@ class DataPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sd.exists(!_._3), "expected at least one dropped semantic duplicate")
   }
 
+  test("sim_semdedup_build: sized-cell index covers the corpus; decision reuses it unchanged") {
+    val emb = Tables(spark, sf, "embeddings")
+    val n = emb.count()
+    val cells = SparkEntry.queries("sim_semdedup_build")(spark, sf).collect()
+      .map(r => r.getAs[Int]("cell") -> r.getAs[Long]("n_vectors")).toMap
+    // the build declares the SAME sized k as the decision query and its
+    // cells partition the corpus exactly
+    assert(cells.size == Similarity.semDedupK(emb),
+      s"build must use the shared sized k: got ${cells.size}")
+    assert(cells.values.sum == n, "cell occupancies must cover every vector")
+    // the decision query run AFTER the build is served from the persisted
+    // index (the build/query split): identical output to a direct semDedup
+    // over the same cached index
+    val viaQuery = SparkEntry.queries("sim_semdedup")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("grp"), r.getAs[Boolean]("keep")))
+      .sortBy(_._1).toSeq
+    val direct = IvfIndex.semDedupCached(sf, emb, threshold = 0.3,
+        nClusters = Similarity.semDedupK(emb)).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("grp"), r.getAs[Boolean]("keep")))
+      .sortBy(_._1).toSeq
+    assert(viaQuery == direct, "decision must be identical through the shared persisted index")
+  }
+
   test("s13 Morton code equals a bit-by-bit reference interleave (seeded, incl. wrap cases)") {
     import spark.implicits._
     // independent derivation: the mask-spread ladder vs a plain bit loop —
