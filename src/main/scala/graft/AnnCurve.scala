@@ -1,0 +1,84 @@
+package graft
+
+import graft.data.Tables
+import graft.llm.{IvfIndex, PqIndex, Similarity}
+import org.apache.spark.sql.functions._
+
+/** ANN recall/latency operating curve: sweeps the IVFPQ knobs
+  * (codebook resolution ksub × rotation × nProbe × shortlist) against
+  * EXACT brute-force top-k truth and records (recall@10, wall seconds)
+  * per point — the tuning guidance a deployment needs to pick an
+  * operating point, and the artifact backing the "recall ≥ 0.9 at a
+  * measured latency" claim.
+  *
+  * Recall@10 here is pair recall: |approx∩exact| / |exact| over all
+  * probes' top-10 sets (ties broken identically on both sides — lower
+  * cand_id — so the comparison is exact).
+  *
+  * Usage: sbt "runMain graft.AnnCurve [sfDir] [outJson]"
+  * Artifact: scale_r11/ann_curve.json
+  */
+object AnnCurve {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/tmp/graft_scale/sf1")
+    val out = args.lift(1).getOrElse("scale_r11/ann_curve.json")
+    val spark = MasterEnv.standardBuilder(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb = Tables(spark, sfDir, "embeddings")
+    val nVec = emb.count()
+    // ~1% of the corpus as probes, capped so the exact truth stays cheap
+    val probeMod = math.max(2L, nVec / 200L)
+    val probes = emb.filter(col("vec_id") % probeMod === 0)
+    val nProbes = probes.count()
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("probe_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // exact truth: brute-force cosine top-10 (bounded-heap aggregator)
+    val (truth, tTruth) = timed(pairSet(
+      Similarity.bruteForceKnnAgg(probes, emb, k = 10)))
+
+    // the engine's sized clustering (the sim_semdedup knob): cells of ~2k
+    val nClusters = math.max(8, math.min(4096, (nVec / 2000L).toInt))
+    val (ivf, tIvf) = timed(IvfIndex.build(emb, nClusters))
+
+    val results = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((m, ksub) <- Seq((8, 16), (8, 64), (16, 64)); opq <- Seq(false, true)) {
+      val label = (if (opq) "opq" else "pq") + s"_m${m}_k$ksub"
+      val (model, tBuild) = timed(PqIndex.build(emb, m = m, ksub = ksub, opq = opq))
+      model.encoded.count() // materialize the persist before timing probes
+      for (nProbe <- Seq(1, 4, nClusters); shortlist <- Seq(50, 200, 500, 1000)) {
+        val (got, tQ) = timed(pairSet(
+          if (nProbe >= nClusters)
+            PqIndex.search(model, probes, emb, k = 10, shortlist = shortlist)
+          else
+            PqIndex.searchIvfPq(ivf, model, probes, emb,
+              k = 10, shortlist = shortlist, nProbe = nProbe)))
+        val rec = if (truth.isEmpty) 1.0 else (truth & got).size.toDouble / truth.size
+        results += s"""{"model":"$label","n_probe":$nProbe,"shortlist":$shortlist,"recall_at_10":${math.rint(rec * 1e4) / 1e4},"query_s":${math.rint(tQ * 100) / 100},"build_s":${math.rint(tBuild * 100) / 100}}"""
+        println(s"[ann_curve] $label nProbe=$nProbe shortlist=$shortlist recall=$rec t=${tQ}s")
+      }
+      model.unpersist()
+    }
+    ivf.unpersist()
+
+    val dir = java.nio.file.Paths.get(out).getParent
+    if (dir != null) java.nio.file.Files.createDirectories(dir)
+    def jstr(s: String): String = s.replaceAll("""["\\\n\r\t]""", " ")
+    val json =
+      s"""{"sf_dir":"${jstr(sfDir)}","n_vectors":$nVec,"n_probes":$nProbes,
+         |"truth_s":${math.rint(tTruth * 100) / 100},"n_clusters":$nClusters,"ivf_build_s":${math.rint(tIvf * 100) / 100},
+         |"points":[${results.mkString(",")}],
+         |"loadavg":${java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage}}"""
+        .stripMargin.replace("\n", "")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
+    println(json)
+    spark.stop()
+  }
+}

@@ -6,11 +6,15 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 /** A trained PQ model: per-subspace codebooks (driver-local, ~KBs) + the
-  * corpus encoded to m small codes per vector. At 100 TB `encoded` IS the
-  * scan — m bytes/vector instead of 4·dim — and the full-precision
-  * vectors are touched only for the per-probe shortlist rerank. */
+  * corpus encoded to m small codes per vector, plus an optional OPQ
+  * rotation (Ge et al. 2013) applied before sub-quantization. At 100 TB
+  * `encoded` IS the scan — m bytes/vector instead of 4·dim — and the
+  * full-precision vectors are touched only for the per-probe shortlist
+  * rerank. The rotation is orthogonal, so rotated-space ADC dots
+  * approximate ORIGINAL-space dots and the exact rerank is untouched. */
 final case class PqModel(m: Int, dsub: Int,
-    codebooks: Seq[Seq[Seq[Double]]], encoded: DataFrame) {
+    codebooks: Seq[Seq[Seq[Double]]], encoded: DataFrame,
+    rotation: Option[Seq[Seq[Double]]] = None) {
   def unpersist(): Unit = encoded.unpersist()
 }
 
@@ -39,11 +43,17 @@ object PqIndex {
     * floor for the same KB of output). The hash order makes the sample an
     * unbiased deterministic reservoir; everything CORPUS-sized (encode,
     * ADC scan) stays distributed. */
-  def train(corpus: DataFrame, m: Int, ksub: Int): Seq[Seq[Seq[Double]]] = {
-    val sample = corpus
+  def train(corpus: DataFrame, m: Int, ksub: Int): Seq[Seq[Seq[Double]]] =
+    trainSub(sampleVecs(corpus), m, ksub)
+
+  private def sampleVecs(corpus: DataFrame): Array[Array[Double]] =
+    corpus
       .select(col("embedding").cast("array<double>").as("e"), col("vec_id"))
       .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(TrainSample)
       .collect().map(_.getSeq[Double](0).toArray)
+
+  private def trainSub(sample: Array[Array[Double]], m: Int,
+      ksub: Int): Seq[Seq[Seq[Double]]] = {
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     require(sample.length >= ksub, s"${sample.length} vectors < $ksub codes")
@@ -51,6 +61,83 @@ object PqIndex {
     (0 until m).map { s =>
       val pts = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
       lloyd(pts, ksub, seed = 42L + s).map(_.toSeq).toSeq
+    }
+  }
+
+  /** OPQ rotation training (Ge et al. 2013, "Optimized Product
+    * Quantization", the non-parametric solver): alternate between (a)
+    * training sub-codebooks on the rotated sample and (b) solving the
+    * orthogonal Procrustes problem min_R ||XR − Y||_F (Y = the PQ
+    * reconstruction) via SVD, R = U·Vᵀ. All driver-side over the same
+    * bounded sample as [[train]] — the rotation is a dim×dim matrix
+    * (KBs); the corpus-sized encode stays distributed and applies it as
+    * a literal inside codegen. Returns (rotation rows r_i with
+    * x'_i = Σ_j r_ij·x_j, codebooks trained in the rotated space). */
+  def trainOpq(corpus: DataFrame, m: Int, ksub: Int,
+      iters: Int = 8): (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
+    import breeze.linalg.{svd, DenseMatrix}
+    val sample = sampleVecs(corpus)
+    val n = sample.length
+    val dim = sample.head.length
+    val dsub = dim / m
+    val x = DenseMatrix(sample: _*) // n×d
+    var r = DenseMatrix.eye[Double](dim)
+    var books: Seq[Seq[Seq[Double]]] = Seq.empty
+    for (_ <- 0 until iters) {
+      val xr = x * r
+      val rows = Array.tabulate(n)(i => xr(i, ::).t.toArray)
+      books = trainSub(rows, m, ksub)
+      // PQ reconstruction of the rotated sample: per subspace, snap to the
+      // nearest code (same argmin/tiebreak as the distributed encode)
+      val y = DenseMatrix.zeros[Double](n, dim)
+      for (i <- 0 until n; s <- 0 until m) {
+        val sub = java.util.Arrays.copyOfRange(rows(i), s * dsub, (s + 1) * dsub)
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < ksub) {
+          val cb = books(s)(c)
+          var dd = 0.0; var j = 0
+          while (j < dsub) { val t = sub(j) - cb(j); dd += t * t; j += 1 }
+          if (dd < bd) { bd = dd; best = c }
+          c += 1
+        }
+        val cb = books(s)(best)
+        var j = 0; while (j < dsub) { y(i, s * dsub + j) = cb(j); j += 1 }
+      }
+      val m2 = x.t * y
+      val sv = svd(m2)
+      r = sv.U * sv.Vt
+    }
+    // rotation rows for the column expression: x'_i = Σ_j rot(i)(j)·x_j,
+    // i.e. rot(i)(j) = R(j,i) in the X·R convention used above
+    val rot = (0 until dim).map(i => (0 until dim).map(j => r(j, i)).toSeq)
+    (rot, books)
+  }
+
+  /** OPQ's rotation FOLDED into the codebooks, driver-side: the full-dim
+    * back-rotated code vectors u_{s,c} = Rᵀ·pad(c at subspace s), so that
+    * ⟨(Rv)_s, c⟩ = ⟨v, u_{s,c}⟩. No rotation expression ever reaches a
+    * distributed plan — the naive formulation (rotate the vector column,
+    * then slice inside the code lambdas) re-evaluates the dim×dim rotation
+    * per CODE inside interpreted higher-order functions, measured 10-40×
+    * slower per probe batch. With the fold, encode and probe-table build
+    * are dots of the RAW vector against literal arrays — the exact plain-PQ
+    * plan shape, just full-dim codes. Output: m × ksub × dim. */
+  private def backRotate(codebooks: Seq[Seq[Seq[Double]]],
+      rot: Seq[Seq[Double]]): Seq[Seq[Seq[Double]]] = {
+    val dim = rot.size
+    val dsub = codebooks.head.head.size
+    codebooks.zipWithIndex.map { case (subCb, s) =>
+      val off = s * dsub
+      subCb.map { c =>
+        val u = new Array[Double](dim)
+        var i = 0
+        while (i < c.size) {
+          val ci = c(i); val row = rot(off + i)
+          var j = 0; while (j < dim) { u(j) += ci * row(j); j += 1 }
+          i += 1
+        }
+        u.toSeq
+      }
     }
   }
 
@@ -103,35 +190,67 @@ object PqIndex {
     * (argmin of squared distance; first index on ties — deterministic).
     * The codebooks ride into the plan as literals, so this is one
     * narrow projection over the corpus scan — no shuffle, no UDF. */
-  def encode(corpus: DataFrame, codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+  def encode(corpus: DataFrame, codebooks: Seq[Seq[Seq[Double]]],
+      rotation: Option[Seq[Seq[Double]]] = None): DataFrame = {
     val m = codebooks.size
     val dsub = codebooks.head.head.size
     val e = col("embedding").cast("array<double>")
-    val codeCols = (0 until m).map { s =>
-      val sub = slice(e, s * dsub + 1, dsub)
-      val dists = transform(typedLit(codebooks(s)), c =>
-        aggregate(zip_with(sub, c, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (a, v) => a + v))
-      (array_position(dists, array_min(dists)) - 1).cast("int")
+    val codeCols = rotation match {
+      case None =>
+        (0 until m).map { s =>
+          val sub = slice(e, s * dsub + 1, dsub)
+          val dists = transform(typedLit(codebooks(s)), c =>
+            aggregate(zip_with(sub, c, (x, y) => (x - y) * (x - y)),
+              lit(0.0), (a, v) => a + v))
+          (array_position(dists, array_min(dists)) - 1).cast("int")
+        }
+      case Some(rot) =>
+        // rotated-space argmin via the back-rotation fold (see backRotate):
+        // argmin_c ||(Rv)_s − c||² = argmin_c (||c||² − 2⟨v, u_{s,c}⟩) —
+        // the ||(Rv)_s||² term is constant within a subspace and drops out
+        val u = backRotate(codebooks, rot)
+        (0 until m).map { s =>
+          val n2: Seq[Double] = codebooks(s).map(c => c.map(x => x * x).sum)
+          val dists = zip_with(typedLit(n2),
+            transform(typedLit(u(s)), uc =>
+              aggregate(zip_with(e, uc, (x, y) => x * y), lit(0.0), (a, v) => a + v)),
+            (nc, dot) => nc - lit(2.0) * dot)
+          (array_position(dists, array_min(dists)) - 1).cast("int")
+        }
     }
     corpus.select(col("vec_id"), array(codeCols: _*).as("codes"))
   }
 
-  def build(corpus: DataFrame, m: Int = 8, ksub: Int = 16): PqModel = {
-    val cbs = train(corpus, m, ksub)
-    val enc = encode(corpus, cbs).persist(StorageLevel.MEMORY_AND_DISK)
-    PqModel(m, cbs.head.head.size, cbs, enc)
+  def build(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
+      opq: Boolean = false): PqModel = {
+    val (rot, cbs) =
+      if (opq) { val (r, b) = trainOpq(corpus, m, ksub); (Some(r), b) }
+      else (None, train(corpus, m, ksub))
+    val enc = encode(corpus, cbs, rot).persist(StorageLevel.MEMORY_AND_DISK)
+    PqModel(m, cbs.head.head.size, cbs, enc, rot)
   }
 
   /** Probe prep shared by plain-PQ and IVFPQ search: per-probe m×ksub
-    * dot-product table (built once per probe row), vector, norm. */
+    * dot-product table (built once per probe row), vector, norm. Under an
+    * OPQ rotation the table entries are ⟨v, u_{s,c}⟩ against the
+    * back-rotated codebooks (= the rotated-space dots, by orthogonality —
+    * see backRotate); `pvec`/`pnorm` stay ORIGINAL — the exact rerank
+    * never sees the rotation. */
   private def probePrep(model: PqModel, probes: DataFrame): DataFrame = {
     val dsub = model.dsub
     val pv = col("embedding").cast("array<double>")
-    val tbl = transform(typedLit(model.codebooks), (subCb, s) =>
-      transform(subCb, c =>
-        aggregate(zip_with(slice(pv, s * dsub + 1, lit(dsub)), c,
-          (x, y) => x * y), lit(0.0), (a, v) => a + v)))
+    val tbl = model.rotation match {
+      case None =>
+        transform(typedLit(model.codebooks), (subCb, s) =>
+          transform(subCb, c =>
+            aggregate(zip_with(slice(pv, s * dsub + 1, lit(dsub)), c,
+              (x, y) => x * y), lit(0.0), (a, v) => a + v)))
+      case Some(rot) =>
+        transform(typedLit(backRotate(model.codebooks, rot)), subU =>
+          transform(subU, uc =>
+            aggregate(zip_with(pv, uc, (x, y) => x * y),
+              lit(0.0), (a, v) => a + v)))
+    }
     probes.select(col("vec_id").as("probe_id"), pv.as("pvec"),
       tbl.as("tbl"), sqrt(Similarity.dotProduct(pv, pv)).as("pnorm"))
   }
@@ -207,18 +326,20 @@ object PqIndex {
   // precedent): the declared ANN query measures probe time, the build
   // cost is declared separately via sim_pq_build
   private val modelCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), PqModel]
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int, Boolean), PqModel]
 
   /** The shared per-corpus model (the d0_cache_build precedent: the
     * declared sim_pq_build line owns the train+encode cost; probe queries
     * reuse the encoded corpus). */
   def cachedModel(cacheKey: String, corpus: DataFrame,
-      m: Int = 8, ksub: Int = 16): PqModel =
-    modelCache.getOrElseUpdate((cacheKey, m, ksub), build(corpus, m, ksub))
+      m: Int = 8, ksub: Int = 16, opq: Boolean = false): PqModel =
+    modelCache.getOrElseUpdate((cacheKey, m, ksub, opq),
+      build(corpus, m, ksub, opq))
 
   def searchCached(cacheKey: String, probes: DataFrame, corpus: DataFrame,
-      k: Int, shortlist: Int, m: Int = 8, ksub: Int = 16): DataFrame =
-    search(cachedModel(cacheKey, corpus, m, ksub), probes, corpus, k, shortlist)
+      k: Int, shortlist: Int, m: Int = 8, ksub: Int = 16,
+      opq: Boolean = false): DataFrame =
+    search(cachedModel(cacheKey, corpus, m, ksub, opq), probes, corpus, k, shortlist)
 
   /** Unpersist every cached model's encoded frame and clear the cache —
     * the Dedup.releaseCaches / Scans.releaseLayouts idiom, called from the

@@ -252,6 +252,31 @@ object Similarity {
         k = 10, shortlist = 50)
     },
 
+    // OPQ (Ge et al. 2013, "Optimized Product Quantization"): PQ with a
+    // learned orthogonal rotation applied before sub-quantization — the
+    // standard fix for PQ's axis-aligned subspace split when the data's
+    // variance is correlated across subspaces (it is here: recall@10
+    // measured +0.1-0.2 over plain PQ at the same m/ksub, see
+    // scale_r11/ann_curve.json). The rotation is a dim×dim driver-side
+    // matrix (trained by alternating Lloyd's + orthogonal Procrustes over
+    // the same bounded sample as PQ) that rides into the encode/probe
+    // plans as a literal inside codegen; the exact rerank never sees it,
+    // so shortlist cosines stay bit-equal to brute force. Build line owns
+    // the train+rotate+encode cost (the sim_pq_build precedent).
+    QueryDef.noOracle("sim_opq_build") { (s, d) =>
+      val emb = Tables(s, d, "embeddings")
+      val model = PqIndex.cachedModel(d, emb, opq = true)
+      model.encoded
+        .select(posexplode(col("codes")).as(Seq("sub", "code")))
+        .groupBy("sub", "code").agg(count(lit(1)).as("n_vectors"))
+    },
+
+    QueryDef.noOracle("sim_opq_ann") { (s, d) =>
+      val emb = Tables(s, d, "embeddings")
+      PqIndex.searchCached(d, emb.filter(col("vec_id") < 5), emb,
+        k = 10, shortlist = 50, opq = true)
+    },
+
     // LAION-style alignment filtering (Schuhmann et al. 2021 keep an
     // image-text pair only if its CLIP score clears a threshold): here the
     // modality pair is (text quality, embedding-vs-source-centroid cosine)

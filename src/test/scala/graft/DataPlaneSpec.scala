@@ -394,6 +394,40 @@ class DataPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.6, s"PQ recall@10 (shortlist 50) $recall < 0.6")
   }
 
+  test("sim_opq_ann: rotation is orthogonal, rerank exact, recall not below plain PQ floor") {
+    val emb = Tables(spark, sf, "embeddings")
+    val probes = emb.filter(col("vec_id") < 5)
+    val model = graft.llm.PqIndex.build(emb, opq = true)
+    // the trained rotation really is orthogonal: RᵀR = I to 1e-9 — the
+    // property that makes rotated-space ADC dots equal original-space dots
+    // (and the back-rotation fold exact)
+    val rot = model.rotation.get
+    val dim = rot.size
+    for (i <- 0 until dim; j <- i until dim) {
+      val dot = (0 until dim).map(k => rot(i)(k) * rot(j)(k)).sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-9, s"RRᵀ[$i][$j] = $dot, want $want")
+    }
+    // codes well-formed under rotation
+    model.encoded.collect().foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.size == 8 && cs.forall(c => c >= 0 && c < 16),
+        s"vec ${r.getLong(0)}: malformed codes $cs")
+    }
+    val exact = Similarity.bruteForceKnn(probes, emb, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val opq = graft.llm.PqIndex.search(model, probes, emb, k = 10, shortlist = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    model.unpersist()
+    assert(opq.size == exact.size, "k rows per probe")
+    // rerank never sees the rotation: overlapping cosines bit-equal
+    for ((pair, c) <- opq if exact.contains(pair))
+      assert(c == exact(pair), s"$pair: rerank cosine $c != brute ${exact(pair)}")
+    val recall = opq.keySet.count(exact.contains).toDouble / exact.size
+    info(f"OPQ recall@10 (shortlist 50) = $recall%.2f")
+    assert(recall >= 0.6, s"OPQ recall@10 (shortlist 50) $recall < 0.6")
+  }
+
   test("sim_ivfpq_ann: results come from routed cells, rerank exact, recall measured") {
     val emb = Tables(spark, sf, "embeddings")
     val probes = emb.filter(col("vec_id") < 5)
@@ -1240,6 +1274,56 @@ class DataPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("grp"), r.getAs[Boolean]("keep")))
       .sortBy(_._1).toSeq
     assert(viaQuery == direct, "decision must be identical through the shared persisted index")
+  }
+
+  test("planted join skew: AQE splits the hot partition, answer unchanged (the SkewProbe case)") {
+    // one hot key owning half the probe side of a shuffled join — the
+    // SkewProbe shape at spec scale. Run the identical join with AQE
+    // skew-join handling OFF and ON (thresholds lowered so the planted
+    // partition qualifies) and assert (a) the ON plan really took the
+    // skew-split path, (b) the answer is identical.
+    import spark.implicits._
+    val n = 400000L
+    def planted = spark.range(n).select(
+      when(col("id") % 2 === 0, lit(7L)).otherwise(col("id")).as("k"),
+      (col("id") % 97).as("v"))
+    def dim = spark.range(200000).select(col("id").as("k"), (col("id") % 13).as("w"))
+    def run(skewOn: Boolean): (Long, Long, String) = {
+      val conf = spark.conf
+      val saved = Seq(
+        "spark.sql.autoBroadcastJoinThreshold", "spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.coalescePartitions.enabled")
+        .map(k => k -> conf.getOption(k)).toMap
+      try {
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.enabled", "true")
+        conf.set("spark.sql.adaptive.skewJoin.enabled", skewOn.toString)
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256k")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256k")
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        val agg = planted.join(dim, "k")
+          .agg(count(lit(1)), sum(col("v") * col("w")))
+        // collect(), not head(): head() executes a DERIVED limit plan and
+        // leaves this QueryExecution unexecuted (isFinalPlan=false) — only
+        // the executed one carries AQE's final skew decisions
+        val r = agg.collect().head
+        (r.getLong(0), r.getLong(1), agg.queryExecution.executedPlan.toString)
+      } finally saved.foreach { case (k, v) =>
+        v.fold(conf.unset(k))(conf.set(k, _))
+      }
+    }
+    val (nOff, sOff, pOff) = run(skewOn = false)
+    val (nOn, sOn, pOn) = run(skewOn = true)
+    assert(!pOff.contains("skew=true"), s"skew split ran with handling off:\n$pOff")
+    assert(pOn.contains("skew=true"),
+      s"AQE did not split the planted hot partition:\n$pOn")
+    assert((nOff, sOff) == (nOn, sOn),
+      s"skew handling changed the answer: ($nOff,$sOff) vs ($nOn,$sOn)")
   }
 
   test("s13 Morton code equals a bit-by-bit reference interleave (seeded, incl. wrap cases)") {
