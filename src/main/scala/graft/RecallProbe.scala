@@ -88,7 +88,8 @@ object RecallProbe {
       s""""semdedup":{"skipped":"exact truth is n^2; n=$nVec"}"""
     } else {
       import graft.llm.IvfIndex
-      val k = math.max(8, math.min(4096, (nVec / 2000L).toInt))
+      // the declared queries' sizing, one source of truth
+      val k = graft.llm.Similarity.semDedupK(emb)
       val (idx, tBuild) = timed(IvfIndex.build(emb, k))
       val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val a = e.select(col("vec_id").as("doc_a"), col("v").as("va"))

@@ -25,14 +25,27 @@ final case class IvfModel(centroids: Seq[(Int, Array[Double])], assigned: DataFr
   */
 object IvfIndex {
 
+  /** KMeans fit cap: the coarse quantizer trains on at most
+    * max(50·k, this) vectors — the FAISS practice (its default trains on
+    * ≤ 256 points per centroid). The centroids are k×dim KBs; full-corpus
+    * Lloyd's pays corpus-scale iterations for the same KBs of output
+    * (measured 82.8 s vs ~11 s at the 100× corpus, identical index
+    * structure). The ASSIGNMENT pass stays distributed over every vector. */
+  val KmeansTrainCap = 20000L
+
   /** Offline index build — the expensive step a deployment runs once and
     * reuses across query workloads, NOT per query. */
   def build(corpus: DataFrame, nClusters: Int): IvfModel = {
     val vecs = corpus.select(col("vec_id"), col("embedding"),
       array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    val cap = math.max(50L * nClusters, KmeansTrainCap)
+    // deterministic hash-ordered sample (the PqIndex.train reservoir idiom)
+    val trainVecs =
+      if (corpus.count() <= cap) vecs
+      else vecs.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(cap.toInt)
     val km = new KMeans().setK(nClusters).setSeed(42L)
       .setFeaturesCol("features").setPredictionCol("cell")
-    val model = km.fit(vecs)
+    val model = km.fit(trainVecs)
     val assigned = model.transform(vecs)
       .select(col("vec_id"), col("embedding"), col("cell"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -217,13 +230,25 @@ object IvfIndex {
     * public so RecallProbe can measure cell-capture recall against the
     * exact global pair set at scales where truth is still computable. */
   def withinCellPairs(index: IvfModel, threshold: Double): DataFrame = {
+    // per-vector norms hoisted OUT of the quadratic stage: the within-cell
+    // scan does Σ|cell|² pair evaluations, so each pair pays one codegen'd
+    // dot (1 multiply-add per element) instead of the fused cosine's 3 —
+    // norms are computed once per vector on the linear side of the join.
+    // dot > τ·na·nb ⇔ dot/(na·nb) > τ up to one-ulp boundary cases (τ > 0
+    // and norms positive); DataPlaneSpec's exact recomputation guards the
+    // equivalence on real data.
+    val v = col("embedding").cast("array<double>")
     val assigned = index.assigned
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("cell"))
-    val a = assigned.select(col("cell"), col("vec_id").as("doc_a"), col("v").as("va"))
-    val b = assigned.select(col("cell"), col("vec_id").as("doc_b"), col("v").as("vb"))
+      .select(col("vec_id"), v.as("v"),
+        sqrt(Similarity.dotNative(v, v)).as("nrm"), col("cell"))
+    val a = assigned.select(col("cell"), col("vec_id").as("doc_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("cell"), col("vec_id").as("doc_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, Seq("cell"))
       .filter(col("doc_a") < col("doc_b"))
-      .filter(Similarity.cosine(col("va"), col("vb")) > threshold)
+      .filter(Similarity.dotNative(col("va"), col("vb")) >
+        lit(threshold) * col("na") * col("nb"))
       .select("doc_a", "doc_b")
   }
 

@@ -38,6 +38,16 @@ object Similarity {
         org.apache.spark.sql.GraftExpressionBridge.expressionOf(a),
         org.apache.spark.sql.GraftExpressionBridge.expressionOf(b)))
 
+  /** Dot product via the native codegen'd expression — for pair scans
+    * whose per-vector norms are hoisted out of the quadratic stage
+    * (SemDeDup's within-cell scan): 1 multiply-add per element per pair
+    * instead of the fused cosine's 3. */
+  def dotNative(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftExpressionBridge.columnOf(
+      graft.functions.DotProductExpr(
+        org.apache.spark.sql.GraftExpressionBridge.expressionOf(a),
+        org.apache.spark.sql.GraftExpressionBridge.expressionOf(b)))
+
   /** Brute-force top-k cosine neighbors for each probe row, window-rank
     * formulation: shuffles every (probe, candidate) score to sort it.
     * Kept as the reference implementation [[bruteForceKnnAgg]] is pinned
@@ -74,17 +84,26 @@ object Similarity {
         round(col("s._2"), 6).as("cosine"), (col("pos") + 1).as("rn"))
   }
 
+  /** SemDeDup's target cell size — the recall/cost knob: within-cell pair
+    * work is n·cellSize, and cell-capture recall rises with cellSize.
+    * BOTH operating points are measured at sf1 (RecallProbe): 1000-vector
+    * cells halve the decision cost but drop τ=0.6 pair recall to 0.79
+    * (scale_r11/recall_sf1_cells1000.json); 2000 holds 0.93
+    * (scale_r11/recall_sf1.json). Recall wins — 2000 stays the declared
+    * operating point, and a deployment trades it consciously. */
+  private[graft] val SemDedupCellTarget = 2000L
+
   /** SemDeDup's sized clustering — measured dispatch (the w3/IVF
     * precedent): one metadata-cheap count sizes the clustering so cells
-    * hold ~2k vectors; within-cell pairwise work then grows LINEARLY in n
-    * (n·cellSize), the "scale k with the corpus" knob the paper turns
-    * (k = 11k at 600M docs). Pinning k instead is the quadratic trap: at
-    * 100× the 8-cell cells held 25k vectors and the pair scan did 2.5B
-    * cosines (229 s); sized cells do ~100M (30 s). Clamped so testdata
-    * keeps the spec-pinned 8. Shared by sim_semdedup_build and
-    * sim_semdedup so both declare the SAME index. */
+    * hold ~[[SemDedupCellTarget]] vectors; within-cell pairwise work then
+    * grows LINEARLY in n (n·cellSize), the "scale k with the corpus" knob
+    * the paper turns (k = 11k at 600M docs). Pinning k instead is the
+    * quadratic trap: at 100× the 8-cell cells held 25k vectors and the
+    * pair scan did 2.5B cosines (229 s); sized cells do ~100M. Clamped so
+    * testdata keeps the spec-pinned 8. Shared by sim_semdedup_build,
+    * sim_semdedup, and RecallProbe so all three declare the SAME index. */
   private[graft] def semDedupK(emb: DataFrame): Int =
-    math.max(8, math.min(4096, (emb.count() / 2000L).toInt))
+    math.max(8, math.min(4096, (emb.count() / SemDedupCellTarget).toInt))
 
   val entries: Seq[QueryDef] = Seq(
     // J9: brute-force top-10 cosine neighbors for 5 probe vectors; exact

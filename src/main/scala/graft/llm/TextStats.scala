@@ -727,38 +727,39 @@ object TextStats {
     // deterministic dataflow with an exact SQL oracle — no float gradient
     // whose partial-sum order varies across engines.
     //
-    // Scale shape (r11, closing the r10 `weak` flag): the token stream is
-    // pre-aggregated to the per-doc TERM frame (doc_id, pos, w, tf) before
-    // ANY token-keyed work. That aggregation is doc-keyed — skew-proof, a
-    // doc contributes at most its own distinct terms — and cuts the scoring
-    // join input by the mean term frequency; the frame is POST-aggregation
-    // smaller than the corpus, so it is the one worth checkpointing (the
-    // t14/t17 arithmetic): training table, dispatch count, and scoring
-    // join all read the same blocks, one corpus scan total. The vocab
-    // count table then rides a BROADCAST under a measured dispatch (the
-    // IvfIndex idiom) — the r10 plan ran every token OCCURRENCE through a
-    // w-keyed shuffle whose hottest key ("the") was a single partition.
-    // Totals/priors are 1-row broadcasts. A deployment trains on the
-    // reference corpus once and broadcasts the count table (see t19b);
-    // log-odds stays in log domain (the t8/t15/t17 rounding precedent),
-    // `keep` thresholds the ROUNDED score, and the oracle scores the same
-    // (doc, term, tf) frame so term-level values are identical.
+    // Scale shape (r11, closing the r10 `weak` flag): the r10 plan ran
+    // every token OCCURRENCE through a w-keyed SHUFFLE join whose hottest
+    // key ("the") was a single partition. Now the vocab count table —
+    // POST-aggregation vocab-sized, the frame worth checkpointing (t14
+    // arithmetic; training's groupBy(w) is skew-immune because partial
+    // aggregation absorbs the hot key map-side) — rides a measured-
+    // dispatch BROADCAST: the scoring pass is then one corpus scan, a
+    // map-side hash join, and ONE doc-keyed aggregate whose exchange
+    // carries per-doc partials — the occurrence stream never shuffles at
+    // all. A vocab beyond the broadcast threshold takes the Zipf-proof
+    // fallback instead: pre-aggregate to the per-doc TERM frame
+    // (doc_id, w, tf) — doc-keyed, cuts join input by mean term
+    // frequency — and shuffle-join that (AQE skew-split handles residual
+    // hot terms); DataPlaneSpec proves the two branches agree. Totals/
+    // priors are 1-row broadcasts; log-odds stays in log domain (the
+    // t8/t15/t17 rounding precedent); `keep` thresholds the ROUNDED
+    // score. A deployment trains once on the reference corpus and
+    // broadcasts the table — see t19b.
     QueryDef("t19_nb_classifier",
       """WITH lbl AS (SELECT doc_id, source IN ('src1','src2','src3','src4') AS pos,
         |                    string_split(text,' ') AS ts FROM documents),
         |tok AS (SELECT doc_id, pos, unnest(ts) AS w FROM lbl),
-        |dtf AS (SELECT doc_id, pos, w, count(*) AS tf FROM tok GROUP BY doc_id, pos, w),
-        |tw AS (SELECT w, sum(CASE WHEN pos THEN tf ELSE 0 END) AS c1,
-        |              sum(CASE WHEN pos THEN 0 ELSE tf END) AS c0 FROM dtf GROUP BY w),
+        |tw AS (SELECT w, count(*) FILTER (WHERE pos) AS c1,
+        |              count(*) FILTER (WHERE NOT pos) AS c0 FROM tok GROUP BY w),
         |tots AS (SELECT CAST(sum(c1) AS DOUBLE) AS tot1, CAST(sum(c0) AS DOUBLE) AS tot0,
         |                CAST(count(*) AS DOUBLE) AS v FROM tw),
         |pri AS (SELECT CAST(count(*) FILTER (WHERE pos) AS DOUBLE) AS n1,
         |               CAST(count(*) FILTER (WHERE NOT pos) AS DOUBLE) AS n0 FROM lbl)
         |SELECT doc_id, n_tok, log_odds, log_odds > 0 AS keep FROM (
-        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok,
+        |  SELECT doc_id, count(*) AS n_tok,
         |         round(ln(n1 / n0) +
-        |               sum(tf * (ln((c1 + 1) / (tot1 + v)) - ln((c0 + 1) / (tot0 + v)))), 6) AS log_odds
-        |  FROM dtf JOIN tw USING (w) CROSS JOIN tots CROSS JOIN pri
+        |               sum(ln((c1 + 1) / (tot1 + v)) - ln((c0 + 1) / (tot0 + v))), 6) AS log_odds
+        |  FROM tok JOIN tw USING (w) CROSS JOIN tots CROSS JOIN pri
         |  GROUP BY doc_id, n1, n0)""".stripMargin) { (s, d) =>
       nbClassifier(Tables(s, d, "documents"),
         Seq("src1", "src2", "src3", "src4"))
@@ -769,12 +770,12 @@ object TextStats {
     // pipeline labels once — the p5-p7 hash idiom, deliberately
     // uncorrelated with source (testdata's source IS doc_id % 20, so any
     // modulus slice would miss entire classes); positives as in t19), then
-    // score EVERY doc against the
-    // broadcast tables. The training tables are slice-sized and fixed as
-    // the corpus grows (the t16 rationale — no measured dispatch needed:
-    // they broadcast at every scale), so scoring a 100 TB crawl is one
-    // corpus scan → per-doc term frame → broadcast-hash join → doc-keyed
-    // aggregate; none of the training aggregation is re-paid. Tokens
+    // score EVERY doc against the broadcast tables. The training tables
+    // are slice-sized and fixed as the corpus grows (the t16 rationale —
+    // no measured dispatch needed: they broadcast at every scale), so
+    // scoring a 100 TB crawl is one corpus scan → map-side broadcast-hash
+    // join → ONE doc-keyed aggregate (the occurrence stream never
+    // shuffles); none of the training aggregation is re-paid. Tokens
     // unseen in the slice hit add-1 smoothing with zero counts (left join
     // + coalesce). Same rounding/threshold discipline as t19.
     QueryDef("t19b_nb_score",
@@ -782,47 +783,49 @@ object TextStats {
         |                    source IN ('src1','src2','src3','src4') AS pos,
         |                    string_split(text,' ') AS ts FROM documents),
         |tok AS (SELECT doc_id, tr, pos, unnest(ts) AS w FROM lbl),
-        |dtf AS (SELECT doc_id, tr, pos, w, count(*) AS tf FROM tok GROUP BY doc_id, tr, pos, w),
-        |tw AS (SELECT w, sum(CASE WHEN pos THEN tf ELSE 0 END) AS c1,
-        |              sum(CASE WHEN pos THEN 0 ELSE tf END) AS c0
-        |       FROM dtf WHERE tr GROUP BY w),
+        |tw AS (SELECT w, count(*) FILTER (WHERE pos) AS c1,
+        |              count(*) FILTER (WHERE NOT pos) AS c0
+        |       FROM tok WHERE tr GROUP BY w),
         |tots AS (SELECT CAST(sum(c1) AS DOUBLE) AS tot1, CAST(sum(c0) AS DOUBLE) AS tot0,
         |                CAST(count(*) AS DOUBLE) AS v FROM tw),
         |pri AS (SELECT CAST(count(*) FILTER (WHERE pos) AS DOUBLE) AS n1,
         |               CAST(count(*) FILTER (WHERE NOT pos) AS DOUBLE) AS n0
         |        FROM lbl WHERE tr)
         |SELECT doc_id, n_tok, log_odds, log_odds > 0 AS keep FROM (
-        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok,
+        |  SELECT doc_id, count(*) AS n_tok,
         |         round(ln(n1 / n0) +
-        |               sum(tf * (ln((coalesce(c1, 0) + 1) / (tot1 + v)) -
-        |                         ln((coalesce(c0, 0) + 1) / (tot0 + v)))), 6) AS log_odds
-        |  FROM dtf LEFT JOIN tw USING (w) CROSS JOIN tots CROSS JOIN pri
+        |               sum(ln((coalesce(c1, 0) + 1) / (tot1 + v)) -
+        |                   ln((coalesce(c0, 0) + 1) / (tot0 + v))), 6) AS log_odds
+        |  FROM tok LEFT JOIN tw USING (w) CROSS JOIN tots CROSS JOIN pri
         |  GROUP BY doc_id, n1, n0)""".stripMargin) { (s, d) =>
       val docs = Tables(s, d, "documents")
       val pos = col("source").isin("src1", "src2", "src3", "src4")
       val tr = md5(col("doc_id").cast("string")) < "33"
-      // ONE checkpointed per-doc term frame serves both halves: the train
-      // aggregate filters it to the slice; the score join reads it whole
-      val dtf = graft.data.Frames.trackedCheckpoint(
-        docs.select(col("doc_id"), tr.as("tr"), pos.as("pos"), explode(toks).as("w"))
-          .groupBy("doc_id", "tr", "pos", "w").agg(count(lit(1)).as("tf")))
-      val tw = dtf.filter(col("tr")).groupBy("w").agg(
-        sum(when(col("pos"), col("tf")).otherwise(0L)).as("c1"),
-        sum(when(col("pos"), lit(0L)).otherwise(col("tf"))).as("c0"))
+      // TRAIN half: the slice filter prunes its own scan, so the count
+      // table build touches ~20% of the corpus once and its output is
+      // slice-sized — broadcast unconditionally (the t16 rationale)
+      val tw = docs.filter(tr)
+        .select(col("doc_id"), pos.as("pos"), explode(toks).as("w"))
+        .groupBy("w").agg(
+          sum(when(col("pos"), 1L).otherwise(0L)).as("c1"),
+          sum(when(col("pos"), 0L).otherwise(1L)).as("c0"))
       val tots = tw.agg(sum("c1").cast("double").as("tot1"),
         sum("c0").cast("double").as("tot0"),
         count(lit(1)).cast("double").as("v"))
       val pri = docs.filter(tr).agg(
         sum(when(pos, 1L).otherwise(0L)).cast("double").as("n1"),
         sum(when(pos, 0L).otherwise(1L)).cast("double").as("n0"))
-      dtf.join(broadcast(tw), Seq("w"), "left_outer")
+      // SCORE half: one corpus scan, map-side broadcast joins (left: unseen
+      // tokens smooth with zero counts), ONE doc-keyed aggregate — the
+      // occurrence stream never shuffles
+      docs.select(col("doc_id"), explode(toks).as("w"))
+        .join(broadcast(tw), Seq("w"), "left_outer")
         .crossJoin(broadcast(tots)).crossJoin(broadcast(pri))
         .groupBy("doc_id", "n1", "n0")
-        .agg(sum(col("tf")).as("n_tok"),
+        .agg(count(lit(1)).as("n_tok"),
           round(log(col("n1") / col("n0")) +
-            sum(col("tf") *
-              (log((coalesce(col("c1"), lit(0L)) + 1) / (col("tot1") + col("v"))) -
-               log((coalesce(col("c0"), lit(0L)) + 1) / (col("tot0") + col("v"))))), 6)
+            sum(log((coalesce(col("c1"), lit(0L)) + 1) / (col("tot1") + col("v"))) -
+                log((coalesce(col("c0"), lit(0L)) + 1) / (col("tot0") + col("v")))), 6)
             .as("log_odds"))
         .select(col("doc_id"), col("n_tok"), col("log_odds"),
           (col("log_odds") > 0).as("keep"))
@@ -893,43 +896,64 @@ object TextStats {
   }
 
   /** t19's vocab table rides a broadcast when it holds at most this many
-    * terms (tens of MB of (w, c1, c0) rows); a vocab beyond it shuffles
-    * the scoring join — still on the per-doc TERM frame, never the raw
+    * terms (tens of MB of (w, c1, c0) rows); a vocab beyond it takes the
+    * shuffle-join fallback — on the per-doc TERM frame, never the raw
     * occurrence stream. */
   val BroadcastMaxVocabRows = 1000000L
 
-  /** t19's plan (see the QueryDef comment): one corpus scan → checkpointed
-    * per-doc term frame (doc_id, pos, w, tf); NB train = one counting
-    * aggregate of that frame; score = term-frame ⋈ broadcast vocab counts +
-    * doc-keyed aggregate with broadcast scalars. Exposed for
-    * DataPlaneSpec's brute-force fixtures and PlanSpec. */
+  /** t19's plan (see the QueryDef comment). `forceShuffle` pins the
+    * big-vocab fallback branch so DataPlaneSpec can prove the two branches
+    * agree; the declared query always dispatches on the measured vocab.
+    * Exposed for DataPlaneSpec's brute-force fixtures and PlanSpec. */
   private[graft] def nbClassifier(docs: org.apache.spark.sql.DataFrame,
-      posSources: Seq[String]): org.apache.spark.sql.DataFrame = {
+      posSources: Seq[String],
+      forceShuffle: Boolean = false): org.apache.spark.sql.DataFrame = {
     val pos = col("source").isin(posSources: _*)
-    val dtf = graft.data.Frames.trackedCheckpoint(
-      docs.select(col("doc_id"), pos.as("pos"), explode(toks).as("w"))
-        .groupBy("doc_id", "pos", "w").agg(count(lit(1)).as("tf")))
-    val tw = dtf.groupBy("w").agg(
-      sum(when(col("pos"), col("tf")).otherwise(0L)).as("c1"),
-      sum(when(col("pos"), lit(0L)).otherwise(col("tf"))).as("c0"))
+    val tok = docs.select(col("doc_id"), pos.as("pos"), explode(toks).as("w"))
+    // train: ONE aggregation of the occurrence stream to the vocab count
+    // table — partial aggregation absorbs the Zipf-hot key map-side, and
+    // the result is vocab-sized, so THIS is the frame worth checkpointing
+    // (dispatch count + broadcast + tots all read the same blocks)
+    val tw = graft.data.Frames.trackedCheckpoint(
+      tok.groupBy("w").agg(
+        sum(when(col("pos"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("pos"), 0L).otherwise(1L)).as("c0")))
     val tots = tw.agg(sum("c1").cast("double").as("tot1"),
       sum("c0").cast("double").as("tot0"),
       count(lit(1)).cast("double").as("v"))
     val pri = docs.agg(
       sum(when(pos, 1L).otherwise(0L)).cast("double").as("n1"),
       sum(when(pos, 0L).otherwise(1L)).cast("double").as("n0"))
-    // measured dispatch (the IvfIndex idiom); the count is one aggregate
-    // job over dtf's checkpoint, not a corpus rescan
-    val twSide = if (tw.count() <= BroadcastMaxVocabRows) broadcast(tw) else tw
-    dtf.join(twSide, "w")
-      .crossJoin(broadcast(tots)).crossJoin(broadcast(pri))
-      .groupBy("doc_id", "n1", "n0")
-      .agg(sum(col("tf")).as("n_tok"),
-        round(log(col("n1") / col("n0")) +
-          sum(col("tf") * (log((col("c1") + 1) / (col("tot1") + col("v"))) -
-              log((col("c0") + 1) / (col("tot0") + col("v"))))), 6).as("log_odds"))
-      .select(col("doc_id"), col("n_tok"), col("log_odds"),
-        (col("log_odds") > 0).as("keep"))
+    val score =
+      if (!forceShuffle && tw.count() <= BroadcastMaxVocabRows)
+        // map-side score: the occurrence stream never shuffles — broadcast
+        // hash join, then one doc-keyed aggregate whose exchange carries
+        // per-doc partials only
+        tok.join(broadcast(tw), "w")
+          .crossJoin(broadcast(tots)).crossJoin(broadcast(pri))
+          .groupBy("doc_id", "n1", "n0")
+          .agg(count(lit(1)).as("n_tok"),
+            round(log(col("n1") / col("n0")) +
+              sum(log((col("c1") + 1) / (col("tot1") + col("v"))) -
+                  log((col("c0") + 1) / (col("tot0") + col("v")))), 6).as("log_odds"))
+      else {
+        // Zipf-proof fallback for a vocab too big to broadcast: pre-
+        // aggregate to the per-doc TERM frame (doc-keyed, skew-proof,
+        // join input cut by mean term frequency), then shuffle-join on w
+        // (AQE skew-split covers residual hot terms). tf-weighted sums
+        // equal the occurrence sums up to FP associativity; DataPlaneSpec
+        // asserts branch agreement at 6 dp.
+        val dtf = tok.groupBy("doc_id", "pos", "w").agg(count(lit(1)).as("tf"))
+        dtf.join(tw, "w")
+          .crossJoin(broadcast(tots)).crossJoin(broadcast(pri))
+          .groupBy("doc_id", "n1", "n0")
+          .agg(sum(col("tf")).as("n_tok"),
+            round(log(col("n1") / col("n0")) +
+              sum(col("tf") * (log((col("c1") + 1) / (col("tot1") + col("v"))) -
+                  log((col("c0") + 1) / (col("tot0") + col("v"))))), 6).as("log_odds"))
+      }
+    score.select(col("doc_id"), col("n_tok"), col("log_odds"),
+      (col("log_odds") > 0).as("keep"))
   }
 
   /** The t11/t12 quality proxy: per-doc type-token ratio — an exact

@@ -1143,6 +1143,21 @@ class DataPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
     assert(got == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false, 5L -> true),
       s"separable planted corpus misclassified: $got")
+
+    // branch agreement: the big-vocab shuffle fallback (per-doc term frame,
+    // tf-weighted sums) must agree with the broadcast branch at the 6 dp
+    // the query reports — the two differ only in FP associativity
+    val docs = Tables(spark, sf, "documents")
+    val viaShuffle = graft.llm.TextStats
+      .nbClassifier(docs, posSrc.toSeq, forceShuffle = true)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_tok"), r.getAs[Double]("log_odds"))).toMap
+    for ((id, (n, score, _)) <- q) {
+      val (sn, ss) = viaShuffle(id)
+      assert(n == sn, s"doc $id: branch n_tok mismatch $n vs $sn")
+      assert(math.abs(score - ss) <= 2e-6,
+        s"doc $id: branch log_odds mismatch $score vs $ss")
+    }
   }
 
   test("t20 BM25 top-k equals a Scala-side recount (set, scores, and tie-breaks)") {

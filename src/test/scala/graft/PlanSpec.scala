@@ -474,24 +474,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       p.contains("BroadcastHashJoin"), s"t17: count joins missing:\n$p")
   }
 
-  test("t19 NB classifier: scoring joins the per-doc TERM frame, vocab broadcasts, no window") {
+  test("t19 NB classifier: vocab broadcasts, occurrence stream never shuffle-joins, no window") {
     val p = plan("t19_nb_classifier")
     // train+score is aggregates and equi-joins only (the 1-row
     // totals/priors ride broadcasts; nested-loop over ONE row is the
     // broadcast fan-out, fine)
     assert(!p.contains("CartesianProduct"), s"t19: cartesian crept in:\n$p")
-    // the r10 weak flag: the scoring join must consume the pre-aggregated
-    // (doc_id, w, tf) frame and the vocab table must ride a BROADCAST —
-    // never the raw occurrence stream through a Zipf-keyed shuffle
+    // the r10 weak flag: the vocab count table must ride a BROADCAST so
+    // the scoring pass is map-side — never the raw occurrence stream
+    // through a Zipf-keyed shuffle join
     assert(p.contains("BroadcastHashJoin"),
       s"t19: vocab counts must ride a broadcast join:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       s"t19: a corpus-keyed shuffle join crept into the score pass:\n$p")
-    // the term frame feeding the join comes from dtf's checkpoint (the
-    // Scan ExistingRDD), proving the occurrence stream was aggregated
-    // before any w-keyed work and the corpus is scanned exactly once
+    // the vocab table feeding the broadcast comes from its checkpoint
+    // (Scan ExistingRDD), so dispatch count + broadcast + totals all read
+    // the same blocks instead of re-aggregating the corpus
     assert(p.contains("Scan ExistingRDD"),
-      s"t19: scoring must read the checkpointed term frame:\n$p")
+      s"t19: scoring must read the checkpointed vocab table:\n$p")
     assert(!p.contains("windowspecdefinition"),
       s"t19: no step of NB train/score should need a window:\n$p")
   }
