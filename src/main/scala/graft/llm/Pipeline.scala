@@ -80,7 +80,15 @@ object Pipeline {
       .select(lit(stage).as("stage"), col("n_docs"), col("n_tokens"),
         col("id_sum"), col("chk"))
 
-  private[graft] def fullPipelineManifest(s: SparkSession, d: String): DataFrame = {
+  /** x10's manifest; with `lshNearDup` the pipeline additionally drops
+    * near-duplicate group members after the exact pass (stage 03b) —
+    * d6b's production decision: banded MinHash candidates, exact-verified
+    * jaccard ≥ 0.8, connected components, keeper = min doc_id. LSH makes
+    * it engine-specific (x10b declares without an oracle; DataPlaneSpec
+    * proves the shared stages identical to x10 and the dropped set equal
+    * to a direct d6b recomputation over the stage-3 survivors). */
+  private[graft] def fullPipelineManifest(s: SparkSession, d: String,
+      lshNearDup: Boolean = false): DataFrame = {
     val docs = Tables(s, d, "documents")
 
     // ---- stages 01-03: one corpus scan → narrow fingerprint ledger ----
@@ -98,14 +106,34 @@ object Pipeline {
     val keepers = l1.filter(col("q")).groupBy("h")
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), lit(true).as("is_keeper"))
-    val withKeep = l1.join(keepers, Seq("doc_id"), "left_outer")
+    val withKeep0 = l1.join(keepers, Seq("doc_id"), "left_outer")
       .withColumn("in3", coalesce(col("is_keeper"), lit(false)))
+
+    // ---- stage 03b (x10b only): LSH near-dup group decision (d6b) ----
+    // banded MinHash candidates over the stage-3 survivor texts, exact-
+    // verified jaccard ≥ 0.8, connected components, keeper = min doc_id —
+    // the production near-dedup decision between the exact pass and
+    // decontamination (the RefinedWeb order). in3b == in3 when disabled.
+    val withKeep =
+      if (!lshNearDup) withKeep0.withColumn("in3b", col("in3"))
+      else {
+        val s3Docs = docs.join(
+          withKeep0.filter(col("in3")).select("doc_id"), Seq("doc_id"), "left_semi")
+        val pairs = Dedup.bandedLshPairs(s3Docs, jaccardThreshold = 0.8)
+          .select("doc_a", "doc_b")
+        val nonKeepers = Dedup.connectedComponents(
+            pairs, s3Docs.select(col("doc_id").as("node")))
+          .filter(col("node") =!= col("label"))
+          .select(col("node").as("doc_id"), lit(true).as("nd_drop"))
+        withKeep0.join(nonKeepers, Seq("doc_id"), "left_outer")
+          .withColumn("in3b", col("in3") && !coalesce(col("nd_drop"), lit(false)))
+      }
 
     // ---- stage 04: decontamination against the eval holdout (d7b) ----
     // probe index = the holdout's distinct wide grams, broadcast; the
     // corpus side re-scans text RESTRICTED to current survivors
     val dedDocs = docs.join(
-      withKeep.filter(col("in3")).select("doc_id"), Seq("doc_id"), "left_semi")
+      withKeep.filter(col("in3b")).select("doc_id"), Seq("doc_id"), "left_semi")
     val probeGrams = Dedup.wideGrams(docs.filter(col("doc_id") % 10 === 0))
       .select("h").distinct()
     val contamIds = Dedup.wideGrams(dedDocs)
@@ -113,7 +141,7 @@ object Pipeline {
       .select("doc_id").distinct()
       .withColumn("contam", lit(true))
     val withContam = withKeep.join(contamIds, Seq("doc_id"), "left_outer")
-      .withColumn("in4", col("in3") && !coalesce(col("contam"), lit(false)))
+      .withColumn("in4", col("in3b") && !coalesce(col("contam"), lit(false)))
 
     // ---- stage 05: duplicated-substring trim (d11's coverage) ----
     // anchor/df/island passes run WITHIN the surviving corpus (trim after
@@ -127,7 +155,7 @@ object Pipeline {
     val ledger = Frames.trackedCheckpoint(
       withContam.join(removed, Seq("doc_id"), "left_outer")
         .select(col("doc_id"), col("source"), col("n_tok"), col("q"),
-          col("in3"), col("in4"),
+          col("in3"), col("in3b"), col("in4"),
           (col("n_tok") - coalesce(col("n_removed"), lit(0L))).as("n_clean"))
         .withColumn("in5", col("in4") && col("n_clean") >= MinCleanTokens))
 
@@ -159,10 +187,14 @@ object Pipeline {
 
     // ---- the manifest: one row per stage, all from the checkpointed
     // ledger + the budget-bounded tail frames — no corpus re-scan ----
-    Seq(
+    (Seq(
       manifestRow("01_ingest", ledger, col("n_tok"), hash6(col("doc_id"))),
       manifestRow("02_quality", ledger.filter(col("q")), col("n_tok"), hash6(col("doc_id"))),
-      manifestRow("03_exact_dedup", ledger.filter(col("in3")), col("n_tok"), hash6(col("doc_id"))),
+      manifestRow("03_exact_dedup", ledger.filter(col("in3")), col("n_tok"), hash6(col("doc_id")))) ++
+    (if (lshNearDup) Seq(
+      manifestRow("03b_neardup_lsh", ledger.filter(col("in3b")), col("n_tok"), hash6(col("doc_id"))))
+     else Seq.empty) ++
+    Seq(
       manifestRow("04_decontam", ledger.filter(col("in4")), col("n_tok"), hash6(col("doc_id"))),
       manifestRow("05_trim", s5, col("n_clean"), hash6(col("doc_id"))),
       manifestRow("06_mixture", mx, col("n_clean"), hash6(col("doc_id"))),
@@ -175,7 +207,7 @@ object Pipeline {
       // changes it
       manifestRow("10_shard", shd, col("n_clean"),
         (col("shard_id") + 1) * (col("doc_id") % 997))
-    ).reduce(_.union(_))
+    )).reduce(_.union(_))
   }
 
   private def pipelineSql: String = {
@@ -263,6 +295,15 @@ object Pipeline {
   }
 
   val entries: Seq[QueryDef] = Seq(
-    QueryDef("x10_full_pipeline", pipelineSql)(fullPipelineManifest)
+    QueryDef("x10_full_pipeline", pipelineSql)((s, d) =>
+      fullPipelineManifest(s, d)),
+    // x10b: the same composed pipeline with the LSH near-dup group
+    // decision inserted after the exact pass (stage 03b = d6b) — the
+    // 100 TB dedup decision the RefinedWeb-class pipelines actually run.
+    // LSH recall is probabilistic → no SQL oracle; DataPlaneSpec proves
+    // the shared stages identical to x10 and stage 03b's drop set equal
+    // to a direct d6b recomputation over the stage-3 survivors.
+    QueryDef.noOracle("x10b_full_pipeline_lsh")((s, d) =>
+      fullPipelineManifest(s, d, lshNearDup = true))
   )
 }

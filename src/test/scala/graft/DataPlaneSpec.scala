@@ -1291,6 +1291,44 @@ class DataPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaQuery == direct, "decision must be identical through the shared persisted index")
   }
 
+  test("x10b LSH pipeline: shared stages identical to x10, stage 03b drops exactly the d6b non-keepers") {
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val a = rows("x10_full_pipeline")
+    val b = rows("x10b_full_pipeline_lsh")
+    assert(b.size == a.size + 1, "x10b adds exactly the 03b stage row")
+    // stages before the near-dup decision are untouched
+    for (st <- Seq("01_ingest", "02_quality", "03_exact_dedup"))
+      assert(a(st) == b(st), s"$st must be identical to x10: ${a(st)} vs ${b(st)}")
+    // stage 03b's drop set equals a DIRECT d6b recomputation over the
+    // stage-3 survivors (quality-gated exact-dedup keepers of the corpus)
+    val docs = Tables(spark, sf, "documents").filter(col("doc_id") % 10 =!= 0)
+    val gated = docs.filter(graft.llm.TextStats.qualityPass)
+    val s3Ids = gated.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val s3Docs = docs.join(s3Ids, Seq("doc_id"), "left_semi")
+    val pairs = Dedup.bandedLshPairs(s3Docs, jaccardThreshold = 0.8)
+      .select("doc_a", "doc_b")
+    val nonKeepers = Dedup.connectedComponents(
+        pairs, s3Docs.select(col("doc_id").as("node")))
+      .filter(col("node") =!= col("label"))
+      .collect().map(_.getLong(0)).toSet
+    val (n3, t3, id3, _) = b("03_exact_dedup")
+    val (n3b, _, id3b, _) = b("03b_neardup_lsh")
+    assert(n3b == n3 - nonKeepers.size,
+      s"03b doc count: $n3b vs $n3 - ${nonKeepers.size}")
+    assert(id3b == id3 - nonKeepers.sum,
+      "03b id_sum must drop exactly the non-keeper ids")
+    assert(nonKeepers.nonEmpty, "near-dup stage must be live on testdata")
+    // downstream stages stay monotonic and end-to-end deterministic
+    val ord = Seq("03b_neardup_lsh", "04_decontam", "05_trim", "06_mixture",
+      "07_source_cap", "08_split_train")
+    for (Seq(x, y) <- ord.sliding(2))
+      assert(b(y)._1 <= b(x)._1, s"$y grew relative to $x")
+    assert(rows("x10b_full_pipeline_lsh") == b, "x10b must be run-to-run deterministic")
+  }
+
   test("planted join skew: AQE splits the hot partition, answer unchanged (the SkewProbe case)") {
     // one hot key owning half the probe side of a shuffled join — the
     // SkewProbe shape at spec scale. Run the identical join with AQE
