@@ -15,13 +15,18 @@ import org.apache.spark.sql.functions._
   * probes' top-10 sets (ties broken identically on both sides — lower
   * cand_id — so the comparison is exact).
   *
-  * Usage: sbt "runMain graft.AnnCurve [sfDir] [outJson]"
-  * Artifact: scale_r11/ann_curve.json
+  * Usage: sbt "runMain graft.AnnCurve [sfDir] [outJson] [preset]"
+  * preset `full` (default) sweeps the whole grid; `prod` probes only the
+  * chosen operating configuration (PQ m16/k64 — the sf1 winner) at a few
+  * nProbe×shortlist points, for checking the operating point a decade up
+  * without paying 72 full-scan legs.
+  * Artifacts: scale_r11/ann_curve.json, scale_r11/ann_curve_sf10_prod.json
   */
 object AnnCurve {
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/tmp/graft_scale/sf1")
     val out = args.lift(1).getOrElse("scale_r11/ann_curve.json")
+    val preset = args.lift(2).getOrElse("full")
     val spark = MasterEnv.standardBuilder(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -48,12 +53,21 @@ object AnnCurve {
     val nClusters = math.max(8, math.min(4096, (nVec / 2000L).toInt))
     val (ivf, tIvf) = timed(IvfIndex.build(emb, nClusters))
 
+    val (configs, probeAxis, shortAxis) =
+      if (preset == "prod")
+        (Seq((16, 64, false)),
+          Seq(4, 16, 32), Seq(200, 500))
+      else
+        (for ((m, k) <- Seq((8, 16), (8, 64), (16, 64)); o <- Seq(false, true))
+           yield (m, k, o),
+          Seq(1, 4, nClusters), Seq(50, 200, 500, 1000))
+
     val results = scala.collection.mutable.ArrayBuffer.empty[String]
-    for ((m, ksub) <- Seq((8, 16), (8, 64), (16, 64)); opq <- Seq(false, true)) {
+    for ((m, ksub, opq) <- configs) {
       val label = (if (opq) "opq" else "pq") + s"_m${m}_k$ksub"
       val (model, tBuild) = timed(PqIndex.build(emb, m = m, ksub = ksub, opq = opq))
       model.encoded.count() // materialize the persist before timing probes
-      for (nProbe <- Seq(1, 4, nClusters); shortlist <- Seq(50, 200, 500, 1000)) {
+      for (nProbe <- probeAxis; shortlist <- shortAxis) {
         val (got, tQ) = timed(pairSet(
           if (nProbe >= nClusters)
             PqIndex.search(model, probes, emb, k = 10, shortlist = shortlist)
