@@ -88,6 +88,23 @@ class ClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
       "streaming replay diverged from its batch analog under multi-JVM state stores")
   }
 
+  test("x10 composed pipeline runs whole across executor JVMs, stages monotonic and deterministic") {
+    // the 10-stage manifest exercises checkpoint blocks, broadcast gram
+    // probes, semi-join restrictions, and budget-bounded windows — all
+    // crossing real JVM boundaries here (checkpoint blocks live in
+    // executor block managers the driver cannot reach by reference)
+    def run() = SparkEntry.queries("x10_full_pipeline")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).sortBy(_._1)
+    val m = run()
+    assert(m.length == 10, s"expected 10 stage rows, got ${m.map(_._1).toSeq}")
+    val counts = m.map(_._2._1)
+    assert(counts.head > 0, "ingest stage must see the corpus")
+    for (w <- counts.take(8).sliding(2); if w.length == 2)
+      assert(w(1) <= w(0), s"a stage grew the survivor set: ${m.toSeq}")
+    assert(run().sameElements(m),
+      "x10 must be run-to-run deterministic across executor JVMs")
+  }
+
   test("gang rendezvous + TCP all-reduce spans both executor JVMs") {
     // worldSize 6 > one executor's 4 cores, so the barrier stage MUST place
     // ranks in both JVMs; each worker's metric is its own pid, proving it
