@@ -47,9 +47,38 @@ object RecallProbe {
     // (exactPairsPrefix): identical pair set to the posting-join build —
     // DataPlaneSpec asserts the identity — but its candidate volume tracks
     // near-dup density, so it still finishes at sf10 where the ≥0.1
-    // posting join's shuffle spill exhausted local disk
-    val (truth, tTruth) = timed(pairSet(
-      Dedup.exactPairsPrefix(docs, 0.8).select("doc_a", "doc_b")))
+    // posting join's shuffle spill exhausted local disk.
+    //
+    // BLOCK-PARTITIONED past 150k docs (r12, closing the r11 ENOSPC: one
+    // 500k-doc PPJoin run needs more candidate-spill disk than this
+    // machine has): the id space is hash-banded into B blocks and the
+    // truth assembled from B(B+1)/2 bounded sub-runs — run (i,j) computes
+    // exact pairs within blocks i∪j and keeps cross-block ones (i=j keeps
+    // within-block). Every pair lands in exactly one kept run, so the
+    // union IS the exact global pair set; per-run spill shrinks ~(2/B)²
+    // while total tokenize work grows ~B — disk traded for CPU, the right
+    // trade for an offline ground-truth tool. Sub-corpus df changes the
+    // PPJoin prefix ORDERING only (any consistent order is correct), never
+    // the verified pair set.
+    val blocks = args.lift(2).map(_.toInt)
+      .getOrElse(if (nDocs <= 150000L) 1 else math.ceil(nDocs / 62500.0).toInt)
+    def blk(c: org.apache.spark.sql.Column) = pmod(xxhash64(c), lit(blocks))
+    val (truth, tTruth) = timed {
+      if (blocks == 1)
+        pairSet(Dedup.exactPairsPrefix(docs, 0.8).select("doc_a", "doc_b"))
+      else {
+        val acc = scala.collection.mutable.Set.empty[(Long, Long)]
+        for (i <- 0 until blocks; j <- i until blocks) {
+          val sub = docs.filter(blk(col("doc_id")).isin(i, j))
+          val pairs = Dedup.exactPairsPrefix(sub, 0.8).select("doc_a", "doc_b")
+          val kept = if (i == j) pairs
+            else pairs.filter(blk(col("doc_a")) =!= blk(col("doc_b")))
+          acc ++= pairSet(kept)
+          Dedup.releaseCaches() // drop the sub-corpus shingle/pair caches
+        }
+        acc.toSet
+      }
+    }
 
     // d3: banded MinHash LSH at the same threshold
     val (lsh, tLsh) = timed(pairSet(
@@ -61,7 +90,21 @@ object RecallProbe {
     val isBatch = col("doc_id") % 7 === 0
     def nearSet(df: org.apache.spark.sql.DataFrame): Set[Long] =
       df.collect().collect { case r if r.getBoolean(2) => r.getLong(0) }.toSet
-    val (exactNear, tD8) = timed(nearSet(Dedup.incrementalDedup(docs, isBatch)))
+    // same block discipline for the exact incremental truth: the corpus
+    // side is banded, the batch rides along in every run (a batch doc is
+    // near SOME corpus doc iff it is near one in SOME corpus block)
+    val (exactNear, tD8) = timed {
+      if (blocks == 1) nearSet(Dedup.incrementalDedup(docs, isBatch))
+      else {
+        val acc = scala.collection.mutable.Set.empty[Long]
+        for (c <- 0 until blocks) {
+          val sub = docs.filter(isBatch || blk(col("doc_id")) === c)
+          acc ++= nearSet(Dedup.incrementalDedup(sub, isBatch))
+          Dedup.releaseCaches()
+        }
+        acc.toSet
+      }
+    }
     val (lshNear, tD8b) = timed(nearSet(Dedup.incrementalDedupLsh(docs, isBatch)))
     val d8Recall = if (exactNear.isEmpty) 1.0
       else (exactNear & lshNear).size.toDouble / exactNear.size
@@ -114,9 +157,27 @@ object RecallProbe {
         val r = if (truth == 0) 1.0 else hit.toDouble / truth
         s""""$t":{"truth_pairs":$truth,"cell_pairs_hit":$hit,"pair_recall":$r}"""
       }.mkString(",")
+      // bounded-neighbor-window variants: the Σ|cell|·W pruning of the
+      // Σ|cell|² within-cell scan — recall cost per window size, measured
+      // against the same exact pair truth (the knob is only usable where
+      // this shows it keeps recall)
+      val windowed = Seq(32, 64, 128).map { wSize =>
+        val wHit = IvfIndex.withinCellPairs(idx, 0.3, Some(wSize))
+          .join(exactP, Seq("doc_a", "doc_b"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val (_, tW) = timed(wHit.count())
+        val per = Seq(0.3, 0.6, 0.9).map { t =>
+          val truth = exactP.filter(col("cos") > t).count()
+          val hit = wHit.filter(col("cos") > t).count()
+          val r = if (truth == 0) 1.0 else hit.toDouble / truth
+          s""""$t":$r"""
+        }.mkString(",")
+        wHit.unpersist()
+        s""""w$wSize":{"scan_s":$tW,"pair_recall":{$per}}"""
+      }.mkString(",")
       exactP.unpersist(); cellHit.unpersist()
       idx.unpersist()
-      s""""semdedup":{"n_vectors":$nVec,"n_cells":$k,"exact_s":$tExact,"cell_s":$tCell,"build_s":$tBuild,$perThreshold}"""
+      s""""semdedup":{"n_vectors":$nVec,"n_cells":$k,"exact_s":$tExact,"cell_s":$tCell,"build_s":$tBuild,$perThreshold,$windowed}"""
     }
     }.recover { case e =>
       s""""semdedup":{"skipped":"${e.getClass.getSimpleName.replaceAll("[\"\\\\]", " ")}"}"""
@@ -129,7 +190,7 @@ object RecallProbe {
     // path must not corrupt the JSON artifact
     def jstr(s: String): String = s.replaceAll("""["\\\n\r\t]""", " ")
     val json =
-      s"""{"sf_dir":"${jstr(sfDir)}","n_docs":$nDocs,
+      s"""{"sf_dir":"${jstr(sfDir)}","n_docs":$nDocs,"truth_blocks":$blocks,
          |"d3":{"truth_pairs":${truth.size},"lsh_pairs":${lsh.size},"recall":$d3Recall,"false_positives":$d3Fp,"truth_s":$tTruth,"lsh_s":$tLsh},
          |"d8b":{"exact_near":${exactNear.size},"lsh_near":${lshNear.size},"recall":$d8Recall,"false_positives":$d8Fp,"exact_s":$tD8,"lsh_s":$tD8b},
          |"d5b":{"pairs":$d5bCount,"s":$tD5b},

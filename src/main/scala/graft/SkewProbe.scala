@@ -55,14 +55,18 @@ object SkewProbe {
     val ord = Tables(spark, sfDir, "orders")
       .select(col("o_orderkey").as("k"), col("o_totalprice"))
 
-    def runJoin(): (Long, Double) = {
+    // the result invariant sums an exact decimal, not a double: skew-split
+    // regroups partial aggregation, and float addition is not associative —
+    // a last-ulp difference would abort the probe spuriously
+    def runJoin(): (Long, java.math.BigDecimal) = {
       val r = li.join(ord, "k")
-        .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("double")).as("s"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(20,2)")).as("s"))
         .head()
-      (r.getLong(0), r.getDouble(1))
+      (r.getLong(0), r.getDecimal(1))
     }
 
-    def measure(skewOn: Boolean): (Long, Double, Seq[Long], Double) = {
+    def measure(skewOn: Boolean): (Long, java.math.BigDecimal, Seq[Long], Double) = {
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewOn.toString)
       durations.clear()
       val t0 = System.nanoTime()
@@ -80,7 +84,7 @@ object SkewProbe {
 
     val (nOff, sOff, dOff, wOff) = measure(skewOn = false)
     val (nOn, sOn, dOn, wOn) = measure(skewOn = true)
-    require(nOff == nOn && sOff == sOn,
+    require(nOff == nOn && sOff.compareTo(sOn) == 0,
       s"skew handling changed the answer: ($nOff,$sOff) vs ($nOn,$sOn)")
 
     def stats(d: Seq[Long]): String = {

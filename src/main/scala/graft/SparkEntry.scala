@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ops._
-import graft.llm.{Bpe, Dedup, Mixture, Multimodal, Pipeline, Sampling, Similarity, TextStats}
+import graft.llm.{Bpe, Dedup, Incremental, Mixture, Multimodal, Pipeline, Sampling, Similarity, TextStats}
 import graft.streaming.{Streams, WindowedAggs}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -21,6 +21,7 @@ object SparkEntry {
       Aggregations.entries ++ Windows.entries ++ Analytics.entries ++ SetOps.entries ++
       ScalarFns.entries ++ Dedup.entries ++ Similarity.entries ++
       TextStats.entries ++ Bpe.entries ++ Mixture.entries ++ Pipeline.entries ++
+      Incremental.entries ++
       Multimodal.entries ++ Sampling.entries ++
       WindowedAggs.entries ++ Streams.entries
 

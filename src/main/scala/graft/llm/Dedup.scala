@@ -448,10 +448,6 @@ object Dedup {
     }
   )
 
-  /** d11's plan (see the QueryDef comment): d10's anchor/df/island half,
-    * then a map-side trim — per-doc covered-position arrays join the
-    * corpus scan and a filter/transform rebuilds the text in place.
-    * Exposed for PlanSpec and DataPlaneSpec's trim fixtures. */
   /** The per-doc covered-position arrays behind [[substringTrim]] —
     * (doc_id, cov: array<long>), one row per doc that has at least one
     * >= minSpan duplicated run. Duplicate-gram frequency is counted WITHIN
@@ -476,6 +472,10 @@ object Dedup {
         .as("cov"))
   }
 
+  /** d11's plan (see the QueryDef comment): d10's anchor/df/island half,
+    * then a map-side trim — per-doc covered-position arrays join the
+    * corpus scan and a filter/transform rebuilds the text in place.
+    * Exposed for PlanSpec and DataPlaneSpec's trim fixtures. */
   private[graft] def substringTrim(docs: DataFrame, k: Int = 5,
       minSpan: Int = 10): DataFrame = {
     val iv = trimCoverage(docs, k, minSpan)
@@ -1293,6 +1293,34 @@ object Dedup {
           i => xxhash64(element_at(col("toks"), i),
             element_at(col("toks"), i + 1),
             element_at(col("toks"), i + 2)))).as("sh"): _*)
+
+  /** Per-doc 64-minhash signature ARRAY — the PERSISTABLE fingerprint-store
+    * column the incremental near-check (x11b) bands against WITHOUT
+    * re-scanning corpus text: ~64 longs/doc vs the doc's full text, the
+    * reason a deployment's dedup store stays KB-per-MB of corpus. Exactly
+    * the hash family and grouping of [[bandedLshPairs]]' inline signatures,
+    * so bands derived from a persisted array and bands computed fresh from
+    * text agree bit-for-bit. Docs under 3 tokens have no shingles and no
+    * row here (they cannot be shingle near-dups of anything). */
+  private[graft] def minhashSignatures(docs: DataFrame): DataFrame = {
+    val tok = sharedTokens(docs)
+    val minCols = (0 until NumHashes).map(i =>
+      min(xxhash64(lit(i), col("h"))).as(s"m$i"))
+    tok.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** LSH band keys from a signature ARRAY (persisted or fresh):
+    * (doc_id, band, bh). Same banding arithmetic as [[bandedLshPairs]]. */
+  private[graft] def bandsFromSignature(sig: DataFrame): DataFrame = {
+    val bandCols = (0 until Bands).map { b =>
+      xxhash64(lit(b) +: (b * BandRows until (b + 1) * BandRows)
+        .map(i => element_at(col("sig"), i + 1)): _*)
+    }
+    sig.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+  }
 
   /** Banded AND/OR MinHash LSH near-dup pairs with exact Jaccard on the
     * candidates (threshold in the near-dup regime).

@@ -229,7 +229,8 @@ object IvfIndex {
   /** The within-cell over-threshold cosine pairs SemDeDup groups over —
     * public so RecallProbe can measure cell-capture recall against the
     * exact global pair set at scales where truth is still computable. */
-  def withinCellPairs(index: IvfModel, threshold: Double): DataFrame = {
+  def withinCellPairs(index: IvfModel, threshold: Double,
+      window: Option[Int] = None): DataFrame = {
     // per-vector norms hoisted OUT of the quadratic stage: the within-cell
     // scan does Σ|cell|² pair evaluations, so each pair pays one codegen'd
     // dot (1 multiply-add per element) instead of the fused cosine's 3 —
@@ -238,21 +239,61 @@ object IvfIndex {
     // and norms positive); DataPlaneSpec's exact recomputation guards the
     // equivalence on real data.
     val v = col("embedding").cast("array<double>")
-    val assigned = index.assigned
+    val assigned0 = index.assigned
       .select(col("vec_id"), v.as("v"),
         sqrt(Similarity.dotNative(v, v)).as("nrm"), col("cell"))
-    val a = assigned.select(col("cell"), col("vec_id").as("doc_a"),
-      col("v").as("va"), col("nrm").as("na"))
-    val b = assigned.select(col("cell"), col("vec_id").as("doc_b"),
-      col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq("cell"))
-      .filter(col("doc_a") < col("doc_b"))
-      .filter(Similarity.dotNative(col("va"), col("vb")) >
-        lit(threshold) * col("na") * col("nb"))
-      .select("doc_a", "doc_b")
+    window match {
+      case None =>
+        val a = assigned0.select(col("cell"), col("vec_id").as("doc_a"),
+          col("v").as("va"), col("nrm").as("na"))
+        val b = assigned0.select(col("cell"), col("vec_id").as("doc_b"),
+          col("v").as("vb"), col("nrm").as("nb"))
+        a.join(b, Seq("cell"))
+          .filter(col("doc_a") < col("doc_b"))
+          .filter(Similarity.dotNative(col("va"), col("vb")) >
+            lit(threshold) * col("na") * col("nb"))
+          .select("doc_a", "doc_b")
+      case Some(wSize) =>
+        // bounded NEIGHBOR WINDOW (the SemDeDup paper's sort-by-centroid-
+        // distance pruning): members of a cell are ranked by cosine to
+        // their centroid, and only pairs within `wSize` ranks are scored —
+        // Σ|cell|·W pair evaluations instead of Σ|cell|², the knob that
+        // keeps the decision linear in cell size as the corpus grows.
+        // Pair generation is a RANK-BUCKET equi-join, not a windowed self
+        // join: the lower-ranked side posts its own W-bucket and the next,
+        // the higher-ranked side posts its own — a pair within W ranks
+        // matches on exactly one (cell, bucket) key, so no distinct is
+        // needed and the join stays hash-partitioned on small keys.
+        // Recall cost is measured, not assumed: RecallProbe reports
+        // windowed cell-capture recall next to the unbounded scan's.
+        val centDf = broadcast(index.assigned.sparkSession
+          .createDataFrame(index.centroids).toDF("cell", "centroid"))
+        val ranked = assigned0.join(centDf, Seq("cell"))
+          .withColumn("cent_cos",
+            Similarity.cosine(col("v"), col("centroid")))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("cell").orderBy(col("cent_cos"), col("vec_id"))))
+          .select("cell", "vec_id", "v", "nrm", "rnk")
+        val lo = ranked.select(col("cell"),
+          explode(array(floor(col("rnk") / wSize),
+            floor(col("rnk") / wSize) + 1)).as("bkt"),
+          col("vec_id").as("doc_a"), col("v").as("va"), col("nrm").as("na"),
+          col("rnk").as("ra"))
+        val hi = ranked.select(col("cell"),
+          floor(col("rnk") / wSize).as("bkt"),
+          col("vec_id").as("doc_b"), col("v").as("vb"), col("nrm").as("nb"),
+          col("rnk").as("rb"))
+        lo.join(hi, Seq("cell", "bkt"))
+          .filter(col("ra") < col("rb") && col("rb") - col("ra") <= wSize)
+          .filter(Similarity.dotNative(col("va"), col("vb")) >
+            lit(threshold) * col("na") * col("nb"))
+          .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+            greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+    }
   }
 
-  def semDedup(index: IvfModel, threshold: Double): DataFrame = {
+  def semDedup(index: IvfModel, threshold: Double,
+      window: Option[Int] = None): DataFrame = {
     val spark = index.assigned.sparkSession
     val centDf = broadcast(spark.createDataFrame(index.centroids).toDF("cell", "centroid"))
     val withCent = index.assigned
@@ -260,7 +301,7 @@ object IvfIndex {
       .join(centDf, Seq("cell"))
       .withColumn("cent_cos", Similarity.cosine(col("v"), col("centroid")))
       .select(col("vec_id"), col("v"), col("cell"), col("cent_cos"))
-    val pairs = withinCellPairs(index, threshold)
+    val pairs = withinCellPairs(index, threshold, window)
     val comps = Dedup.connectedComponents(pairs, withCent.select(col("vec_id").as("node")))
     val w = Window.partitionBy("grp").orderBy(col("cent_cos"), col("vec_id"))
     withCent.join(comps, withCent("vec_id") === comps("node"))
@@ -271,6 +312,6 @@ object IvfIndex {
 
   /** [[semDedup]] against the same persisted per-corpus index. */
   def semDedupCached(cacheKey: String, corpus: DataFrame, threshold: Double,
-      nClusters: Int): DataFrame =
-    semDedup(cachedIndex(cacheKey, corpus, nClusters), threshold)
+      nClusters: Int, window: Option[Int] = None): DataFrame =
+    semDedup(cachedIndex(cacheKey, corpus, nClusters), threshold, window)
 }

@@ -57,21 +57,21 @@ object Pipeline {
     * min-length rule applied to the TRIMMED text). */
   private[graft] val MinCleanTokens = 8
 
-  private def toks = split(col("text"), " ")
+  private[llm] def toks = split(col("text"), " ")
 
   /** Set-identity checksum: the x4 shard hash reused as a per-doc value
     * whose SUM detects any membership difference the (count, id_sum)
     * pair could miss. */
-  private def hash6(id: Column): Column =
+  private[llm] def hash6(id: Column): Column =
     conv(substring(md5(id.cast("string")), 1, 6), 16, 10).cast("long")
 
-  private val hash6Sql =
+  private[llm] val hash6Sql =
     "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)"
 
   /** One manifest row: stage label + rollup over the stage's survivors.
     * `chk` defaults to the set checksum; the shuffle/shard stages pass an
     * order/assignment-sensitive one instead. */
-  private def manifestRow(stage: String, df: DataFrame, nTokens: Column,
+  private[llm] def manifestRow(stage: String, df: DataFrame, nTokens: Column,
       chk: Column): DataFrame =
     df.agg(count(lit(1)).as("n_docs"),
         sum(nTokens).cast("long").as("n_tokens"),
@@ -202,11 +202,11 @@ object Pipeline {
       manifestRow("08_split_train", spl, col("n_clean"), hash6(col("doc_id"))),
       // order-sensitive checksum: any permutation difference changes it
       manifestRow("09_epoch_shuffle", shf, col("n_clean"),
-        (col("pos") + 1) * (col("doc_id") % 997)),
+        (col("pos") + 1) * (col("doc_id") % 997 + 1)),
       // assignment-sensitive checksum: any doc landing in another shard
       // changes it
       manifestRow("10_shard", shd, col("n_clean"),
-        (col("shard_id") + 1) * (col("doc_id") % 997))
+        (col("shard_id") + 1) * (col("doc_id") % 997 + 1))
     )).reduce(_.union(_))
   }
 
@@ -288,10 +288,10 @@ object Pipeline {
        |       CAST(sum(doc_id) AS BIGINT), CAST(sum($chk) AS BIGINT) FROM spl
        |UNION ALL SELECT '09_epoch_shuffle', count(*), CAST(sum(n_clean) AS BIGINT),
        |       CAST(sum(doc_id) AS BIGINT),
-       |       CAST(sum((pos + 1) * (doc_id % 997)) AS BIGINT) FROM shf
+       |       CAST(sum((pos + 1) * (doc_id % 997 + 1)) AS BIGINT) FROM shf
        |UNION ALL SELECT '10_shard', count(*), CAST(sum(n_clean) AS BIGINT),
        |       CAST(sum(doc_id) AS BIGINT),
-       |       CAST(sum((shard_id + 1) * (doc_id % 997)) AS BIGINT) FROM shd""".stripMargin
+       |       CAST(sum((shard_id + 1) * (doc_id % 997 + 1)) AS BIGINT) FROM shd""".stripMargin
   }
 
   val entries: Seq[QueryDef] = Seq(

@@ -577,6 +577,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"x10: quadratic join fallback:\n$p")
   }
 
+  test("x11 incremental manifest reads the persisted store, never re-fingerprints day-1 text") {
+    val p = plan("x11_incremental_pipeline")
+    // building the plan runs the batch-side eager stages (batch ledger
+    // checkpoint, Bloom + decontam decisions) — the RETURNED manifest must
+    // then read ONLY the persisted day-1 store (a parquet scan of the
+    // graft_ledger dir: the fingerprint store IS the corpus side) plus the
+    // checkpointed batch ledger / budget-bounded tails; day-1 document
+    // text is never re-scanned by the incremental job
+    assert(p.contains("graft_ledger_"),
+      s"x11: the corpus side must scan the persisted fingerprint store:\n$p")
+    assert(!p.contains("testdata"),
+      s"x11: a manifest stage re-scanned corpus text:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"x11: batch stages must read the checkpointed batch ledger:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"x11: quadratic join fallback:\n$p")
+  }
+
   test("j12 bucketed join plans zero exchanges over the co-located layout") {
     graft.ops.BucketedLayout.ensure(spark, sf) // charge the layout build here
     val p = plan("j12_bucketed_join")
