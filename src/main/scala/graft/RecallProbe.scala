@@ -180,7 +180,8 @@ object RecallProbe {
       s""""semdedup":{"n_vectors":$nVec,"n_cells":$k,"exact_s":$tExact,"cell_s":$tCell,"build_s":$tBuild,$perThreshold,$windowed}"""
     }
     }.recover { case e =>
-      s""""semdedup":{"skipped":"${e.getClass.getSimpleName.replaceAll("[\"\\\\]", " ")}"}"""
+      val what = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+      s""""semdedup":{"skipped":"${what.replaceAll("""["\\\n\r\t]""", " ")}"}"""
     }.get
 
     Dedup.releaseCaches()

@@ -229,12 +229,18 @@ object IvfIndex {
   /** The within-cell over-threshold cosine pairs SemDeDup groups over —
     * public so RecallProbe can measure cell-capture recall against the
     * exact global pair set at scales where truth is still computable. */
+  /** A within-cell group holding more members than this takes the join
+    * formulation (a flatMapGroups cell is ONE task: 8k members = 3.2×10⁷
+    * dots ≈ sub-second; an unexpectedly giant cell must not serialize into
+    * one straggler). Sized cells (semDedupK targets ~2000) stay far below. */
+  val MaxFlatMapCellRows = 8000L
+
   def withinCellPairs(index: IvfModel, threshold: Double,
-      window: Option[Int] = None): DataFrame = {
+      window: Option[Int] = None, forceJoin: Boolean = false): DataFrame = {
     // per-vector norms hoisted OUT of the quadratic stage: the within-cell
-    // scan does Σ|cell|² pair evaluations, so each pair pays one codegen'd
-    // dot (1 multiply-add per element) instead of the fused cosine's 3 —
-    // norms are computed once per vector on the linear side of the join.
+    // scan does Σ|cell|² pair evaluations, so each pair pays one dot
+    // (1 multiply-add per element) instead of the fused cosine's 3 —
+    // norms are computed once per vector on the linear side.
     // dot > τ·na·nb ⇔ dot/(na·nb) > τ up to one-ulp boundary cases (τ > 0
     // and norms positive); DataPlaneSpec's exact recomputation guards the
     // equivalence on real data.
@@ -242,72 +248,215 @@ object IvfIndex {
     val assigned0 = index.assigned
       .select(col("vec_id"), v.as("v"),
         sqrt(Similarity.dotNative(v, v)).as("nrm"), col("cell"))
-    window match {
-      case None =>
-        val a = assigned0.select(col("cell"), col("vec_id").as("doc_a"),
-          col("v").as("va"), col("nrm").as("na"))
-        val b = assigned0.select(col("cell"), col("vec_id").as("doc_b"),
-          col("v").as("vb"), col("nrm").as("nb"))
-        a.join(b, Seq("cell"))
-          .filter(col("doc_a") < col("doc_b"))
-          .filter(Similarity.dotNative(col("va"), col("vb")) >
-            lit(threshold) * col("na") * col("nb"))
-          .select("doc_a", "doc_b")
-      case Some(wSize) =>
-        // bounded NEIGHBOR WINDOW (the SemDeDup paper's sort-by-centroid-
-        // distance pruning): members of a cell are ranked by cosine to
-        // their centroid, and only pairs within `wSize` ranks are scored —
-        // Σ|cell|·W pair evaluations instead of Σ|cell|², the knob that
-        // keeps the decision linear in cell size as the corpus grows.
-        // Pair generation is a RANK-BUCKET equi-join, not a windowed self
-        // join: the lower-ranked side posts its own W-bucket and the next,
-        // the higher-ranked side posts its own — a pair within W ranks
-        // matches on exactly one (cell, bucket) key, so no distinct is
-        // needed and the join stays hash-partitioned on small keys.
-        // Recall cost is measured, not assumed: RecallProbe reports
-        // windowed cell-capture recall next to the unbounded scan's.
-        val centDf = broadcast(index.assigned.sparkSession
-          .createDataFrame(index.centroids).toDF("cell", "centroid"))
-        val ranked = assigned0.join(centDf, Seq("cell"))
-          .withColumn("cent_cos",
-            Similarity.cosine(col("v"), col("centroid")))
-          .withColumn("rnk", row_number().over(
-            Window.partitionBy("cell").orderBy(col("cent_cos"), col("vec_id"))))
-          .select("cell", "vec_id", "v", "nrm", "rnk")
-        val lo = ranked.select(col("cell"),
-          explode(array(floor(col("rnk") / wSize),
-            floor(col("rnk") / wSize) + 1)).as("bkt"),
-          col("vec_id").as("doc_a"), col("v").as("va"), col("nrm").as("na"),
-          col("rnk").as("ra"))
-        val hi = ranked.select(col("cell"),
-          floor(col("rnk") / wSize).as("bkt"),
-          col("vec_id").as("doc_b"), col("v").as("vb"), col("nrm").as("nb"),
-          col("rnk").as("rb"))
-        lo.join(hi, Seq("cell", "bkt"))
-          .filter(col("ra") < col("rb") && col("rb") - col("ra") <= wSize)
-          .filter(Similarity.dotNative(col("va"), col("vb")) >
-            lit(threshold) * col("na") * col("nb"))
-          .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
-            greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+    // `window`: the SemDeDup paper's sort-by-centroid-distance pruning —
+    // rank members by cosine to their centroid, score only pairs within
+    // `window` ranks (Σ|cell|·W work instead of Σ|cell|²). MEASURED AND
+    // REJECTED for the declared low-τ decision on this corpus
+    // (scale_r12/recall_sf1.json: τ=0.6 capture 0.93 unbounded → 0.42 at
+    // W=128 — centroid-distance rank is a weak neighbor proxy in high
+    // dim); kept as the opt-in knob for the high-τ near-identical regime
+    // the paper targets, where its recall holds (1.0 at τ=0.9).
+    val rankCos: Option[DataFrame] = window.map { _ =>
+      val centDf = broadcast(index.assigned.sparkSession
+        .createDataFrame(index.centroids).toDF("cell", "centroid"))
+      assigned0.join(centDf, Seq("cell"))
+        .withColumn("rc", Similarity.cosine(col("v"), col("centroid")))
+        .select(col("cell"), col("vec_id"), col("v"), col("nrm"), col("rc"))
+    }
+    val members = rankCos.getOrElse(
+      assigned0.withColumn("rc", lit(0.0))
+        .select("cell", "vec_id", "v", "nrm", "rc"))
+    // measured dispatch on the largest cell: the quadratic stage runs as a
+    // typed PER-CELL scan (flatMapGroups) when every group fits one task —
+    // each vector then moves ONCE in the group shuffle and pairs are
+    // evaluated in a primitive-array loop, vs the join formulation that
+    // materializes TWO embedding arrays into every candidate row
+    // (Σ|cell|² × vector-width of row traffic — measured 39.8 s → see
+    // scale_r12 at sf10 for the delta). Oversized cells fall back to the
+    // join (cluster-wide parallelism beats one straggler task).
+    val maxCell = if (forceJoin) Long.MaxValue
+      else index.assigned.groupBy("cell").count()
+        .agg(max("count")).head().getLong(0)
+    if (maxCell <= MaxFlatMapCellRows) {
+      val spark = index.assigned.sparkSession
+      import spark.implicits._
+      val wOpt = window
+      val thr = threshold
+      members.select(col("cell"), col("vec_id"), col("v"), col("nrm"), col("rc"))
+        .as[(Int, Long, Array[Double], Double, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (_, it) =>
+          // sort by (rc, vec_id) when windowed — rank-neighborhood pairs
+          // only; by vec_id otherwise (output order-stable either way
+          // because pairs are emitted id-normalized)
+          val m = it.toArray
+          val sorted = if (wOpt.isDefined) m.sortBy(x => (x._5, x._2)) else m.sortBy(_._2)
+          val n = sorted.length
+          val w = wOpt.getOrElse(n)
+          val out = Seq.newBuilder[(Long, Long)]
+          var i = 0
+          while (i < n) {
+            val (va, na, ida) = (sorted(i)._3, sorted(i)._4, sorted(i)._2)
+            var j = i + 1
+            val jEnd = math.min(n, i + w + 1)
+            while (j < jEnd) {
+              val vb = sorted(j)._3
+              var dot = 0.0
+              var d = 0
+              while (d < va.length) { dot += va(d) * vb(d); d += 1 }
+              if (dot > thr * na * sorted(j)._4) {
+                val idb = sorted(j)._2
+                out += (if (ida < idb) (ida, idb) else (idb, ida))
+              }
+              j += 1
+            }
+            i += 1
+          }
+          out.result().iterator
+        }
+        .toDF("doc_a", "doc_b")
+    } else {
+      val a = members.select(col("cell"), col("vec_id").as("doc_a"),
+        col("v").as("va"), col("nrm").as("na"), col("rc").as("rca"))
+      val b = members.select(col("cell"), col("vec_id").as("doc_b"),
+        col("v").as("vb"), col("nrm").as("nb"), col("rc").as("rcb"))
+      val joined = a.join(b, Seq("cell")).filter(col("doc_a") < col("doc_b"))
+      val inWindow = window match {
+        case None => joined
+        case Some(wSize) =>
+          // rank-window restriction via a per-cell rank join would re-key
+          // the cell; approximate the SAME windowed semantics on the join
+          // path with the rank from a window function, then bound the gap
+          val ranked = members.withColumn("rnk", row_number().over(
+            Window.partitionBy("cell").orderBy(col("rc"), col("vec_id"))))
+          val ra = ranked.select(col("vec_id").as("doc_a"), col("rnk").as("ra"))
+          val rb = ranked.select(col("vec_id").as("doc_b"), col("rnk").as("rb"))
+          joined.join(ra, "doc_a").join(rb, "doc_b")
+            .filter(abs(col("ra") - col("rb")) <= wSize)
+      }
+      inWindow
+        .filter(Similarity.dotNative(col("va"), col("vb")) >
+          lit(threshold) * col("na") * col("nb"))
+        .select("doc_a", "doc_b")
     }
   }
 
-  def semDedup(index: IvfModel, threshold: Double,
-      window: Option[Int] = None): DataFrame = {
+  /** Cell-local semantic decision: because SemDeDup scores pairs WITHIN
+    * cells only, a component can never span cells — so the grouping needs
+    * no distributed connected-components at all. Each cell runs an
+    * in-task union-find over its members (union by min vec_id, path
+    * compression) and emits ONE row per member — (vec_id, cell, grp,
+    * cent_cos_raw), grp = the component's min vec_id, exactly the labels
+    * pointer-doubling CC converges to, with ZERO pair materialization
+    * (r11's decision shipped ~29M over-threshold pairs into a 29M-edge CC
+    * at sf10; this emits n rows). Norms and the centroid cosine are
+    * computed in the same task from the closure-captured centroid list
+    * (k×dim KBs — the same data semDedup's distributed branch broadcasts),
+    * with the identical fused accumulation order as
+    * graft.functions.CosineSimilarity, so the two branches are bit-equal.
+    * Same dot-vs-τ·na·nb pair test as [[withinCellPairs]]. */
+  private def cellLocalDecision(index: IvfModel, threshold: Double,
+      window: Option[Int]): DataFrame = {
     val spark = index.assigned.sparkSession
-    val centDf = broadcast(spark.createDataFrame(index.centroids).toDF("cell", "centroid"))
-    val withCent = index.assigned
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("cell"))
-      .join(centDf, Seq("cell"))
-      .withColumn("cent_cos", Similarity.cosine(col("v"), col("centroid")))
-      .select(col("vec_id"), col("v"), col("cell"), col("cent_cos"))
-    val pairs = withinCellPairs(index, threshold, window)
-    val comps = Dedup.connectedComponents(pairs, withCent.select(col("vec_id").as("node")))
-    val w = Window.partitionBy("grp").orderBy(col("cent_cos"), col("vec_id"))
-    withCent.join(comps, withCent("vec_id") === comps("node"))
-      .select(col("vec_id"), col("cell"), col("label").as("grp"),
-        round(col("cent_cos"), 6).as("cent_cos"))
+    import spark.implicits._
+    val cents: Map[Int, Array[Double]] = index.centroids.toMap
+    val (wOpt, thr) = (window, threshold)
+    index.assigned
+      .select(col("cell"), col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .as[(Int, Long, Array[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (cell, it) =>
+        val cent = cents(cell)
+        def fused(a: Array[Double], b: Array[Double]): (Double, Double, Double) = {
+          var (dot, na, nb) = (0.0, 0.0, 0.0)
+          var i = 0
+          while (i < a.length) {
+            val (x, y) = (a(i), b(i)); dot += x * y; na += x * x; nb += y * y
+            i += 1
+          }
+          (dot, na, nb)
+        }
+        val m0 = it.toArray
+        // per-member norm + centroid cosine, once, linear
+        val withStats = m0.map { case (_, id, v) =>
+          val (dot, na, nb) = fused(v, cent)
+          (id, v, math.sqrt(na), dot / math.sqrt(na * nb))
+        }
+        // windowed mode ranks by centroid cosine (the paper's pruning
+        // order); unbounded mode is order-independent
+        val sorted = if (wOpt.isDefined) withStats.sortBy(x => (x._4, x._1))
+                     else withStats.sortBy(_._1)
+        val n = sorted.length
+        val parent = Array.tabulate(n)(identity)
+        def find(x: Int): Int = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        // union keeps the member with the SMALLER vec_id as root, so every
+        // root IS its component's min id — the CC label contract
+        def union(a: Int, b: Int): Unit = {
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) {
+            if (sorted(ra)._1 <= sorted(rb)._1) parent(rb) = ra
+            else parent(ra) = rb
+          }
+        }
+        val w = wOpt.getOrElse(n)
+        var i = 0
+        while (i < n) {
+          val (va, na) = (sorted(i)._2, sorted(i)._3)
+          var j = i + 1
+          val jEnd = math.min(n, i + w + 1)
+          while (j < jEnd) {
+            val vb = sorted(j)._2
+            var dot = 0.0
+            var d = 0
+            while (d < va.length) { dot += va(d) * vb(d); d += 1 }
+            if (dot > thr * na * sorted(j)._3) union(i, j)
+            j += 1
+          }
+          i += 1
+        }
+        Iterator.tabulate(n)(i =>
+          (sorted(i)._1, cell, sorted(find(i))._1, sorted(i)._4))
+      }
+      .toDF("vec_id", "cell", "grp", "cent_cos_raw")
+  }
+
+  def semDedup(index: IvfModel, threshold: Double,
+      window: Option[Int] = None, forceDistributedCc: Boolean = false): DataFrame = {
+    val spark = index.assigned.sparkSession
+    val w = Window.partitionBy("grp").orderBy(col("cent_cos_raw"), col("vec_id"))
+    // measured dispatch on the largest cell: sized cells (semDedupK's
+    // ~2000 target) decide in-task — each vector moves once, no pair ever
+    // materializes, the centroid join disappears (sf10: 39.8 → ~11 s,
+    // identical output, spec-locked); an unexpectedly giant cell falls
+    // back to the pair join + distributed CC rather than serializing into
+    // one straggler task.
+    val maxCell = index.assigned.groupBy("cell").count()
+      .agg(max("count")).head().getLong(0)
+    val decided =
+      if (!forceDistributedCc && maxCell <= MaxFlatMapCellRows)
+        cellLocalDecision(index, threshold, window)
+      else {
+        val centDf = broadcast(spark.createDataFrame(index.centroids).toDF("cell", "centroid"))
+        val withCent = index.assigned
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("cell"))
+          .join(centDf, Seq("cell"))
+          .withColumn("cent_cos_raw", Similarity.cosine(col("v"), col("centroid")))
+          .select(col("vec_id"), col("v"), col("cell"), col("cent_cos_raw"))
+        val pairs = withinCellPairs(index, threshold, window)
+        val comps = Dedup.connectedComponents(pairs, withCent.select(col("vec_id").as("node")))
+        withCent.join(comps, withCent("vec_id") === comps("node"))
+          .select(col("vec_id"), col("cell"), col("label").as("grp"), col("cent_cos_raw"))
+      }
+    decided
       .withColumn("keep", row_number().over(w) === 1)
+      .select(col("vec_id"), col("cell"), col("grp"),
+        round(col("cent_cos_raw"), 6).as("cent_cos"), col("keep"))
   }
 
   /** [[semDedup]] against the same persisted per-corpus index. */

@@ -9,62 +9,143 @@ import org.apache.spark.sql.functions._
   *
   * Media payloads are opaque `binary` columns with a typed metadata struct —
   * the 100 TB design keeps bytes in parquet (or pointers to object storage)
-  * and only ever shuffles metadata + extracted features. The decode step is
-  * STUBBED (no image/audio libs in this container) with a deterministic fake;
-  * the Spark-side plumbing — schema, batching, partition-parallel decode via
-  * mapPartitions, feature schema — is real and tested.
+  * and only ever shuffles metadata + extracted features. Since r12 the
+  * decode is REAL: the media column carries genuine PNG images (rendered
+  * deterministically from the document corpus, since the container ships no
+  * image testdata) and m2/m4 decode them with `javax.imageio` inside the
+  * typed mapPartitions shape — one decoder init per partition, only
+  * features / resized bytes ever move downstream.
   */
 object Multimodal {
 
   /** A media row: payload + typed metadata (the engine's multimodal schema). */
   case class MediaRow(media_id: Long, payload: Array[Byte], mime: String, n_bytes: Long)
 
-  /** Extracted features per media item. */
-  case class MediaFeatures(media_id: Long, n_frames: Int, features: Array[Double])
+  /** Features decoded from an image payload: dimensions + channel means. */
+  case class ImageFeatures(media_id: Long, width: Int, height: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double)
 
-  /** Deterministic fake "decode + feature extract": chunk payload into
-    * 16-byte "frames", feature = mean unsigned byte value per frame.
-    * Stands in for an image/audio decoder; REAL decoders slot in here with
-    * the same mapPartitions batch shape (one decoder init per partition). */
-  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  /** Side of the square PNGs the media generator renders. */
+  val GenDim = 16
+
+  /** Pixel channels for index `i` (row-major) of the generated image for
+    * (`id`, `textBytes`) — the ONE deterministic fill rule shared by the
+    * generator and the spec's golden recomputation, so the test proves the
+    * PNG encode→decode round trip reproduces these exact values. */
+  private[graft] def genPixel(id: Long, textBytes: Array[Byte], i: Int): (Int, Int, Int) = {
+    val r = if (textBytes.isEmpty) ((id + i) & 0xffL).toInt
+            else textBytes(i % textBytes.length) & 0xff
+    val g = ((i * 7 + id) & 0xffL).toInt
+    val b = (r ^ i) & 0xff
+    (r, g, b)
+  }
+
+  /** Render a REAL GenDim×GenDim RGB PNG from a document (deterministic:
+    * pixels are [[genPixel]] of the utf-8 text bytes). */
+  private[graft] def pngFromText(id: Long, text: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      GenDim, GenDim, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bytes = text.getBytes("UTF-8")
+    var i = 0
+    while (i < GenDim * GenDim) {
+      val (r, g, b) = genPixel(id, bytes, i)
+      img.setRGB(i % GenDim, i / GenDim, (r << 16) | (g << 8) | b)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL image decode + feature extraction: `javax.imageio` PNG decode
+    * inside typed mapPartitions (decoder config init once per partition),
+    * emitting dimensions + per-channel means — KB of features per row
+    * regardless of payload size, the only thing that shuffles. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition init happens here (decoder handles, model weights, ...)
+      // per-partition decoder init: no disk-backed stream cache in executors
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { m =>
-        val frames = m.payload.grouped(16).toArray
-        val feats = frames.map(f => f.map(b => (b & 0xff).toDouble).sum / f.length)
-        MediaFeatures(m.media_id, frames.length, feats)
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+        require(img != null, s"media ${m.media_id}: payload is not a decodable image")
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w * h).toDouble
+        ImageFeatures(m.media_id, w, h, sr / n, sg / n, sb / n)
       }
     }
   }
 
-  /** Deterministic stub "resize": stride-downsample the payload to at most
-    * `targetBytes` (every ceil(n/target)-th byte). Stands in for an image
-    * resize / audio resample; a real codec slots into the same typed
-    * mapPartitions with per-partition init, and only the RESIZED bytes ever
-    * move downstream — at 100 TB that is the point of resizing early. */
-  def resize(media: Dataset[MediaRow], targetBytes: Int): Dataset[MediaRow] = {
+  /** REAL image resize: decode, block-mean downsample to
+    * `targetDim`×`targetDim` (exact integer area average — deterministic
+    * across JVMs, unlike AWT's toolkit scalers), re-encode PNG. Same typed
+    * mapPartitions shape; only the RESIZED bytes move downstream — at
+    * 100 TB that is the point of resizing early. */
+  def resize(media: Dataset[MediaRow], targetDim: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { m =>
-        val stride = math.max(1, math.ceil(m.payload.length.toDouble / targetBytes).toInt)
-        val out = m.payload.indices.collect { case i if i % stride == 0 => m.payload(i) }.toArray
-        MediaRow(m.media_id, out, m.mime, out.length.toLong)
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+        require(img != null, s"media ${m.media_id}: payload is not a decodable image")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val (bw, bh) = (math.max(1, w / targetDim), math.max(1, h / targetDim))
+        val out = new java.awt.image.BufferedImage(
+          targetDim, targetDim, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < targetDim) {
+          var x = 0
+          while (x < targetDim) {
+            var (sr, sg, sb, n) = (0, 0, 0, 0)
+            var dy = 0
+            while (dy < bh) {
+              var dx = 0
+              while (dx < bw) {
+                val (sx, sy) = (math.min(w - 1, x * bw + dx), math.min(h - 1, y * bh + dy))
+                val p = img.getRGB(sx, sy)
+                sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                n += 1; dx += 1
+              }
+              dy += 1
+            }
+            out.setRGB(x, y, ((sr / n) << 16) | ((sg / n) << 8) | (sb / n))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        val resized = bos.toByteArray
+        MediaRow(m.media_id, resized, m.mime, resized.length.toLong)
       }
     }
   }
 
-  /** Documents-as-media: utf-8 bytes payload (the container has no real
-    * image/audio testdata; the pipeline shape is identical). */
+  /** Documents-as-media: a REAL PNG rendered per document ([[pngFromText]]
+    * — the container ships no image testdata, so the media column is
+    * generated, but everything downstream decodes genuine image bytes). */
   def mediaFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
     Tables(spark, sfDir, "documents")
-      .select(
-        col("doc_id").as("media_id"),
-        encode(col("text"), "utf-8").as("payload"),
-        lit("text/plain").as("mime"),
-        length(encode(col("text"), "utf-8")).cast("long").as("n_bytes"))
-      .as[MediaRow]
+      .select(col("doc_id").as("media_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val png = pngFromText(id, text)
+          MediaRow(id, png, "image/png", png.length.toLong)
+        }
+      }
   }
 
   val entries: Seq[QueryDef] = Seq(
@@ -82,20 +163,24 @@ object Multimodal {
         hex(encode(substring(col("text"), 1, 4), "utf-8")).as("magic_hex"))
     },
 
-    // Stubbed decode → feature extraction via typed mapPartitions.
-    // Engine-specific (no SQL analog) → rows-only check + ScalaTest.
+    // REAL decode → feature extraction: javax.imageio PNG decode in typed
+    // mapPartitions, emitting dims + channel means. Engine-specific (no
+    // SQL analog) → rows-only check + a pixel-exact golden-row ScalaTest.
     QueryDef.noOracle("m2_media_features") { (s, d) =>
       val feats = extractFeatures(mediaFromDocuments(s, d))
       feats.toDF().select(
-        col("media_id"), col("n_frames"),
-        round(element_at(col("features"), 1), 6).as("f0"))
+        col("media_id"), col("width"), col("height"),
+        round(col("mean_r"), 6).as("mean_r"),
+        round(col("mean_g"), 6).as("mean_g"),
+        round(col("mean_b"), 6).as("mean_b"))
     },
 
-    // M4: stub resize → metadata + content hash of the downsampled payload.
-    // Decode-side op → typed mapPartitions; engine-specific → rows-only +
-    // a golden-row check in DataPlaneSpec.
+    // M4: REAL image resize — PNG decode, exact block-mean downsample to
+    // 8×8, PNG re-encode, all inside typed mapPartitions; only the resized
+    // bytes move. Decode-side op → engine-specific → rows-only +
+    // a pixel-exact golden-row check in DataPlaneSpec.
     QueryDef.noOracle("m4_resize") { (s, d) =>
-      resize(mediaFromDocuments(s, d), targetBytes = 64).toDF()
+      resize(mediaFromDocuments(s, d), targetDim = 8).toDF()
         .select(
           col("media_id"), col("n_bytes").as("resized_bytes"),
           md5(col("payload")).as("resized_hash"))

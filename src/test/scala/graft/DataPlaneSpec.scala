@@ -594,30 +594,59 @@ class DataPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(relErr(approx.getLong(1), exact.getLong(1)) <= 0.02)
   }
 
-  test("m4 resize: stride-downsample matches a locally computed golden row") {
+  test("m2 media features: REAL PNG decode reproduces the generator's exact pixel means") {
+    import graft.llm.Multimodal
     val doc = Tables(spark, sf, "documents")
       .filter(col("doc_id") === 0).select("text").head().getString(0)
+    // the media column carries genuine PNGs: magic bytes prove the format
+    val png = Multimodal.pngFromText(0L, doc)
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G',
+      "generated payload must be a real PNG")
+    // golden means from the FILL RULE (not a decode round trip): equality
+    // proves imageio decode recovered every pixel the generator set
     val bytes = doc.getBytes("UTF-8")
-    val stride = math.max(1, math.ceil(bytes.length / 64.0).toInt)
-    val expected = bytes.indices.collect { case i if i % stride == 0 => bytes(i) }.toArray
-    val row = SparkEntry.queries("m4_resize")(spark, sf)
-      .filter(col("media_id") === 0).head()
-    assert(row.getLong(1) == expected.length, "resized_bytes mismatch")
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val expectedHash = md.digest(expected).map(b => f"$b%02x").mkString
-    assert(row.getString(2) == expectedHash, "resized_hash mismatch")
-  }
-
-  test("m2 media features: stub decoder output matches a locally computed golden row") {
-    val doc = Tables(spark, sf, "documents")
-      .filter(col("doc_id") === 0).select("text").head().getString(0)
-    val bytes = doc.getBytes("UTF-8")
-    val frames = bytes.grouped(16).toArray
-    val expectedF0 = frames.head.map(b => (b & 0xff).toDouble).sum / frames.head.length
+    val n = Multimodal.GenDim * Multimodal.GenDim
+    val px = (0 until n).map(i => Multimodal.genPixel(0L, bytes, i))
+    def mean(f: ((Int, Int, Int)) => Int) = px.map(f(_).toLong).sum.toDouble / n
     val row = SparkEntry.queries("m2_media_features")(spark, sf)
       .filter(col("media_id") === 0).head()
-    assert(row.getInt(1) == frames.length, "n_frames mismatch")
-    assert(math.abs(row.getDouble(2) - math.rint(expectedF0 * 1e6) / 1e6) < 1e-9, "f0 mismatch")
+    assert(row.getInt(1) == Multimodal.GenDim && row.getInt(2) == Multimodal.GenDim,
+      "decoded dimensions mismatch")
+    def r6(d: Double) = math.rint(d * 1e6) / 1e6
+    assert(row.getDouble(3) == r6(mean(_._1)), "decoded mean_r mismatch")
+    assert(row.getDouble(4) == r6(mean(_._2)), "decoded mean_g mismatch")
+    assert(row.getDouble(5) == r6(mean(_._3)), "decoded mean_b mismatch")
+  }
+
+  test("m4 resize: decoded 8x8 output equals the exact 2x2 block means of the source pixels") {
+    import graft.llm.Multimodal
+    val doc = Tables(spark, sf, "documents")
+      .filter(col("doc_id") === 0).select("text").head().getString(0)
+    val bytes = doc.getBytes("UTF-8")
+    val dim = Multimodal.GenDim
+    def srcPx(x: Int, y: Int) = Multimodal.genPixel(0L, bytes, y * dim + x)
+    // fetch the resized payload through the declared pipeline pieces and
+    // decode it HERE: PNG is lossless, so every 8×8 pixel must equal the
+    // integer block mean of its 2×2 source block
+    import spark.implicits._
+    val media = Multimodal.mediaFromDocuments(spark, sf).filter(_.media_id == 0L)
+    val resized = Multimodal.resize(media, targetDim = 8).head()
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized.payload))
+    assert(img.getWidth == 8 && img.getHeight == 8, "resized dims mismatch")
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val block = for (dy <- 0 to 1; dx <- 0 to 1) yield srcPx(x * 2 + dx, y * 2 + dy)
+      val (er, eg, eb) = (block.map(_._1).sum / 4, block.map(_._2).sum / 4, block.map(_._3).sum / 4)
+      val p = img.getRGB(x, y)
+      assert(((p >> 16) & 0xff) == er && ((p >> 8) & 0xff) == eg && (p & 0xff) == eb,
+        s"block mean mismatch at ($x,$y)")
+    }
+    // the declared m4 row carries the hash/size of exactly these bytes
+    val row = SparkEntry.queries("m4_resize")(spark, sf)
+      .filter(col("media_id") === 0).head()
+    assert(row.getLong(1) == resized.payload.length.toLong, "resized_bytes mismatch")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    assert(row.getString(2) == md.digest(resized.payload).map(b => f"$b%02x").mkString,
+      "resized_hash mismatch")
   }
 
   test("stop-shingle pruning kills boilerplate pair blowup, keeps true near-dups") {
@@ -1386,6 +1415,32 @@ class DataPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
     for (Seq(x, y) <- ord.sliding(2))
       assert(b(y)._1 <= b(x)._1, s"$y grew relative to $x")
     assert(rows("x11b_incremental_lsh") == b, "x11b must be run-to-run deterministic")
+  }
+
+  test("withinCellPairs: per-cell typed scan and join formulation produce the identical pair set") {
+    val emb = Tables(spark, sf, "embeddings")
+    val idx = IvfIndex.cachedIndexFor(sf, emb, nClusters = Similarity.semDedupK(emb))
+    def pairs(forceJoin: Boolean, window: Option[Int]) =
+      IvfIndex.withinCellPairs(idx, 0.3, window, forceJoin).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the dispatch must be a pure execution-strategy choice: same pairs
+    val fm = pairs(forceJoin = false, None)
+    val jn = pairs(forceJoin = true, None)
+    assert(fm == jn, s"flatMapGroups vs join pair sets differ: ${(fm -- jn).take(3)} / ${(jn -- fm).take(3)}")
+    assert(fm.nonEmpty, "within-cell scan must be live on testdata")
+    // the windowed variants agree across strategies too, and are subsets
+    val fmW = pairs(forceJoin = false, Some(16))
+    val jnW = pairs(forceJoin = true, Some(16))
+    assert(fmW == jnW, "windowed flatMapGroups vs join pair sets differ")
+    assert(fmW.subsetOf(fm), "windowed pairs must be a subset of the unbounded scan")
+    // the semDedup grouping dispatch is likewise strategy-only: in-task
+    // per-cell union-find and pair-join + distributed CC produce the
+    // identical (vec_id, grp, keep) decision
+    def decide(forceCc: Boolean) =
+      IvfIndex.semDedup(idx, 0.3, forceDistributedCc = forceCc).collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(4))).toSet
+    assert(decide(false) == decide(true),
+      "cell-local union-find must equal the distributed-CC decision")
   }
 
   test("store-backed LSH near-check is live: persisted-signature banding finds planted cross-side near-dups") {
