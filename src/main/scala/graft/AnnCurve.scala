@@ -57,6 +57,13 @@ object AnnCurve {
       if (preset == "prod")
         (Seq((16, 64, false)),
           Seq(4, 16, 32), Seq(200, 500))
+      else if (preset == "cross")
+        // the crossover preset: the corpus-size/dim regime where the exact
+        // scan's probes×n×dim cost should exceed the routed ADC scan —
+        // two code widths, a routing sweep, rerank depth fixed by the sf1
+        // winner's neighborhood
+        (Seq((16, 64, false), (32, 64, false)),
+          Seq(8, 16, 32, 64), Seq(200, 500))
       else
         (for ((m, k) <- Seq((8, 16), (8, 64), (16, 64)); o <- Seq(false, true))
            yield (m, k, o),
@@ -85,8 +92,14 @@ object AnnCurve {
     val dir = java.nio.file.Paths.get(out).getParent
     if (dir != null) java.nio.file.Files.createDirectories(dir)
     def jstr(s: String): String = s.replaceAll("""["\\\n\r\t]""", " ")
+    // bytes-scanned model inputs (the 100 TB IO argument, reported from
+    // the corpus actually measured): a full float32 scan reads n·dim·4
+    // bytes per probe batch; the routed ADC scan reads ~n·(nProbe/k)·m
+    // code bytes + shortlist·dim·4 rerank bytes
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val json =
-      s"""{"sf_dir":"${jstr(sfDir)}","n_vectors":$nVec,"n_probes":$nProbes,
+      s"""{"sf_dir":"${jstr(sfDir)}","n_vectors":$nVec,"n_probes":$nProbes,"dim":$dim,
+         |"bytes_float32_scan":${nVec * dim * 4L},
          |"truth_s":${math.rint(tTruth * 100) / 100},"n_clusters":$nClusters,"ivf_build_s":${math.rint(tIvf * 100) / 100},
          |"points":[${results.mkString(",")}],
          |"loadavg":${java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage}}"""
