@@ -27,6 +27,10 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // lets dev.ludovic.netlib load its Vector-API BLAS (MLlib KMeans/BLAS
+  // paths run a JIT'd fallback without it — measured minutes-vs-tens-of-
+  // minutes on a k=1000 coarse-quantizer fit); harmless elsewhere
+  "--add-modules", "jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",

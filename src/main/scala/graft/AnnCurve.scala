@@ -49,9 +49,17 @@ object AnnCurve {
     val (truth, tTruth) = timed(pairSet(
       Similarity.bruteForceKnnAgg(probes, emb, k = 10)))
 
-    // the engine's sized clustering (the sim_semdedup knob): cells of ~2k
-    val nClusters = math.max(8, math.min(4096, (nVec / 2000L).toInt))
-    val (ivf, tIvf) = timed(IvfIndex.build(emb, nClusters))
+    // the engine's sized clustering (the sim_semdedup knob): cells of ~2k.
+    // The cross preset bounds the coarse quantizer instead (256 cells,
+    // 10 Lloyd iterations): k=n/2000 training cost grows ~k²·dim under
+    // MLlib's axpy distance path (measured >90 min at k=1000, dim=256) for
+    // a routing structure whose recall the sweep shows 256 cells already
+    // deliver — the quantizer is a knob, not a contract
+    val nClusters =
+      if (preset == "cross") 256
+      else math.max(8, math.min(4096, (nVec / 2000L).toInt))
+    val (ivf, tIvf) = timed(IvfIndex.build(emb, nClusters,
+      maxIter = if (preset == "cross") 10 else 20))
 
     val (configs, probeAxis, shortAxis) =
       if (preset == "prod")
@@ -70,22 +78,42 @@ object AnnCurve {
           Seq(1, 4, nClusters), Seq(50, 200, 500, 1000))
 
     val results = scala.collection.mutable.ArrayBuffer.empty[String]
+    def record(label: String, nProbe: Int, shortlist: Int, tBuild: Double,
+        got: Set[(Long, Long)], tQ: Double): Unit = {
+      val rec = if (truth.isEmpty) 1.0 else (truth & got).size.toDouble / truth.size
+      results += s"""{"model":"$label","n_probe":$nProbe,"shortlist":$shortlist,"recall_at_10":${math.rint(rec * 1e4) / 1e4},"query_s":${math.rint(tQ * 100) / 100},"build_s":${math.rint(tBuild * 100) / 100}}"""
+      println(s"[ann_curve] $label nProbe=$nProbe shortlist=$shortlist recall=$rec t=${tQ}s")
+    }
     for ((m, ksub, opq) <- configs) {
-      val label = (if (opq) "opq" else "pq") + s"_m${m}_k$ksub"
-      val (model, tBuild) = timed(PqIndex.build(emb, m = m, ksub = ksub, opq = opq))
-      model.encoded.count() // materialize the persist before timing probes
-      for (nProbe <- probeAxis; shortlist <- shortAxis) {
-        val (got, tQ) = timed(pairSet(
-          if (nProbe >= nClusters)
-            PqIndex.search(model, probes, emb, k = 10, shortlist = shortlist)
-          else
-            PqIndex.searchIvfPq(ivf, model, probes, emb,
-              k = 10, shortlist = shortlist, nProbe = nProbe)))
-        val rec = if (truth.isEmpty) 1.0 else (truth & got).size.toDouble / truth.size
-        results += s"""{"model":"$label","n_probe":$nProbe,"shortlist":$shortlist,"recall_at_10":${math.rint(rec * 1e4) / 1e4},"query_s":${math.rint(tQ * 100) / 100},"build_s":${math.rint(tBuild * 100) / 100}}"""
-        println(s"[ann_curve] $label nProbe=$nProbe shortlist=$shortlist recall=$rec t=${tQ}s")
+      if (preset == "cross") {
+        // the crossover preset measures the production composition:
+        // RESIDUAL IVFPQ (FAISS IVFADC) over the persisted cell-keyed
+        // inverted lists — raw-vector codes measured recall 0.06 here
+        // (see IvfPqModel's doc), so the raw path is not on this sweep
+        val label = s"ivfpq_res_m${m}_k$ksub"
+        val (model, tBuild) = timed(PqIndex.buildIvfPq(ivf, emb, m, ksub))
+        model.cellCodes.count() // materialize the persist before timing
+        for (nProbe <- probeAxis; shortlist <- shortAxis) {
+          val (got, tQ) = timed(pairSet(PqIndex.searchIvfPqResidual(
+            ivf, model, probes, emb, k = 10, shortlist = shortlist, nProbe = nProbe)))
+          record(label, nProbe, shortlist, tBuild, got, tQ)
+        }
+        model.unpersist()
+      } else {
+        val label = (if (opq) "opq" else "pq") + s"_m${m}_k$ksub"
+        val (model, tBuild) = timed(PqIndex.build(emb, m = m, ksub = ksub, opq = opq))
+        model.encoded.count() // materialize the persist before timing probes
+        for (nProbe <- probeAxis; shortlist <- shortAxis) {
+          val (got, tQ) = timed(pairSet(
+            if (nProbe >= nClusters)
+              PqIndex.search(model, probes, emb, k = 10, shortlist = shortlist)
+            else
+              PqIndex.searchIvfPq(ivf, model, probes, emb,
+                k = 10, shortlist = shortlist, nProbe = nProbe)))
+          record(label, nProbe, shortlist, tBuild, got, tQ)
+        }
+        model.unpersist()
       }
-      model.unpersist()
     }
     ivf.unpersist()
 

@@ -35,15 +35,17 @@ object IvfIndex {
 
   /** Offline index build — the expensive step a deployment runs once and
     * reuses across query workloads, NOT per query. */
-  def build(corpus: DataFrame, nClusters: Int): IvfModel = {
+  def build(corpus: DataFrame, nClusters: Int, maxIter: Int = 20): IvfModel = {
     val vecs = corpus.select(col("vec_id"), col("embedding"),
       array_to_vector(col("embedding").cast("array<double>")).as("features"))
     val cap = math.max(50L * nClusters, KmeansTrainCap)
-    // deterministic hash-ordered sample (the PqIndex.train reservoir idiom)
+    // deterministic hash-ordered sample (the PqIndex.train reservoir idiom;
+    // Sampling.hashReservoir prefilters map-side so the global ordered
+    // limit never fans corpus-wide per-task results into the driver)
     val trainVecs =
       if (corpus.count() <= cap) vecs
-      else vecs.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(cap.toInt)
-    val km = new KMeans().setK(nClusters).setSeed(42L)
+      else Sampling.hashReservoir(vecs, col("vec_id"), cap.toInt)
+    val km = new KMeans().setK(nClusters).setSeed(42L).setMaxIter(maxIter)
       .setFeaturesCol("features").setPredictionCol("cell")
     val model = km.fit(trainVecs)
     val assigned = model.transform(vecs)

@@ -18,6 +18,24 @@ final case class PqModel(m: Int, dsub: Int,
   def unpersist(): Unit = encoded.unpersist()
 }
 
+/** A RESIDUAL IVFPQ index — the FAISS IndexIVFPQ design (Jégou et al. 2011
+  * §IV-B, "IVFADC"): PQ encodes the residual v − centroid(cell(v)), never
+  * the raw vector, so the whole code budget spends on LOCAL structure
+  * instead of re-describing the coarse mode the routing tier has already
+  * identified. (Raw-vector codes measured recall 0.06 on a 64-topic
+  * hierarchical corpus — every code chased the topic modes and same-topic
+  * candidates became indistinguishable; residual codes on the same corpus
+  * are the fix, not a tuning knob.) `cellCodes` IS the persisted scan —
+  * the inverted lists: (cell, vec_id, codes, vnorm), cell-keyed so a
+  * probe batch reads only routed cells, m bytes + one stored exact norm
+  * per vector. Search decomposes dot(v,p) = dot(c_cell,p) + dot(r_v,p):
+  * the first term is per-(probe,cell) — computed once in routing — and
+  * the second is the ADC lookup over the residual table. */
+final case class IvfPqModel(m: Int, dsub: Int,
+    codebooks: Seq[Seq[Seq[Double]]], cellCodes: DataFrame) {
+  def unpersist(): Unit = cellCodes.unpersist()
+}
+
 /** Product quantization (Jégou et al. 2011, "Product Quantization for
   * Nearest Neighbor Search"): split each vector into m subvectors, KMeans
   * each subspace to ksub codes, store each vector as m code ids.
@@ -47,9 +65,17 @@ object PqIndex {
     trainSub(sampleVecs(corpus), m, ksub)
 
   private def sampleVecs(corpus: DataFrame): Array[Array[Double]] =
-    corpus
-      .select(col("embedding").cast("array<double>").as("e"), col("vec_id"))
-      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(TrainSample)
+    // hash-threshold prefilter BEFORE the ordered limit: orderBy+limit
+    // alone compiles to TakeOrderedAndProject, which ships `limit` rows
+    // from EVERY task to the driver — at high dim × many partitions that
+    // exceeds maxResultSize (measured: 2M×256-d corpus, 32 MB/task × 64
+    // tasks for a 16k sample). The map-side pmod filter cuts the corpus to
+    // ~2× the sample first (deterministic pure function of vec_id, content
+    // independent → still an unbiased reservoir), so the global TakeOrdered
+    // only ever sees ~2·TrainSample rows.
+    Sampling.hashReservoir(
+        corpus.select(col("embedding").cast("array<double>").as("e"), col("vec_id")),
+        col("vec_id"), TrainSample)
       .collect().map(_.getSeq[Double](0).toArray)
 
   private def trainSub(sample: Array[Array[Double]], m: Int,
@@ -191,7 +217,8 @@ object PqIndex {
     * The codebooks ride into the plan as literals, so this is one
     * narrow projection over the corpus scan — no shuffle, no UDF. */
   def encode(corpus: DataFrame, codebooks: Seq[Seq[Seq[Double]]],
-      rotation: Option[Seq[Seq[Double]]] = None): DataFrame = {
+      rotation: Option[Seq[Seq[Double]]] = None,
+      keep: Seq[String] = Nil): DataFrame = {
     val m = codebooks.size
     val dsub = codebooks.head.head.size
     val e = col("embedding").cast("array<double>")
@@ -218,7 +245,7 @@ object PqIndex {
           (array_position(dists, array_min(dists)) - 1).cast("int")
         }
     }
-    corpus.select(col("vec_id"), array(codeCols: _*).as("codes"))
+    corpus.select(col("vec_id") +: keep.map(col) :+ array(codeCols: _*).as("codes"): _*)
   }
 
   def build(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
@@ -251,9 +278,18 @@ object PqIndex {
             aggregate(zip_with(pv, uc, (x, y) => x * y),
               lit(0.0), (a, v) => a + v)))
     }
+    // the table ships FLATTENED (m·ksub doubles, row s at offset s·ksub):
+    // the scan-side lookup is the codegen'd AdcDot expression, which wants
+    // one flat array read per subspace instead of nested-array navigation
     probes.select(col("vec_id").as("probe_id"), pv.as("pvec"),
-      tbl.as("tbl"), sqrt(Similarity.dotProduct(pv, pv)).as("pnorm"))
+      flatten(tbl).as("tbl"), sqrt(Similarity.dotProduct(pv, pv)).as("pnorm"))
   }
+
+  private def adcDot(codes: Column, tbl: Column, ksub: Int): Column =
+    org.apache.spark.sql.GraftExpressionBridge.columnOf(
+      graft.functions.AdcDot(
+        org.apache.spark.sql.GraftExpressionBridge.expressionOf(codes),
+        org.apache.spark.sql.GraftExpressionBridge.expressionOf(tbl), ksub))
 
   /** ADC-score a (codes, tbl, pnorm) frame, shortlist per probe with the
     * bounded top-k aggregator (a per-probe window would sort the whole
@@ -262,17 +298,26 @@ object PqIndex {
     * against the full vectors. */
   private def shortlistAndRerank(model: PqModel, scoredInput: DataFrame,
       p: DataFrame, corpus: DataFrame, k: Int, shortlist: Int): DataFrame = {
-    val normTbl: Seq[Seq[Double]] =
-      model.codebooks.map(_.map(c => c.map(x => x * x).sum))
-    def lookup(t: Column) = aggregate(
-      zip_with(col("codes"), t,
-        (code, row) => element_at(row, (code + 1).cast("int"))),
-      lit(0.0), (a, v) => a + v)
+    // both lookups run as the codegen'd AdcDot over flat tables — the scan
+    // is m adds/candidate at whole-stage-codegen speed (the interpreted
+    // HOF formulation measured ~µs/candidate, slower than the exact scan
+    // it exists to beat); fold order identical, results bit-equal
+    val ksub = model.codebooks.head.size
+    val normFlat: Seq[Double] =
+      model.codebooks.flatMap(_.map(c => c.map(x => x * x).sum))
     val approx = scoredInput
       .filter(col("vec_id") =!= col("probe_id"))
-      .withColumn("adot", lookup(col("tbl")))
-      .withColumn("anorm", sqrt(lookup(typedLit(normTbl))))
+      .withColumn("adot", adcDot(col("codes"), col("tbl"), ksub))
+      .withColumn("anorm", sqrt(adcDot(col("codes"), typedLit(normFlat), ksub)))
       .withColumn("acos", col("adot") / (col("pnorm") * col("anorm")))
+    shortRerank(approx, p, corpus, k, shortlist)
+  }
+
+  /** Shared tail: per-probe bounded top-`shortlist` over an `acos`-scored
+    * (probe_id, vec_id, acos) frame, then the exact-cosine rerank reading
+    * full vectors for shortlist members only. */
+  private def shortRerank(approx: DataFrame, p: DataFrame, corpus: DataFrame,
+      k: Int, shortlist: Int): DataFrame = {
     val short = approx.groupBy("probe_id")
       .agg(graft.functions.TopK.topk(shortlist, col("vec_id"), col("acos")).as("top"))
       .select(col("probe_id"), explode(col("top")).as("s"))
@@ -322,6 +367,75 @@ object PqIndex {
     shortlistAndRerank(model, scored, p, corpus, k, shortlist)
   }
 
+  /** Offline residual-IVFPQ build (see [[IvfPqModel]]): codebooks train on
+    * a bounded RESIDUAL sample, the corpus encodes its residuals in one
+    * distributed pass, and the persisted product is the cell-keyed
+    * inverted-list table (cell, vec_id, vnorm, codes) — at 100 TB this is
+    * the table a deployment writes partitioned by cell; the raw-vector
+    * assignment join is paid ONCE here, never per query (the raw
+    * searchIvfPq re-joined assignment⋈codes per probe batch — measured
+    * tens of seconds per query at 2M vectors). */
+  def buildIvfPq(ivf: IvfModel, corpus: DataFrame, m: Int, ksub: Int): IvfPqModel = {
+    val spark = corpus.sparkSession
+    val centDf = broadcast(spark.createDataFrame(ivf.centroids).toDF("cell", "centroid"))
+    val withRes = ivf.assigned
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("cell"))
+      .join(centDf, Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        sqrt(Similarity.dotNative(col("v"), col("v"))).as("vnorm"),
+        zip_with(col("v"), col("centroid"), (x, y) => x - y).as("embedding"))
+    val sample = Sampling.hashReservoir(
+        withRes.select(col("embedding").cast("array<double>").as("e"), col("vec_id")),
+        col("vec_id"), TrainSample)
+      .collect().map(_.getSeq[Double](0).toArray)
+    val cbs = trainSub(sample, m, ksub)
+    val enc = encode(withRes, cbs, None, keep = Seq("cell", "vnorm"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    IvfPqModel(m, cbs.head.head.size, cbs, enc)
+  }
+
+  /** Residual IVFADC search (the production composition): route each probe
+    * to nProbe cells; per (probe, cell) the centroid dot comes from the
+    * KB-sized routing frame; the scan reads ONLY routed cells' inverted
+    * lists and scores each candidate as
+    * (⟨c_cell,p⟩ + AdcDot(residual codes, probe table)) / (‖p‖·vnorm) —
+    * m codegen'd adds per candidate against a STORED exact norm; exact
+    * rerank reads full vectors for shortlist members only. */
+  def searchIvfPqResidual(ivf: IvfModel, model: IvfPqModel, probes: DataFrame,
+      corpus: DataFrame, k: Int, shortlist: Int, nProbe: Int): DataFrame = {
+    val spark = probes.sparkSession
+    val (dsub, ksub) = (model.dsub, model.codebooks.head.size)
+    val pv = col("embedding").cast("array<double>")
+    val tbl = flatten(transform(typedLit(model.codebooks), (subCb, s) =>
+      transform(subCb, c =>
+        aggregate(zip_with(slice(pv, s * dsub + 1, lit(dsub)), c,
+          (x, y) => x * y), lit(0.0), (a, v) => a + v))))
+    val p = probes.select(col("vec_id").as("probe_id"), pv.as("pvec"),
+      tbl.as("tbl"), sqrt(Similarity.dotProduct(pv, pv)).as("pnorm"))
+    val centDf = broadcast(spark.createDataFrame(ivf.centroids).toDF("cell", "centroid"))
+    val routed = IvfIndex.route(ivf, probes, nProbe)
+      .join(centDf, Seq("cell"))
+      .select(col("probe_id"), col("cell"),
+        Similarity.dotNative(col("pv"), col("centroid")).as("cdot"))
+      .join(p.drop("pvec"), "probe_id")
+    val approx = model.cellCodes.join(broadcast(routed), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("acos",
+        (col("cdot") + adcDot(col("codes"), col("tbl"), ksub)) /
+          (col("pnorm") * col("vnorm")))
+    shortRerank(approx, p, corpus, k, shortlist)
+  }
+
+  // per-corpus residual-IVFPQ cache (build-once, probe-many — the
+  // cachedModel idiom below)
+  private val ivfPqCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int, Int), IvfPqModel]
+
+  def cachedIvfPq(cacheKey: String, ivf: IvfModel, corpus: DataFrame,
+      m: Int, ksub: Int, nClusters: Int): IvfPqModel =
+    ivfPqCache.getOrElseUpdate((cacheKey, m, ksub, nClusters),
+      buildIvfPq(ivf, corpus, m, ksub))
+
   // per-corpus model cache — the offline/online split (the IvfIndex
   // precedent): the declared ANN query measures probe time, the build
   // cost is declared separately via sim_pq_build
@@ -348,5 +462,7 @@ object PqIndex {
   def releaseModels(): Unit = {
     modelCache.values.foreach(_.unpersist())
     modelCache.clear()
+    ivfPqCache.values.foreach(_.unpersist())
+    ivfPqCache.clear()
   }
 }

@@ -195,6 +195,26 @@ object Sampling {
     * parallelism beyond the threshold). Shared by the declared p9 query
     * and the x10 composed pipeline's cap stage. Input needs
     * (doc_id, source); output (doc_id, source, slot). */
+  /** Deterministic hash-ordered reservoir of exactly min(cap, n) rows —
+    * the lowest (xxhash64(key), key) rows of the pmod-selected ~2·cap
+    * subset. A bare orderBy+limit compiles to TakeOrderedAndProject and
+    * ships `cap` rows from EVERY task to the driver (maxResultSize blowup
+    * on wide rows); the map-side pmod prefilter bounds what the global
+    * heap ever sees while staying a pure function of the key. Falls back
+    * to the unfiltered order when the corpus is not much bigger than the
+    * cap (the prefilter's ~2× margin could otherwise undershoot). */
+  private[graft] def hashReservoir(in: org.apache.spark.sql.DataFrame,
+      key: org.apache.spark.sql.Column, cap: Int): org.apache.spark.sql.DataFrame = {
+    val n = in.count()
+    val pre =
+      if (n > 4L * cap) {
+        val mod = 1000000L
+        val keepBelow = math.min(mod, math.ceil(2.0 * cap / n * mod).toLong)
+        in.filter(pmod(xxhash64(key), lit(mod)) < keepBelow)
+      } else in
+    pre.orderBy(xxhash64(key), key).limit(cap)
+  }
+
   private[graft] def sourceSlots(in: org.apache.spark.sql.DataFrame,
       s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
     import graft.ops.Ranks

@@ -358,6 +358,31 @@ object Similarity {
         k = 10, shortlist = 50, nProbe = 4)
     },
 
+    // RESIDUAL IVFPQ (FAISS's IndexIVFPQ / Jégou IVFADC, r12): PQ encodes
+    // v − centroid(cell) so the code budget spends on local structure —
+    // the variant that DEMONSTRATED the ANN crossover (2M×256-d corpus:
+    // recall@10 1.0 at 15.6 s vs the exact scan's 69.6 s,
+    // scale_r12/ann_curve_vec2m.json; raw-vector codes measured recall
+    // 0.06 on the same corpus). Build = the cell-keyed inverted-list
+    // table (cell, vec_id, vnorm, codes); probe = routed cells' codes
+    // only, codegen'd AdcDot + stored exact norms, exact rerank.
+    QueryDef.noOracle("sim_ivfpqr_build") { (s, d) =>
+      val emb = Tables(s, d, "embeddings")
+      val ivf = IvfIndex.cachedIndexFor(d, emb, nClusters = 8)
+      PqIndex.cachedIvfPq(d, ivf, emb, m = 8, ksub = 16, nClusters = 8)
+        .cellCodes.groupBy("cell")
+        .agg(count(lit(1)).as("n_codes"),
+          round(sum(col("vnorm")), 6).as("norm_sum"))
+    },
+    QueryDef.noOracle("sim_ivfpqr_ann") { (s, d) =>
+      val emb = Tables(s, d, "embeddings")
+      val ivf = IvfIndex.cachedIndexFor(d, emb, nClusters = 8)
+      PqIndex.searchIvfPqResidual(ivf,
+        PqIndex.cachedIvfPq(d, ivf, emb, m = 8, ksub = 16, nClusters = 8),
+        emb.filter(col("vec_id") < 5), emb,
+        k = 10, shortlist = 50, nProbe = 4)
+    },
+
     // L2-normalization to unit vectors — the preprocessing step that turns
     // cosine into a plain dot product (what any serious ANN index wants).
     // sqrt and / are IEEE-correctly-rounded, and the dot-product fold order
