@@ -727,24 +727,22 @@ object TextStats {
     // deterministic dataflow with an exact SQL oracle — no float gradient
     // whose partial-sum order varies across engines.
     //
-    // Scale shape (r12, closing the r11 residual-constant flag): the
-    // corpus is tokenized ONCE — the occurrence stream pre-aggregates to
-    // the per-doc TERM frame (doc_id, pos, w, tf), doc-keyed so the
-    // Zipf-hot term never owns a partition, checkpointed so train AND
-    // score read the same blocks (through r11 train and score each paid
-    // their own corpus explode, the measured 2.2×-of-DuckDB constant).
-    // Training aggregates the term frame to the vocab count table
-    // (vocab-sized, checkpointed); smoothing totals + the broadcast-
-    // dispatch vocab size fold into ONE driver-side read of that
-    // checkpoint (the r11 count() dispatch job is gone). Scoring joins
-    // the term frame to the vocab table — measured-dispatch BROADCAST
-    // within the threshold (map-side, the term frame never re-keys), the
-    // w-keyed shuffle join of the same frame beyond it (AQE skew-split
-    // covers residual hot terms); the branches are arithmetically
-    // identical, differing only in join strategy (DataPlaneSpec asserts
-    // agreement). Log-odds stays in log domain (the t8/t15/t17 rounding
-    // precedent); `keep` thresholds the ROUNDED score. A deployment
-    // trains once on the reference corpus and broadcasts the table — see
+    // Scale shape (r12): two corpus scans, ZERO occurrence-stream
+    // shuffles. Train = one map-side-combined aggregate of the token
+    // stream to the checkpointed vocab count table; smoothing totals +
+    // the broadcast-dispatch vocab size fold into ONE driver-side read of
+    // that checkpoint and priors into another (the r11 count() dispatch
+    // job and the totals/priors crossJoin broadcasts are gone). Score =
+    // the second scan through a measured-dispatch BROADCAST join + one
+    // doc-keyed aggregate carrying per-doc partials; a vocab beyond the
+    // threshold takes the Zipf-proof per-doc term-frame fallback
+    // (DataPlaneSpec asserts branch agreement). An r12 experiment that
+    // tokenized ONCE into a checkpointed term frame measured 6.1 → 9.2 s
+    // at sf10 — the (doc, w) shuffle + GB-scale string checkpoint cost
+    // more than the columnar re-scan they save — and was reverted; the
+    // negative result is kept here so it isn't retried. Log-odds stays in
+    // log domain (the t8/t15/t17 rounding precedent); `keep` thresholds
+    // the ROUNDED score. A deployment trains once and broadcasts — see
     // t19b.
     QueryDef("t19_nb_classifier",
       """WITH lbl AS (SELECT doc_id, source IN ('src1','src2','src3','src4') AS pos,
@@ -911,47 +909,56 @@ object TextStats {
       forceShuffle: Boolean = false): org.apache.spark.sql.DataFrame = {
     val pos = col("source").isin(posSources: _*)
     val tok = docs.select(col("doc_id"), pos.as("pos"), explode(toks).as("w"))
-    // ONE corpus tokenize pass (was two through r11 — the 2.2×-of-DuckDB
-    // constant factor): pre-aggregate the occurrence stream to the per-doc
-    // TERM frame (doc-keyed so the Zipf-hot term never owns a partition;
-    // partial aggregation combines map-side) and checkpoint it — train and
-    // score both read these blocks. The cached frame is term-frame-sized
-    // (corpus tokens cut by mean term frequency) and spills to disk; the
-    // alternative is re-reading and re-exploding the full corpus text.
-    val dtf = graft.data.Frames.trackedCheckpoint(
-      tok.groupBy("doc_id", "pos", "w").agg(count(lit(1)).as("tf")))
-    // train: the vocab count table, aggregated from the term frame —
-    // vocab-sized, checkpointed so statistics + broadcast share blocks
+    // train: ONE aggregation of the occurrence stream to the vocab count
+    // table — partial aggregation absorbs the Zipf-hot key map-side, the
+    // shuffle carries vocab-sized partials only, and the result is
+    // checkpointed so statistics + broadcast share blocks. (An r12
+    // experiment pre-aggregated to a checkpointed per-doc TERM frame so
+    // the corpus tokenized once for train AND score — measured 6.1 →
+    // 9.2 s at sf10: the (doc, w) shuffle + GB-scale checkpoint of token
+    // STRINGS cost more than the second columnar scan they save. Two
+    // scans with ZERO occurrence-stream shuffles is the right plan.)
     val tw = graft.data.Frames.trackedCheckpoint(
-      dtf.groupBy("w").agg(
-        sum(when(col("pos"), col("tf")).otherwise(0L)).as("c1"),
-        sum(when(col("pos"), lit(0L)).otherwise(col("tf"))).as("c0")))
+      tok.groupBy("w").agg(
+        sum(when(col("pos"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("pos"), 0L).otherwise(1L)).as("c0")))
     // smoothing totals + the broadcast-dispatch vocab size fold into ONE
-    // driver-side read of the vocab-sized checkpoint (was: a separate
-    // count() dispatch job plus a broadcast totals frame); priors likewise
-    // collapse to two doubles off a source-column-only corpus scan
+    // driver-side read of the vocab-sized checkpoint (r12: was a separate
+    // count() dispatch job plus totals/priors frames riding two
+    // crossJoin broadcasts); priors collapse to two doubles off a
+    // source-column-only scan
     val t = tw.agg(sum("c1").cast("double"), sum("c0").cast("double"),
       count(lit(1)).cast("double")).head()
     val (tot1, tot0, v) = (t.getDouble(0), t.getDouble(1), t.getDouble(2))
     val p = docs.agg(sum(when(pos, 1L).otherwise(0L)).cast("double"),
       sum(when(pos, 0L).otherwise(1L)).cast("double")).head()
     val prior = math.log(p.getDouble(0) / p.getDouble(1))
-    // score: tf-weighted log-likelihood over the term frame. Vocab within
-    // the broadcast threshold rides a map-side broadcast-hash join (the
-    // term frame never re-keys); beyond it, the w-keyed shuffle join of
-    // the SAME term frame (AQE skew-split covers residual hot terms) —
-    // the branches are now arithmetically identical, differing only in
-    // join strategy (DataPlaneSpec asserts agreement at 6 dp).
     val termLL = log((col("c1") + 1) / (tot1 + v)) -
       log((col("c0") + 1) / (tot0 + v))
-    val joined =
-      if (!forceShuffle && v <= BroadcastMaxVocabRows) dtf.join(broadcast(tw), "w")
-      else dtf.join(tw, "w")
-    joined.groupBy("doc_id")
-      .agg(sum(col("tf")).as("n_tok"),
-        round(lit(prior) + sum(col("tf") * termLL), 6).as("log_odds"))
-      .select(col("doc_id"), col("n_tok"), col("log_odds"),
-        (col("log_odds") > 0).as("keep"))
+    val score =
+      if (!forceShuffle && v <= BroadcastMaxVocabRows)
+        // map-side score: the occurrence stream never shuffles — broadcast
+        // hash join, then one doc-keyed aggregate whose exchange carries
+        // per-doc partials only
+        tok.join(broadcast(tw), "w")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tok"),
+            round(lit(prior) + sum(termLL), 6).as("log_odds"))
+      else {
+        // Zipf-proof fallback for a vocab too big to broadcast: pre-
+        // aggregate to the per-doc TERM frame (doc-keyed, skew-proof,
+        // join input cut by mean term frequency), then shuffle-join on w
+        // (AQE skew-split covers residual hot terms). tf-weighted sums
+        // equal the occurrence sums up to FP associativity; DataPlaneSpec
+        // asserts branch agreement at 6 dp.
+        val dtf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        dtf.join(tw, "w")
+          .groupBy("doc_id")
+          .agg(sum(col("tf")).as("n_tok"),
+            round(lit(prior) + sum(col("tf") * termLL), 6).as("log_odds"))
+      }
+    score.select(col("doc_id"), col("n_tok"), col("log_odds"),
+      (col("log_odds") > 0).as("keep"))
   }
 
   /** The t11/t12 quality proxy: per-doc type-token ratio — an exact
