@@ -19,8 +19,16 @@ import org.apache.spark.sql.functions._
   * preset `full` (default) sweeps the whole grid; `prod` probes only the
   * chosen operating configuration (PQ m16/k64 — the sf1 winner) at a few
   * nProbe×shortlist points, for checking the operating point a decade up
-  * without paying 72 full-scan legs.
-  * Artifacts: scale_r11/ann_curve.json, scale_r11/ann_curve_sf10_prod.json
+  * without paying 72 full-scan legs; `qps` measures the deployment number —
+  * queries/sec vs probe BATCH size at the fixed crossover operating point
+  * (residual IVFPQ m32/k64, nProbe 8, shortlist 200), served from the
+  * PERSISTED cell-partitioned index (saveIvfPq → loadIvfPq: probes read
+  * routed cells' files, no session state) — recall is verified once on the
+  * truth-covered batch, the batch sweep isolates the per-probe marginal
+  * cost (each probe row re-derives its m×ksub table inline, so small
+  * batches are scheduling-floor-bound and large batches amortize the scan).
+  * Artifacts: scale_r11/ann_curve.json, scale_r11/ann_curve_sf10_prod.json,
+  * scale_r12/ann_curve_vec2m.json, scale_r13/ann_qps_vec2m.json
   */
 object AnnCurve {
   def main(args: Array[String]): Unit = {
@@ -45,9 +53,14 @@ object AnnCurve {
       df.select("probe_id", "cand_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
 
-    // exact truth: brute-force cosine top-10 (bounded-heap aggregator)
-    val (truth, tTruth) = timed(pairSet(
-      Similarity.bruteForceKnnAgg(probes, emb, k = 10)))
+    // exact truth: brute-force cosine top-10 (bounded-heap aggregator).
+    // The cold preset defers it so the page-cache state around BOTH arms
+    // is controlled explicitly inside the branch.
+    val (truth0, tTruth0) =
+      if (preset == "cold") (Set.empty[(Long, Long)], 0.0)
+      else timed(pairSet(Similarity.bruteForceKnnAgg(probes, emb, k = 10)))
+    var truth = truth0
+    var tTruth = tTruth0
 
     // the engine's sized clustering (the sim_semdedup knob): cells of ~2k.
     // The cross preset bounds the coarse quantizer instead (256 cells,
@@ -84,6 +97,68 @@ object AnnCurve {
       results += s"""{"model":"$label","n_probe":$nProbe,"shortlist":$shortlist,"recall_at_10":${math.rint(rec * 1e4) / 1e4},"query_s":${math.rint(tQ * 100) / 100},"build_s":${math.rint(tBuild * 100) / 100}}"""
       println(s"[ann_curve] $label nProbe=$nProbe shortlist=$shortlist recall=$rec t=${tQ}s")
     }
+    /** Drop the OS page cache (root-only; /proc/sys/vm/drop_caches). The
+      * cold preset's whole point: both arms' IO really hits disk, so the
+      * 26× bytes-scanned advantage (codes vs floats) shows up as wall time
+      * the way it would on a 100 TB corpus that can never be resident. */
+    def dropCaches(): Boolean =
+      try {
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("/proc/sys/vm/drop_caches"), "3")
+        Thread.sleep(500); true
+      } catch { case _: Throwable => false }
+
+    if (preset == "qps" || preset == "cold") {
+      // the fixed crossover operating point (scale_r12/ann_curve_vec2m:
+      // recall@10 = 1.0), served from the PERSISTED cell-partitioned index
+      val (m, ksub, nProbe, shortlist) = (32, 64, 8, 200)
+      val (built, tBuild) = timed(PqIndex.buildIvfPq(ivf, emb, m, ksub))
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_anncurve_ivfpq_$preset"
+      val (_, tSave) = timed(PqIndex.saveIvfPq(built, dir))
+      built.unpersist()
+      ivf.unpersist() // search never reads `assigned`; keep memory honest
+      val model = PqIndex.loadIvfPq(spark, dir)
+      val label = s"ivfpq_res_m${m}_k$ksub(disk)"
+      def probeOnce(p: org.apache.spark.sql.DataFrame) =
+        PqIndex.searchIvfPqResidual(ivf, model, p, emb,
+          k = 10, shortlist = shortlist, nProbe = nProbe)
+
+      if (preset == "cold") {
+        // truth arm: cold then warm — the float scan reads n·dim·4 bytes
+        val coldOk = dropCaches()
+        val (t1, tTruthCold) = timed(pairSet(
+          Similarity.bruteForceKnnAgg(probes, emb, k = 10)))
+        truth = t1
+        val (_, tTruthWarm) = timed(pairSet(
+          Similarity.bruteForceKnnAgg(probes, emb, k = 10)))
+        tTruth = tTruthCold
+        // ADC arm: cold then warm — routed cells' CODE files + rerank only
+        val coldOk2 = dropCaches()
+        val (got, tCold) = timed(pairSet(probeOnce(probes)))
+        record(s"$label cold=${coldOk && coldOk2}", nProbe, shortlist,
+          tBuild + tSave, got, tCold)
+        val (got2, tWarm) = timed(pairSet(probeOnce(probes)))
+        record(s"$label warm", nProbe, shortlist, tBuild + tSave, got2, tWarm)
+        results += s"""{"model":"exact_scan","cold_s":${math.rint(tTruthCold * 100) / 100},"warm_s":${math.rint(tTruthWarm * 100) / 100},"cache_dropped":${coldOk && coldOk2}}"""
+      } else {
+        // recall verified once on the truth-covered batch, FROM DISK
+        val (got, tQ) = timed(pairSet(probeOnce(probes)))
+        record(label, nProbe, shortlist, tBuild + tSave, got, tQ)
+        // batch sweep, time-only: recall is per-probe and batch-independent;
+        // qps = batch / wall is the number a deployment quotes
+        for (b <- Seq(1, 8, 64, 512, 2048)) {
+          val mod = math.max(1L, nVec / b)
+          val bp = emb.filter(col("vec_id") % mod === 1)
+          val nb = bp.count()
+          val (_, t) = timed(probeOnce(bp)
+            .write.mode("overwrite").format("noop").save())
+          val qps = math.rint(nb / t * 100) / 100
+          results += s"""{"model":"$label","batch":$nb,"n_probe":$nProbe,"shortlist":$shortlist,"query_s":${math.rint(t * 100) / 100},"qps":$qps}"""
+          println(s"[ann_qps] batch=$nb t=${t}s qps=$qps")
+        }
+      }
+      model.unpersist()
+    } else
     for ((m, ksub, opq) <- configs) {
       if (preset == "cross") {
         // the crossover preset measures the production composition:

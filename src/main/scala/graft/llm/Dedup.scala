@@ -1075,6 +1075,16 @@ object Dedup {
     pairCache.clear()
   }
 
+  /** Release only the caches keyed to `docs`' corpus — for operators that
+    * build a corpus-scoped cache mid-query (the lazy ledger build) and must
+    * not clear the GLOBAL registries, which may hold other callers' live
+    * tracked frames. */
+  def releaseCorpusCaches(docs: DataFrame): Unit = {
+    val k = corpusKey(docs)
+    tokenCache.remove(k).foreach(graft.data.Frames.release)
+    pairCache.remove(k).foreach(_.unpersist(blocking = false))
+  }
+
   /** Connected components by min-label propagation WITH pointer doubling:
     * each round every node takes the min label among itself and its
     * neighbors (Pregel-style), then shortcuts through its current label's

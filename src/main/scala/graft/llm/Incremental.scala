@@ -54,6 +54,11 @@ object Incremental {
   private def isHoldout = col("doc_id") % 10 === 0
   private def isBatch = col("doc_id") % 10 === 9
   private def isDay1 = !isHoldout && !isBatch
+  // the x11c day split carves the %10==9 class in two: day-2 is the batch
+  // that gets APPENDED to the store, day-3 the batch that must then dedup
+  // against day-2 survivors it has never seen as text
+  private def isDay3 = col("doc_id") % 100 === 99
+  private def isDay2 = isBatch && !isDay3
 
   import Pipeline.{MixBudget, SourceCap, hash6, hash6Sql, manifestRow, toks}
 
@@ -81,9 +86,19 @@ object Incremental {
   /** The persisted ledger as a DataFrame — a plain parquet read, so every
     * consumer's plan shows the store scan (and column pruning keeps the
     * sig array out of queries that don't band: x11 reads 7 narrow columns
-    * of it, x11b additionally reads sig). */
+    * of it, x11b additionally reads sig). The store is PARTITIONED BY
+    * batch_id (0 = the day-1 corpus build, 1+ = appended crawl batches),
+    * so an as-of read prunes whole batch partitions. */
   private[graft] def ledgerFor(s: SparkSession, d: String): DataFrame =
     s.read.parquet(ledgerDir(s, d))
+
+  /** The store AS OF a batch: rows from batches ≤ `maxBatch` only — a
+    * partition-pruned subset read. Every x11-family query pins its batch
+    * horizon through this, so appending a later batch can never change an
+    * earlier query's answer (x11 reads as-of 0 and is byte-identical
+    * whether or not x11c has appended batch 1). */
+  private[graft] def ledgerAsOf(s: SparkSession, d: String, maxBatch: Int): DataFrame =
+    ledgerFor(s, d).filter(col("batch_id") <= maxBatch)
 
   /** The offline day-1 build: ONE fingerprint pass over day-1 text
     * (n_tok/q/h + minhash signatures), the x10-style keeper decision
@@ -92,9 +107,15 @@ object Incremental {
     * index. Writes the narrow store; day-1 text is never read again. */
   private def buildLedger(s: SparkSession, d: String, dir: String): Unit = {
     val day1 = Tables(s, d, "documents").filter(isDay1)
-    val fp = Frames.trackedCheckpoint(day1.select(
+    // NOT trackedCheckpoint: the build runs lazily on first ledger touch,
+    // possibly mid-way through a caller's own query — releasing the GLOBAL
+    // registries here would unpersist that caller's live checkpoints. The
+    // build releases exactly what it created: this frame + the day-1
+    // corpus-keyed token cache minhashSignatures registers.
+    val fp = day1.select(
       col("doc_id"), col("source"), size(toks).cast("long").as("n_tok"),
-      TextStats.qualityPass.as("q"), md5(col("text")).as("h")))
+      TextStats.qualityPass.as("q"), md5(col("text")).as("h"))
+      .localCheckpoint(eager = true)
     val keepers = fp.filter(col("q")).groupBy("h")
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), lit(true).as("is_keeper"))
@@ -116,9 +137,53 @@ object Incremental {
       .withColumn("in4", col("in3") && !coalesce(col("contam"), lit(false)))
       .drop("contam")
       .join(sig, Seq("doc_id"), "left_outer")
-      .write.mode("overwrite").parquet(dir)
-    Frames.releaseTracked()
-    Dedup.releaseCaches()
+      .withColumn("batch_id", lit(0))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(dir)
+    Frames.release(fp)
+    Dedup.releaseCorpusCaches(day1)
+  }
+
+  // ---------------------------------------------------------------------
+  // the APPEND path: per-crawl-batch fingerprints added to the store
+  // ---------------------------------------------------------------------
+
+  // per-process guard: the day-2 batch is appended exactly once per store
+  // build (buildLedger's overwrite resets the dir, so a fresh process
+  // re-derives batch 0 and re-appends batch 1 — deterministic content)
+  private val appendedBatches =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  /** The store AFTER the day-2 append (ensuring it on first use): the
+    * day-2 batch is fingerprinted and decided against the as-of-0 store —
+    * the SAME stage 01-04 decisions x11 makes — and the batch rows
+    * (h, sig, q/in3/in4 flags) are APPENDED as batch_id=1. This is the
+    * correctness condition of the "per crawl snapshot" cadence: a day-3
+    * batch must dedup against day-2 survivors, whose text it never reads —
+    * only their persisted fingerprints. (Reference analog: the final store
+    * is append-per-trial, maggy/core/experiment_driver/
+    * optimization_driver.py:504-506, not build-once.)
+    *
+    * Compaction note (the small-files tail): each appended batch writes
+    * its own file set under batch_id=N. At a daily crawl cadence that is
+    * ~365 partitions/year of narrow rows — a deployment compacts by
+    * periodically rewriting closed batches into one partition per horizon
+    * (the standard parquet maintenance job); the as-of read contract is
+    * unaffected because compaction preserves batch_id values. */
+  private[graft] def appendedLedger(s: SparkSession, d: String): DataFrame = {
+    val dir = ledgerDir(s, d)
+    appendedBatches.getOrElseUpdate(dir, {
+      val batch2 = Tables(s, d, "documents").filter(isDay2)
+      val dec = batchDecisions(s, d, batch2, ledgerAsOf(s, d, 0),
+        lshNearCheck = false)
+      val sig = Dedup.minhashSignatures(batch2)
+      dec.select("doc_id", "source", "n_tok", "q", "h", "in3", "in4")
+        .join(sig, Seq("doc_id"), "left_outer")
+        .withColumn("batch_id", lit(1))
+        .write.mode("append").partitionBy("batch_id").parquet(dir)
+      Dedup.releaseCorpusCaches(batch2)
+      true
+    })
+    ledgerAsOf(s, d, 1)
   }
 
   // ---------------------------------------------------------------------
@@ -129,29 +194,29 @@ object Incremental {
     * store per source — doc/flag counts, survivor tokens, the membership
     * checksum over survivors, and a checksum over the h column itself, so
     * the oracle validates the persisted CONTENT (not just row counts). */
-  private def ledgerSummary(s: SparkSession, d: String): DataFrame =
-    ledgerFor(s, d).groupBy("source").agg(
-      count(lit(1)).as("n_docs"),
-      sum(when(col("q"), 1L).otherwise(0L)).as("n_quality"),
-      sum(when(col("in3"), 1L).otherwise(0L)).as("n_keepers"),
-      sum(when(col("in4"), 1L).otherwise(0L)).as("n_survivors"),
-      sum(when(col("in4"), col("n_tok")).otherwise(0L)).as("tok_survivors"),
-      sum(when(col("in4"), hash6(col("doc_id"))).otherwise(0L)).as("chk_survivors"),
-      sum(conv(substring(col("h"), 1, 6), 16, 10).cast("long")).as("chk_content"))
+  private def storeAggs = Seq(
+    count(lit(1)).as("n_docs"),
+    sum(when(col("q"), 1L).otherwise(0L)).as("n_quality"),
+    sum(when(col("in3"), 1L).otherwise(0L)).as("n_keepers"),
+    sum(when(col("in4"), 1L).otherwise(0L)).as("n_survivors"),
+    sum(when(col("in4"), col("n_tok")).otherwise(0L)).as("tok_survivors"),
+    sum(when(col("in4"), hash6(col("doc_id"))).otherwise(0L)).as("chk_survivors"),
+    sum(conv(substring(col("h"), 1, 6), 16, 10).cast("long")).as("chk_content"))
 
-  /** The x11/x11b manifest. Stages 01-04 are batch-side decisions (one
-    * row each over the checkpointed batch ledger); 05 is the merged
-    * corpus (persisted-ledger survivors ∪ batch survivors — the ledger
-    * parquet scan PlanSpec pins); 06-10 are x10's tail over the merged
-    * set. With `lshNearCheck`, stage 03c drops batch docs whose exact
-    * Jaccard vs a corpus survivor is ≥ 0.8, candidates generated by
-    * banding PERSISTED corpus signatures against fresh batch signatures
-    * (d8b's decision, store-backed). */
-  private[graft] def incrementalManifest(s: SparkSession, d: String,
-      lshNearCheck: Boolean = false): DataFrame = {
-    val led = ledgerFor(s, d)
+  private def ledgerSummary(s: SparkSession, d: String): DataFrame =
+    ledgerAsOf(s, d, 0).groupBy("source").agg(storeAggs.head, storeAggs.tail: _*)
+
+  /** Batch-side decisions (the x11 stages 01-04) for `batch` against
+    * `store`: quality, exact dedup vs the store's quality hashes (Bloom
+    * prefilter + exact semi-join verify) + within-batch keeper, the
+    * optional LSH near-check vs persisted signatures, and holdout
+    * decontamination. Returns the CHECKPOINTED batch ledger
+    * (doc_id, source, n_tok, q, h, in3, in3c, in4) — shared by the
+    * manifest queries and the append path, so a decision appended to the
+    * store and a decision reported in a manifest can never drift. */
+  private def batchDecisions(s: SparkSession, d: String, batch: DataFrame,
+      led: DataFrame, lshNearCheck: Boolean): DataFrame = {
     val docs = Tables(s, d, "documents")
-    val batch = docs.filter(isBatch)
 
     // ---- stage 01: batch ingest — ONE batch text scan → fingerprints ----
     val bfp = Frames.trackedCheckpoint(batch.select(
@@ -165,8 +230,16 @@ object Incremental {
     // answer, Bloom is purely the shuffle prefilter
     import graft.functions.BloomMembership
     val corpusH = led.filter(col("q")).select("h")
+    // size the Bloom from the ledger's actual quality count (a metadata-
+    // cheap one-column store scan), not a constant: a fixed 1M/8Mbit
+    // filter silently degrades its fpp at exactly the corpus sizes the
+    // prefilter exists for, pushing far more batch rows into the exact
+    // semi-join verify. ~10 bits/key keeps fpp ~1%; floors preserve the
+    // small-scale shape.
+    val nQuality = math.max(1000000L, corpusH.count())
     val bloom = corpusH.agg(
-      BloomMembership.bloomAgg(col("h"), 1000000L, 8388608L).as("bf"))
+      BloomMembership.bloomAgg(col("h"), nQuality,
+        math.max(8388608L, 10L * nQuality)).as("bf"))
     val bq = bfp.filter(col("q"))
     val dupVsCorpus = bq
       .filter(BloomMembership.mightContain(
@@ -209,8 +282,12 @@ object Incremental {
         val nearIds = cands.join(candB, Seq("doc_id")).join(candC, Seq("corpus_id"))
           .withColumn("n_inter",
             size(array_intersect(col("sh_b"), col("sh_c"))).cast("double"))
-          .filter(col("n_inter") /
-            (size(col("sh_b")) + size(col("sh_c")) - col("n_inter")) >= 0.8)
+          // round to 6 dp BEFORE thresholding — bandedLshPairs (the d8b
+          // contract this stage is spec-locked against) compares the
+          // ROUNDED jaccard, so a raw ratio in [0.7999995, 0.8) must drop
+          // on both paths
+          .filter(round(col("n_inter") /
+            (size(col("sh_b")) + size(col("sh_c")) - col("n_inter")), 6) >= 0.8)
           .select("doc_id").distinct()
           .withColumn("nd", lit(true))
         withKeep.join(nearIds, Seq("doc_id"), "left_outer")
@@ -229,10 +306,30 @@ object Incremental {
       .join(broadcast(probeGrams), "h")
       .select("doc_id").distinct()
       .withColumn("contam", lit(true))
-    val bled = Frames.trackedCheckpoint(
+    Frames.trackedCheckpoint(
       withNear.join(contamIds, Seq("doc_id"), "left_outer")
         .withColumn("in4", col("in3c") && !coalesce(col("contam"), lit(false)))
         .drop("contam"))
+  }
+
+  /** The x11/x11b/x11c manifest. Stages 01-04 are batch-side decisions
+    * ([[batchDecisions]], one row each over the checkpointed batch
+    * ledger); 05 is the merged corpus (persisted-store survivors ∪ batch
+    * survivors — the store parquet scan PlanSpec pins); 06-10 are x10's
+    * tail over the merged set. With `lshNearCheck`, stage 03c drops batch
+    * docs whose exact Jaccard vs a corpus survivor is ≥ 0.8, candidates
+    * generated by banding PERSISTED corpus signatures against fresh batch
+    * signatures (d8b's decision, store-backed). `batchPred`/`store`
+    * default to the x11 shape (day-2 batch vs the as-of-0 store); x11c
+    * passes the day-3 batch and the APPENDED store. */
+  private[graft] def incrementalManifest(s: SparkSession, d: String,
+      lshNearCheck: Boolean = false,
+      batchPred: Option[org.apache.spark.sql.Column] = None,
+      store: Option[DataFrame] = None): DataFrame = {
+    val led = store.getOrElse(ledgerAsOf(s, d, 0))
+    val docs = Tables(s, d, "documents")
+    val batch = docs.filter(batchPred.getOrElse(isBatch))
+    val bled = batchDecisions(s, d, batch, led, lshNearCheck)
 
     // ---- stage 05: merged corpus = store survivors ∪ batch survivors ----
     // the ledger side is a PARQUET scan of the persisted store (PlanSpec
@@ -317,16 +414,61 @@ object Incremental {
        |       CAST(sum(CAST(('0x' || substr(md5(text), 1, 6)) AS BIGINT)) AS BIGINT) AS chk_content
        |FROM corpus1 GROUP BY source""".stripMargin
 
-  private def incrementalSql: String = {
-    val chk = hash6Sql
-    s"""WITH ${day1Ctes},
-       |batch AS (
+  /** Day-2 batch CTEs — the appended batch's from-scratch recomputation
+    * (DuckDB re-derives what the engine reads from the persisted store,
+    * which is exactly what validates the APPENDED content). */
+  private def day2Ctes: String =
+    s"""batch2 AS (
        |  SELECT doc_id, source, text,
        |         CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok
-       |  FROM documents WHERE doc_id % 10 = 9),
+       |  FROM documents WHERE doc_id % 10 = 9 AND doc_id % 100 <> 99),
+       |bq2 AS (SELECT * FROM batch2 WHERE ${TextStats.qualityPassSql}),
+       |b32 AS (SELECT * FROM bq2
+       |        WHERE md5(text) NOT IN (SELECT md5(text) FROM q1)
+       |          AND doc_id IN (SELECT min(doc_id) FROM bq2 GROUP BY md5(text))),
+       |cg2 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |            range(1, len(string_split(text,' ')) - 6),
+       |            i -> array_to_string(string_split(text,' ')[i:i+7], ' ')))) AS gram
+       |        FROM b32 WHERE len(string_split(text,' ')) >= 8),
+       |contam2 AS (SELECT DISTINCT doc_id FROM cg2 JOIN pg USING (gram)),
+       |b42 AS (SELECT * FROM b32 WHERE doc_id NOT IN (SELECT doc_id FROM contam2))""".stripMargin
+
+  /** One per-batch leg of the x11c store summary. */
+  private def storeSummarySql(src: String, qs: String, ks: String,
+      ss: String, batchId: Int): String =
+    s"""SELECT CAST($batchId AS INTEGER) AS batch_id, source,
+       |       count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM $qs) THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       |       CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM $ks) THEN 1 ELSE 0 END) AS BIGINT) AS n_keepers,
+       |       CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM $ss) THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+       |       CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM $ss) THEN n_tok ELSE 0 END) AS BIGINT) AS tok_survivors,
+       |       CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM $ss) THEN $hash6Sql ELSE 0 END) AS BIGINT) AS chk_survivors,
+       |       CAST(sum(CAST(('0x' || substr(md5(text), 1, 6)) AS BIGINT)) AS BIGINT) AS chk_content
+       |FROM $src GROUP BY source""".stripMargin
+
+  private def ledgerAppendSql: String =
+    s"""WITH ${day1Ctes},
+       |${day2Ctes}
+       |${storeSummarySql("corpus1", "q1", "ded1", "dc1", 0)}
+       |UNION ALL
+       |${storeSummarySql("batch2", "bq2", "b32", "b42", 1)}""".stripMargin
+
+  /** The shared manifest SQL: `batchWhere` selects the incoming batch,
+    * `extraCtes` injects prior-batch recomputations, `dedupHashes` is the
+    * store's quality-hash set the batch dedups against, `mergedLegs` the
+    * store-survivor legs of the merged corpus. x11 = day-2 batch vs
+    * day-1; x11c = day-3 batch vs day-1 ∪ appended day-2. */
+  private def pipelineSql(batchWhere: String, extraCtes: String,
+      dedupHashes: String, mergedLegs: String): String = {
+    val chk = hash6Sql
+    s"""WITH ${day1Ctes},
+       |${extraCtes}batch AS (
+       |  SELECT doc_id, source, text,
+       |         CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok
+       |  FROM documents WHERE $batchWhere),
        |bq AS (SELECT * FROM batch WHERE ${TextStats.qualityPassSql}),
        |b3 AS (SELECT * FROM bq
-       |       WHERE md5(text) NOT IN (SELECT md5(text) FROM q1)
+       |       WHERE md5(text) NOT IN ($dedupHashes)
        |         AND doc_id IN (SELECT min(doc_id) FROM bq GROUP BY md5(text))),
        |cgb AS (SELECT doc_id, unnest(list_distinct(list_transform(
        |            range(1, len(string_split(text,' ')) - 6),
@@ -334,7 +476,7 @@ object Incremental {
        |        FROM b3 WHERE len(string_split(text,' ')) >= 8),
        |contamb AS (SELECT DISTINCT doc_id FROM cgb JOIN pg USING (gram)),
        |b4 AS (SELECT * FROM b3 WHERE doc_id NOT IN (SELECT doc_id FROM contamb)),
-       |merged AS (SELECT doc_id, source, n_tok AS n_clean FROM dc1
+       |merged AS ($mergedLegs
        |           UNION ALL SELECT doc_id, source, n_tok FROM b4),
        |ct AS (SELECT source, count(*) AS n_docs,
        |              CAST(sum(n_clean) AS BIGINT) AS n_tokens FROM merged GROUP BY source),
@@ -384,6 +526,26 @@ object Incremental {
        |       CAST(sum((shard_id + 1) * (doc_id % 997 + 1)) AS BIGINT) FROM shd""".stripMargin
   }
 
+  /** x11's manifest SQL: the full %10==9 batch against the day-1 store. */
+  private def incrementalSql: String = pipelineSql(
+    batchWhere = "doc_id % 10 = 9",
+    extraCtes = "",
+    dedupHashes = "SELECT md5(text) FROM q1",
+    mergedLegs = "SELECT doc_id, source, n_tok AS n_clean FROM dc1")
+
+  /** x11c's manifest SQL: the day-3 batch (%100==99) against the APPENDED
+    * store — its dedup hash set is day-1 quality ∪ day-2 quality and the
+    * merged corpus carries day-2 survivors, both of which DuckDB
+    * recomputes from text while the engine reads persisted fingerprints. */
+  private def day3Sql: String = pipelineSql(
+    batchWhere = "doc_id % 100 = 99",
+    extraCtes = day2Ctes + ",\n",
+    dedupHashes =
+      "SELECT md5(text) FROM q1 UNION ALL SELECT md5(text) FROM bq2",
+    mergedLegs =
+      """SELECT doc_id, source, n_tok AS n_clean FROM dc1
+        |           UNION ALL SELECT doc_id, source, n_tok FROM b42""".stripMargin)
+
   val entries: Seq[QueryDef] = Seq(
     // the offline day-1 store build + content summary — declared first so
     // Verify's declaration-order run charges the build here, but ledgerFor
@@ -397,6 +559,18 @@ object Incremental {
     // stages identical to x11 and the dropped set equal to a direct
     // incrementalDedupLsh recomputation over the same doc universe.
     QueryDef.noOracle("x11b_incremental_lsh")((s, d) =>
-      incrementalManifest(s, d, lshNearCheck = true))
+      incrementalManifest(s, d, lshNearCheck = true)),
+    // x11c: the store made incremental IN TIME — the day-2 batch's
+    // fingerprints are APPENDED as batch_id=1 (this line owns the append
+    // cost and its summary validates the appended CONTENT per batch), then
+    // x11c_incremental_pipeline runs a day-3 batch against the UPDATED
+    // store: a day-3 duplicate of a day-2 survivor is dropped without
+    // either day's text ever being re-read (PlanSpec locks the scans).
+    QueryDef("x11c_ledger_append", ledgerAppendSql)((s, d) =>
+      appendedLedger(s, d).groupBy("batch_id", "source")
+        .agg(storeAggs.head, storeAggs.tail: _*)),
+    QueryDef("x11c_incremental_pipeline", day3Sql)((s, d) =>
+      incrementalManifest(s, d,
+        batchPred = Some(isDay3), store = Some(appendedLedger(s, d))))
   )
 }

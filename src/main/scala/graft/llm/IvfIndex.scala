@@ -42,9 +42,10 @@ object IvfIndex {
     // deterministic hash-ordered sample (the PqIndex.train reservoir idiom;
     // Sampling.hashReservoir prefilters map-side so the global ordered
     // limit never fans corpus-wide per-task results into the driver)
+    val n = corpus.count()
     val trainVecs =
-      if (corpus.count() <= cap) vecs
-      else Sampling.hashReservoir(vecs, col("vec_id"), cap.toInt)
+      if (n <= cap) vecs
+      else Sampling.hashReservoir(vecs, col("vec_id"), cap.toInt, knownCount = Some(n))
     val km = new KMeans().setK(nClusters).setSeed(42L).setMaxIter(maxIter)
       .setFeaturesCol("features").setPredictionCol("cell")
     val model = km.fit(trainVecs)

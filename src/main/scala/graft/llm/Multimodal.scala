@@ -100,24 +100,34 @@ object Multimodal {
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
         require(img != null, s"media ${m.media_id}: payload is not a decodable image")
         val (w, h) = (img.getWidth, img.getHeight)
-        val (bw, bh) = (math.max(1, w / targetDim), math.max(1, h / targetDim))
         val out = new java.awt.image.BufferedImage(
           targetDim, targetDim, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        // per-output-pixel block bounds [x·w/targetDim, (x+1)·w/targetDim):
+        // every source pixel lands in exactly one block at ANY dimension
+        // ratio (the plain w/targetDim integer stride silently dropped the
+        // rightmost/bottom remainder when dims aren't multiples of
+        // targetDim, and duplicated edge pixels on upscale — for
+        // multiple-of-targetDim inputs the bounds are identical). Upscale
+        // blocks (source smaller than target) are empty by this formula,
+        // so they widen to the single nearest source pixel.
         var y = 0
         while (y < targetDim) {
+          val sy0 = (y.toLong * h / targetDim).toInt
+          val sy1 = math.max(sy0 + 1, ((y + 1).toLong * h / targetDim).toInt)
           var x = 0
           while (x < targetDim) {
+            val sx0 = (x.toLong * w / targetDim).toInt
+            val sx1 = math.max(sx0 + 1, ((x + 1).toLong * w / targetDim).toInt)
             var (sr, sg, sb, n) = (0, 0, 0, 0)
-            var dy = 0
-            while (dy < bh) {
-              var dx = 0
-              while (dx < bw) {
-                val (sx, sy) = (math.min(w - 1, x * bw + dx), math.min(h - 1, y * bh + dy))
-                val p = img.getRGB(sx, sy)
+            var sy = sy0
+            while (sy < sy1) {
+              var sx = sx0
+              while (sx < sx1) {
+                val p = img.getRGB(math.min(w - 1, sx), math.min(h - 1, sy))
                 sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
-                n += 1; dx += 1
+                n += 1; sx += 1
               }
-              dy += 1
+              sy += 1
             }
             out.setRGB(x, y, ((sr / n) << 16) | ((sg / n) << 8) | (sb / n))
             x += 1

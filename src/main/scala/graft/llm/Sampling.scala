@@ -196,21 +196,30 @@ object Sampling {
     * and the x10 composed pipeline's cap stage. Input needs
     * (doc_id, source); output (doc_id, source, slot). */
   /** Deterministic hash-ordered reservoir of exactly min(cap, n) rows —
-    * the lowest (xxhash64(key), key) rows of the pmod-selected ~2·cap
-    * subset. A bare orderBy+limit compiles to TakeOrderedAndProject and
-    * ships `cap` rows from EVERY task to the driver (maxResultSize blowup
-    * on wide rows); the map-side pmod prefilter bounds what the global
-    * heap ever sees while staying a pure function of the key. Falls back
-    * to the unfiltered order when the corpus is not much bigger than the
-    * cap (the prefilter's ~2× margin could otherwise undershoot). */
+    * the GLOBALLY lowest (xxhash64(key), key) rows. A bare orderBy+limit
+    * compiles to TakeOrderedAndProject and ships `cap` rows from EVERY
+    * task to the driver (maxResultSize blowup on wide rows); the map-side
+    * prefilter bounds what the global heap ever sees. The prefilter keeps
+    * xxhash64(key) below the value positioned at ~2·cap/n of the hash
+    * range — the SAME criterion the final order ranks on, so the kept set
+    * is a strict hash-order prefix (a superset of the answer whenever it
+    * holds ≥ cap rows, which it does with probability 1 − exp(−Θ(cap)))
+    * and the result is identical across the branch boundary: the same
+    * corpus grown slightly yields the same sample minus displaced rows.
+    * Pass `knownCount` when the caller already counted the input so the
+    * reservoir doesn't re-run the count job. */
   private[graft] def hashReservoir(in: org.apache.spark.sql.DataFrame,
-      key: org.apache.spark.sql.Column, cap: Int): org.apache.spark.sql.DataFrame = {
-    val n = in.count()
+      key: org.apache.spark.sql.Column, cap: Int,
+      knownCount: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+    val n = knownCount.getOrElse(in.count())
     val pre =
       if (n > 4L * cap) {
-        val mod = 1000000L
-        val keepBelow = math.min(mod, math.ceil(2.0 * cap / n * mod).toLong)
-        in.filter(pmod(xxhash64(key), lit(mod)) < keepBelow)
+        // threshold at fraction 2·cap/n of the unsigned 2^64 hash range,
+        // anchored at Long.MinValue (xxhash64 is uniform over all longs);
+        // ceil + the 2× margin keep the prefix comfortably ≥ cap rows
+        val frac = 2.0 * cap / n
+        val keepBelow = Long.MinValue + math.ceil(frac * math.pow(2.0, 64)).toLong
+        in.filter(xxhash64(key) < lit(keepBelow))
       } else in
     pre.orderBy(xxhash64(key), key).limit(cap)
   }

@@ -1406,19 +1406,26 @@ class DataPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("x11 persisted ledger: flag implications hold, signatures cover every shingled doc") {
+    // full store (whatever batches exist): flag + signature invariants
     val led = graft.llm.Incremental.ledgerFor(spark, sf)
     val bad = led.filter(
       (col("in4") && !col("in3")) || (col("in3") && !col("q"))).count()
     assert(bad == 0, "ledger flags must imply q ⊇ in3 ⊇ in4")
     // signature present exactly for docs with ≥ 3 tokens (shingle-able)
     assert(led.filter(col("n_tok") >= 3 && col("sig").isNull).count() == 0,
-      "every shingle-able day-1 doc must carry a persisted signature")
+      "every shingle-able stored doc must carry a persisted signature")
     assert(led.filter(col("sig").isNotNull &&
         size(col("sig")) =!= graft.llm.Dedup.NumHashes).count() == 0,
       "persisted signatures must be full 64-minhash arrays")
-    // the store is day-1 only: no holdout, no batch ids
-    assert(led.filter(col("doc_id") % 10 === 0 || col("doc_id") % 10 === 9)
-      .count() == 0, "ledger must contain only day-1 docs")
+    // batch 0 is day-1 only: no holdout, no batch ids
+    assert(graft.llm.Incremental.ledgerAsOf(spark, sf, 0)
+      .filter(col("doc_id") % 10 === 0 || col("doc_id") % 10 === 9)
+      .count() == 0, "batch 0 of the ledger must contain only day-1 docs")
+    // any appended batch holds day-2 docs only (%10==9 minus the %100==99
+    // day-3 class) — the as-of contract that keeps x11 byte-stable
+    assert(led.filter(col("batch_id") >= 1 &&
+        (col("doc_id") % 10 =!= 9 || col("doc_id") % 100 === 99))
+      .count() == 0, "appended batches must contain only day-2 docs")
   }
 
   test("x11b: shared stages identical to x11; 03c drops exactly the direct d8b LSH recomputation") {
@@ -1435,7 +1442,7 @@ class DataPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
     // dup_near ids must equal 03c's drop set (checked via the count and
     // the id_sum, which the manifest carries per stage)
     val docs = Tables(spark, sf, "documents")
-    val led = graft.llm.Incremental.ledgerFor(spark, sf)
+    val led = graft.llm.Incremental.ledgerAsOf(spark, sf, 0)
     val corpusIds = led.filter(col("in4")).select("doc_id")
     val batchQ = docs.filter(col("doc_id") % 10 === 9)
       .filter(graft.llm.TextStats.qualityPass)
@@ -1512,6 +1519,51 @@ class DataPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"banding persisted signatures must surface the planted near-dup pair: $cands")
     assert(!cands.contains((109L, 12L)) && !cands.contains((119L, 12L)),
       s"unrelated docs must not collide in any band: $cands")
+    graft.streaming.Streams.deleteRecursively(new java.io.File(dir))
+  }
+
+  test("x11c ledger append: a planted day-3 duplicate of a day-2 survivor is dropped — and survives WITHOUT the append") {
+    import spark.implicits._
+    // synthetic corpus (own dir → own store): quality texts passing the
+    // shared gate; day-3 plants one exact dup of the day-2 SURVIVOR (99),
+    // one dup of a day-1 doc (299), one fresh doc (199)
+    // short tokens keep the mean-token-length gate (≤ 4.8) satisfied
+    def txt(tag: String) =
+      "the of a and " + (1 to 36).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (10L, "src0", txt("h")),    // holdout
+      (1L, "src1", txt("a")), (2L, "src1", txt("b")),   // day-1
+      (19L, "src1", txt("n")),    // day-2: unique → appended survivor
+      (29L, "src1", txt("a")),    // day-2: dup of day-1 → appended q, ¬in3
+      (99L, "src1", txt("n")),    // day-3: dup of the DAY-2 survivor
+      (199L, "src1", txt("c")),   // day-3: fresh
+      (299L, "src1", txt("a")))   // day-3: dup of day-1
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_spec_x11c_${System.nanoTime()}"
+    docs.toDF("doc_id", "source", "text").write.parquet(s"$dir/documents.parquet")
+    def stages(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    // the appended store carries the day-2 decisions
+    val led1 = graft.llm.Incremental.appendedLedger(spark, dir)
+      .filter(col("batch_id") === 1)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("q"), r.getAs[Boolean]("in3"), r.getAs[Boolean]("in4"))).toMap
+    assert(led1 == Map(19L -> (true, true, true), 29L -> (true, false, false)),
+      s"appended batch rows wrong: $led1")
+    // day-3 vs the UPDATED store: 99 (dup of day-2) and 299 (dup of day-1)
+    // drop at stage 03; only 199 survives; merged = {1,2} ∪ {19} ∪ {199}
+    val withAppend = stages(SparkEntry.queries("x11c_incremental_pipeline")(spark, dir))
+    assert(withAppend("03_batch_exact_dedup") == ((1L, 199L)),
+      s"stage 03 must keep only the fresh day-3 doc: $withAppend")
+    assert(withAppend("05_merged_corpus") == ((4L, 221L)),
+      s"merged corpus must be day-1 ∪ day-2 ∪ day-3 survivors: $withAppend")
+    // NEGATIVE CONTROL: the same day-3 batch against the UN-appended store
+    // misses the day-2 duplicate — the correctness condition the append
+    // exists for (only 299's day-1 dup is caught; 99 sails through)
+    val withoutAppend = stages(graft.llm.Incremental.incrementalManifest(
+      spark, dir, batchPred = Some(col("doc_id") % 100 === 99),
+      store = Some(graft.llm.Incremental.ledgerAsOf(spark, dir, 0))))
+    assert(withoutAppend("03_batch_exact_dedup") == ((2L, 99L + 199L)),
+      s"without the append the day-2 dup must slip through: $withoutAppend")
     graft.streaming.Streams.deleteRecursively(new java.io.File(dir))
   }
 

@@ -249,6 +249,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"probe scan reads all cells (no dynamic partition pruning):\n$p")
   }
 
+  test("loaded IVFADC probe prunes the CODE table to routed cells' partitions") {
+    // the r12 gap closed: the inverted lists (cell, vec_id, vnorm, codes)
+    // are persisted cell-partitioned like IvfIndex.save, so the ADC scan —
+    // the demonstrated-value tier — reads only routed cells' FILES, not a
+    // session-persisted frame that dies with the process
+    val p = plan("sim_ivfpqr_ann")
+    assert(p.contains("graft_ivfpq_"),
+      s"ADC scan must read the PERSISTED inverted lists:\n$p")
+    assert(p.contains("dynamicpruning"),
+      s"code-table scan reads all cells (no dynamic partition pruning):\n$p")
+  }
+
   test("t9 sequence packing: the bin rollup reuses the window's (source,shard) partitioning") {
     val p = plan("t9_pack_sequences")
     // one exchange total — the running-sum window shuffles on (source,shard)
@@ -593,6 +605,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"x11: batch stages must read the checkpointed batch ledger:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"x11: quadratic join fallback:\n$p")
+  }
+
+  test("x11c day-3 manifest reads the APPENDED store — day-1 AND day-2 text never re-read") {
+    val p = plan("x11c_incremental_pipeline")
+    // the eager side (append + day-3 batch decisions) runs while the plan
+    // is built; the RETURNED manifest must read ONLY the persisted store
+    // (now holding batch_id ∈ {0,1} — day-1 and day-2 fingerprints) plus
+    // checkpointed batch/tail frames. Day-1 and day-2 document text is
+    // never re-scanned by the day-3 job: its only view of both days is
+    // the store parquet.
+    assert(p.contains("graft_ledger_"),
+      s"x11c: the corpus side must scan the persisted fingerprint store:\n$p")
+    assert(!p.contains("testdata"),
+      s"x11c: a manifest stage re-scanned corpus text:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"x11c: batch stages must read the checkpointed batch ledger:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"x11c: quadratic join fallback:\n$p")
   }
 
   test("j12 bucketed join plans zero exchanges over the co-located layout") {
