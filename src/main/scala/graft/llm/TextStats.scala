@@ -727,14 +727,18 @@ object TextStats {
     // deterministic dataflow with an exact SQL oracle — no float gradient
     // whose partial-sum order varies across engines.
     //
-    // Scale shape (r12): two corpus scans, ZERO occurrence-stream
-    // shuffles. Train = one map-side-combined aggregate of the token
-    // stream to the checkpointed vocab count table; smoothing totals +
-    // the broadcast-dispatch vocab size fold into ONE driver-side read of
-    // that checkpoint and priors into another (the r11 count() dispatch
-    // job and the totals/priors crossJoin broadcasts are gone). Score =
-    // the second scan through a measured-dispatch BROADCAST join + one
-    // doc-keyed aggregate carrying per-doc partials; a vocab beyond the
+    // Scale shape (r13): two corpus scans, ZERO occurrence-stream
+    // shuffles — and the score scan is now a pure PROJECTION. Train = one
+    // map-side-combined aggregate of the token stream to the checkpointed
+    // vocab count table; smoothing totals + the dispatch vocab size fold
+    // into ONE driver-side read of that checkpoint and priors into
+    // another. Score (r13, fused) = pack the vocab into an NbModel binary
+    // (same bytes the r10-r12 broadcast join shipped) and fold each doc
+    // with the codegen'd NbScore expression — the explode/broadcast-join/
+    // doc-agg triple that paid one UnsafeRow + hash probe + agg update
+    // PER TOKEN is gone. Measured at sf10 (scale_r13/t19_fused_sf10.json):
+    // 5.69 → 1.48 s warm, vs same-boot DuckDB 0.87 s — ratio 5.2× → 1.7×,
+    // closing the r11/r12 weak flag structurally. A vocab beyond the
     // threshold takes the Zipf-proof per-doc term-frame fallback
     // (DataPlaneSpec asserts branch agreement). An r12 experiment that
     // tokenized ONCE into a checkpointed term frame measured 6.1 → 9.2 s
@@ -742,7 +746,7 @@ object TextStats {
     // more than the columnar re-scan they save — and was reverted; the
     // negative result is kept here so it isn't retried. Log-odds stays in
     // log domain (the t8/t15/t17 rounding precedent); `keep` thresholds
-    // the ROUNDED score. A deployment trains once and broadcasts — see
+    // the ROUNDED score. A deployment trains once and packs once — see
     // t19b.
     QueryDef("t19_nb_classifier",
       """WITH lbl AS (SELECT doc_id, source IN ('src1','src2','src3','src4') AS pos,
@@ -802,30 +806,29 @@ object TextStats {
       val tr = md5(col("doc_id").cast("string")) < "33"
       // TRAIN half: the slice filter prunes its own scan, so the count
       // table build touches ~20% of the corpus once and its output is
-      // slice-sized — broadcast unconditionally (the t16 rationale)
-      val tw = docs.filter(tr)
+      // slice-sized and FIXED as the corpus grows (the t16 rationale) —
+      // collected straight into the packed NbModel (the same bytes the
+      // pre-r13 broadcast join shipped); smoothing totals fold into the
+      // same driver-side pass over the collected rows
+      val rows = docs.filter(tr)
         .select(col("doc_id"), pos.as("pos"), explode(toks).as("w"))
         .groupBy("w").agg(
           sum(when(col("pos"), 1L).otherwise(0L)).as("c1"),
           sum(when(col("pos"), 0L).otherwise(1L)).as("c0"))
-      val tots = tw.agg(sum("c1").cast("double").as("tot1"),
-        sum("c0").cast("double").as("tot0"),
-        count(lit(1)).cast("double").as("v"))
-      val pri = docs.filter(tr).agg(
+        .collect()
+      val tot1 = rows.iterator.map(_.getLong(1)).sum.toDouble
+      val tot0 = rows.iterator.map(_.getLong(2)).sum.toDouble
+      val p = docs.filter(tr).agg(
         sum(when(pos, 1L).otherwise(0L)).cast("double").as("n1"),
-        sum(when(pos, 0L).otherwise(1L)).cast("double").as("n0"))
-      // SCORE half: one corpus scan, map-side broadcast joins (left: unseen
-      // tokens smooth with zero counts), ONE doc-keyed aggregate — the
-      // occurrence stream never shuffles
-      docs.select(col("doc_id"), explode(toks).as("w"))
-        .join(broadcast(tw), Seq("w"), "left_outer")
-        .crossJoin(broadcast(tots)).crossJoin(broadcast(pri))
-        .groupBy("doc_id", "n1", "n0")
-        .agg(count(lit(1)).as("n_tok"),
-          round(log(col("n1") / col("n0")) +
-            sum(log((coalesce(col("c1"), lit(0L)) + 1) / (col("tot1") + col("v"))) -
-                log((coalesce(col("c0"), lit(0L)) + 1) / (col("tot0") + col("v")))), 6)
-            .as("log_odds"))
+        sum(when(pos, 0L).otherwise(1L)).cast("double").as("n0")).head()
+      // SCORE half (r13, fused): one corpus scan whose only operator is
+      // the codegen'd NbScore projection — no explode, no join, no
+      // doc-keyed aggregate; tokens unseen in the slice hit the model's
+      // default (add-1 smoothing with zero counts — the SQL left join's
+      // coalesce) and still count into n_tok, exactly as the left join did
+      nbScoreFused(docs,
+          nbPack(rows, tot1, tot0, rows.length.toDouble),
+          math.log(p.getDouble(0) / p.getDouble(1)))
         .select(col("doc_id"), col("n_tok"), col("log_odds"),
           (col("log_odds") > 0).as("keep"))
     },
@@ -894,11 +897,48 @@ object TextStats {
       .limit(k)
   }
 
-  /** t19's vocab table rides a broadcast when it holds at most this many
-    * terms (tens of MB of (w, c1, c0) rows); a vocab beyond it takes the
-    * shuffle-join fallback — on the per-doc TERM frame, never the raw
-    * occurrence stream. */
+  /** t19's vocab table packs into a driver-built [[graft.functions.NbModel]]
+    * when it holds at most this many terms (tens of MB of (w, c1, c0)
+    * rows — the same bytes the pre-r13 broadcast join collected to the
+    * driver); a vocab beyond it takes the shuffle-join fallback — on the
+    * per-doc TERM frame, never the raw occurrence stream. */
   val BroadcastMaxVocabRows = 1000000L
+
+  /** Pack a collected (w, c1, c0) vocab table into the [[graft.functions
+    * .NbModel]] binary: termLL(w) = ln((c1+1)/(tot1+v)) − ln((c0+1)/(tot0+v)),
+    * unseen tokens smooth with zero counts (the SQL left join's coalesce).
+    * Driver-side math.log on the same doubles the replaced column
+    * expression computed — DataPlaneSpec pins branch agreement at 6 dp. */
+  private def nbPack(rows: Array[org.apache.spark.sql.Row],
+      tot1: Double, tot0: Double, v: Double): Array[Byte] = {
+    val words = new Array[Array[Byte]](rows.length)
+    val lls = new Array[Double](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      val r = rows(i)
+      words(i) = r.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      lls(i) = math.log((r.getLong(1) + 1L) / (tot1 + v)) -
+        math.log((r.getLong(2) + 1L) / (tot0 + v))
+      i += 1
+    }
+    graft.functions.NbModel.pack(words, lls,
+      math.log(1.0 / (tot1 + v)) - math.log(1.0 / (tot0 + v)))
+  }
+
+  /** The fused NB score pass: ONE corpus scan whose only operator is a
+    * projection running [[graft.functions.NbScore]] — the occurrence
+    * stream never exists as rows (no explode, no join, no doc-keyed
+    * aggregate; the pre-r13 broadcast-join formulation paid one UnsafeRow
+    * + hash probe + hash-agg update PER TOKEN). Null text yields no row,
+    * matching `explode(split(...))` which emits nothing for it. */
+  private def nbScoreFused(docs: org.apache.spark.sql.DataFrame,
+      model: Array[Byte], prior: Double): org.apache.spark.sql.DataFrame =
+    docs.where(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.NbScore.of(col("text"), model).as("ns"))
+      .select(col("doc_id"),
+        col("ns").getItem(0).cast("long").as("n_tok"),
+        round(lit(prior) + col("ns").getItem(1), 6).as("log_odds"))
 
   /** t19's plan (see the QueryDef comment). `forceShuffle` pins the
     * big-vocab fallback branch so DataPlaneSpec can prove the two branches
@@ -937,13 +977,13 @@ object TextStats {
       log((col("c0") + 1) / (tot0 + v))
     val score =
       if (!forceShuffle && v <= BroadcastMaxVocabRows)
-        // map-side score: the occurrence stream never shuffles — broadcast
-        // hash join, then one doc-keyed aggregate whose exchange carries
-        // per-doc partials only
-        tok.join(broadcast(tw), "w")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_tok"),
-            round(lit(prior) + sum(termLL), 6).as("log_odds"))
+        // fused score (r13): pack the checkpointed vocab into an NbModel
+        // binary (the same bytes the broadcast join shipped) and fold each
+        // doc in one codegen'd projection — the score pass has NO explode,
+        // NO join, NO aggregate. Every token is in-vocab by construction
+        // (train saw this same corpus), so the model's unseen default
+        // never fires and n_tok equals the old inner join's count.
+        nbScoreFused(docs, nbPack(tw.collect(), tot1, tot0, v), prior)
       else {
         // Zipf-proof fallback for a vocab too big to broadcast: pre-
         // aggregate to the per-doc TERM frame (doc-keyed, skew-proof,

@@ -486,26 +486,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       p.contains("BroadcastHashJoin"), s"t17: count joins missing:\n$p")
   }
 
-  test("t19 NB classifier: vocab broadcasts, occurrence stream never shuffle-joins, no window") {
+  test("t19 NB classifier: fused score pass is a pure projection — no join, no agg, no explode") {
     val p = plan("t19_nb_classifier")
-    // train+score is aggregates and equi-joins only (the 1-row
-    // totals/priors ride broadcasts; nested-loop over ONE row is the
-    // broadcast fan-out, fine)
-    assert(!p.contains("CartesianProduct"), s"t19: cartesian crept in:\n$p")
-    // the r10 weak flag: the vocab count table must ride a BROADCAST so
-    // the scoring pass is map-side — never the raw occurrence stream
-    // through a Zipf-keyed shuffle join
-    assert(p.contains("BroadcastHashJoin"),
-      s"t19: vocab counts must ride a broadcast join:\n$p")
-    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
-      s"t19: a corpus-keyed shuffle join crept into the score pass:\n$p")
-    // the vocab table feeding the broadcast comes from its checkpoint
-    // (Scan ExistingRDD), so dispatch count + broadcast + totals all read
-    // the same blocks instead of re-aggregating the corpus
-    assert(p.contains("Scan ExistingRDD"),
-      s"t19: scoring must read the checkpointed vocab table:\n$p")
-    assert(!p.contains("windowspecdefinition"),
-      s"t19: no step of NB train/score should need a window:\n$p")
+    // the r13 fused shape: the score pass folds each doc with the
+    // codegen'd nb_score expression against the driver-packed model —
+    // the plan the query RETURNS must contain NO join of any kind, no
+    // explode, no aggregate, and no window: one scan, one projection
+    // (train runs in separate jobs against the checkpointed vocab table)
+    assert(p.contains("nb_score"),
+      s"t19: score pass must run the fused nb_score projection:\n$p")
+    Seq("CartesianProduct", "BroadcastHashJoin", "SortMergeJoin",
+      "ShuffledHashJoin", "BroadcastNestedLoopJoin", "HashAggregate",
+      "Generate", "windowspecdefinition", "Exchange").foreach(op =>
+      assert(!p.contains(op), s"t19: fused score pass must not need $op:\n$p"))
   }
 
   test("t17b perplexity-score: reference LM broadcasts, score pass has no corpus-keyed shuffle join") {
@@ -520,15 +513,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"t17b: a corpus-keyed shuffle join crept into the score pass:\n$p")
   }
 
-  test("t19b NB-score: slice-trained vocab broadcasts, score pass has no corpus-keyed shuffle join") {
+  test("t19b NB-score: fused deployment scoring is a pure projection over one corpus scan") {
     val p = plan("t19b_nb_score")
-    assert(!p.contains("CartesianProduct"), s"t19b: cartesian crept in:\n$p")
-    assert(p.contains("BroadcastHashJoin"),
-      s"t19b: the slice-trained vocab table must ride a broadcast join:\n$p")
-    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
-      s"t19b: a corpus-keyed shuffle join crept into the score pass:\n$p")
-    assert(!p.contains("windowspecdefinition"),
-      s"t19b: no step of NB train/score should need a window:\n$p")
+    // deployment shape, r13: the slice-trained model is packed driver-side
+    // and every doc folds through the codegen'd nb_score projection — the
+    // returned plan is scan → project, nothing else (training ran in its
+    // own slice-pruned jobs at build time)
+    assert(p.contains("nb_score"),
+      s"t19b: score pass must run the fused nb_score projection:\n$p")
+    Seq("CartesianProduct", "BroadcastHashJoin", "SortMergeJoin",
+      "ShuffledHashJoin", "BroadcastNestedLoopJoin", "HashAggregate",
+      "Generate", "windowspecdefinition", "Exchange").foreach(op =>
+      assert(!p.contains(op), s"t19b: fused score pass must not need $op:\n$p"))
   }
 
   test("t20 BM25: no explode, stats broadcast, ranking is heap top-k not a global sort") {
