@@ -404,6 +404,15 @@ object Streams {
     // replay (== the batch analog / oracle); a production deployment runs
     // the same plan with a watermark in append mode so closed sessions emit
     // once and state stays bounded.
+    //
+    // State store choice (re-measured r13 at 9.5M sessions,
+    // scale_r13/stream_store_sf10.json): heap stays the default for this
+    // one-shot replay — it wins the first-run number (19.7-20.0 s vs
+    // RocksDB's 20.9-22.2, which pays native-lib load + store setup once
+    // per JVM) — but RocksDB wins steady state by 10-25% (14.0-14.2 vs
+    // 15.7-18.2 s warm) and bounds executor memory, so a CONTINUOUS
+    // deployment should flip providerClass to RocksDBStateStoreProvider;
+    // the r10 heap-wins result (15.4 s) inverts at this state size.
     QueryDef("st_stream_session",
       """WITH flagged AS (
         |  SELECT user_id, ts, value,
