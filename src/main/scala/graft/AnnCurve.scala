@@ -68,11 +68,15 @@ object AnnCurve {
     // MLlib's axpy distance path (measured >90 min at k=1000, dim=256) for
     // a routing structure whose recall the sweep shows 256 cells already
     // deliver — the quantizer is a knob, not a contract
+    // qps/cold probe the SAME operating point the cross preset proved
+    // (256 cells, nProbe 8) — a different quantizer would silently move
+    // the recall the "crossover" label stands on
+    val coarse256 = Set("cross", "qps", "cold")
     val nClusters =
-      if (preset == "cross") 256
+      if (coarse256(preset)) 256
       else math.max(8, math.min(4096, (nVec / 2000L).toInt))
     val (ivf, tIvf) = timed(IvfIndex.build(emb, nClusters,
-      maxIter = if (preset == "cross") 10 else 20))
+      maxIter = if (coarse256(preset)) 10 else 20))
 
     val (configs, probeAxis, shortAxis) =
       if (preset == "prod")

@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+
+/** Native Catalyst PQ encoder, WITH codegen — the index BUILD's hot path
+  * (the encode twin of [[AdcDot]], which covers the probe side). `left` is
+  * the vector (array<double>, length m·dsub), `right` the FLATTENED
+  * codebooks (array<double> literal, length m·ksub·dsub; subspace s's code
+  * c starts at (s·ksub + c)·dsub): the value is the m argmin code ids,
+  * subspace s choosing argmin_c Σ_j (v[s·dsub+j] − cb[...+j])².
+  *
+  * Exists because the higher-order formulation (per-subspace
+  * `transform(typedLit(codebooks), c => aggregate(zip_with(slice(...))))`
+  * + array_position(array_min)) runs interpreted — measured >25 min to
+  * encode 2M×256-d at m=32/ksub=64 on 32 cores, i.e. the whole "build_s"
+  * story of the ANN crossover was hiding in the first materialization.
+  * This expression is the same mults at codegen speed.
+  *
+  * Distance accumulation is ascending-j per code, codes scanned ascending,
+  * strict < keeps the FIRST minimum — bit-identical values and the same
+  * tie-break as `array_position(dists, array_min(dists)) - 1`, so encoded
+  * corpora (and every recall artifact derived from them) carry over
+  * unchanged. FunctionsSpec pins expression-vs-HOF equality on fuzzed
+  * vectors.
+  */
+final case class PqEncode(left: Expression, right: Expression,
+    m: Int, ksub: Int, dsub: Int) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, array<double>), got " +
+          s"${l.simpleString} and ${r.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PqEncode.encode(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      m, ksub, dsub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.PqEncode.encode($a, $b, $m, $ksub, $dsub);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqEncode =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "pq_encode"
+}
+
+object PqEncode {
+  /** Column form: encode `vec` against codebooks[s][c][j], flattened to one
+    * array<double> literal (m·ksub·dsub values — KBs; rides the task
+    * binary like every codebook literal on the probe side). */
+  def of(vec: org.apache.spark.sql.Column,
+      codebooks: Seq[Seq[Seq[Double]]]): org.apache.spark.sql.Column = {
+    val b = org.apache.spark.sql.GraftExpressionBridge
+    val m = codebooks.size
+    val ksub = codebooks.head.size
+    val dsub = codebooks.head.head.size
+    val flat: Seq[Double] = codebooks.flatten.flatten
+    b.columnOf(PqEncode(b.expressionOf(vec),
+      b.expressionOf(org.apache.spark.sql.functions.typedLit(flat)),
+      m, ksub, dsub))
+  }
+
+  /** Shared by eval and generated code — keep the signature Java-friendly. */
+  def encode(vec: ArrayData, cb: ArrayData, m: Int, ksub: Int, dsub: Int): ArrayData = {
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val vOff = s * dsub
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < ksub) {
+        val cOff = (s * ksub + c) * dsub
+        var d = 0.0
+        var j = 0
+        while (j < dsub) {
+          val diff = vec.getDouble(vOff + j) - cb.getDouble(cOff + j)
+          d += diff * diff
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    new GenericArrayData(codes)
+  }
+}

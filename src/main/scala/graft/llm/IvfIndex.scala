@@ -154,7 +154,10 @@ object IvfIndex {
     val spark = index.assigned.sparkSession
     spark.createDataFrame(index.centroids).toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-    index.assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/corpus")
+    // repartition ON cell first — a partitionBy write from an unrelated
+    // partitioning opens one file per (task × cell); see PqIndex.saveIvfPq
+    index.assigned.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/corpus")
   }
 
   /** Load a persisted index — NO KMeans refit. Centroids (a few KB) load to

@@ -222,21 +222,24 @@ object PqIndex {
     val m = codebooks.size
     val dsub = codebooks.head.head.size
     val e = col("embedding").cast("array<double>")
-    val codeCols = rotation match {
+    rotation match {
       case None =>
-        (0 until m).map { s =>
-          val sub = slice(e, s * dsub + 1, dsub)
-          val dists = transform(typedLit(codebooks(s)), c =>
-            aggregate(zip_with(sub, c, (x, y) => (x - y) * (x - y)),
-              lit(0.0), (a, v) => a + v))
-          (array_position(dists, array_min(dists)) - 1).cast("int")
-        }
+        // r13: one codegen'd argmin over all subspaces (PqEncode) — the
+        // per-subspace HOF formulation (transform+aggregate+array_position)
+        // ran interpreted and dominated the whole index build at corpus
+        // scale (>25 min for 2M×256-d at m=32/ksub=64; the expression
+        // encodes the same corpus in seconds). Bit-identical values and
+        // tie-break — FunctionsSpec pins expression-vs-HOF equality.
+        corpus.select(col("vec_id") +: keep.map(col) :+
+          graft.functions.PqEncode.of(e, codebooks).as("codes"): _*)
       case Some(rot) =>
         // rotated-space argmin via the back-rotation fold (see backRotate):
         // argmin_c ||(Rv)_s − c||² = argmin_c (||c||² − 2⟨v, u_{s,c}⟩) —
-        // the ||(Rv)_s||² term is constant within a subspace and drops out
+        // the ||(Rv)_s||² term is constant within a subspace and drops out.
+        // (Stays on the HOF path: OPQ encodes against FULL-vector dots, a
+        // different inner shape; its declared corpora are 64-d.)
         val u = backRotate(codebooks, rot)
-        (0 until m).map { s =>
+        val codeCols = (0 until m).map { s =>
           val n2: Seq[Double] = codebooks(s).map(c => c.map(x => x * x).sum)
           val dists = zip_with(typedLit(n2),
             transform(typedLit(u(s)), uc =>
@@ -244,8 +247,9 @@ object PqIndex {
             (nc, dot) => nc - lit(2.0) * dot)
           (array_position(dists, array_min(dists)) - 1).cast("int")
         }
+        corpus.select(col("vec_id") +: keep.map(col) :+
+          array(codeCols: _*).as("codes"): _*)
     }
-    corpus.select(col("vec_id") +: keep.map(col) :+ array(codeCols: _*).as("codes"): _*)
   }
 
   def build(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
@@ -409,8 +413,57 @@ object PqIndex {
           subCb.zipWithIndex.map { case (c, ci) => (s, ci, c) } })
       .toDF("sub", "code", "vec")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
-    model.cellCodes.write.mode("overwrite").partitionBy("cell")
+    // `batch` above `cell` in the layout: appendIvfPq lands each new crawl
+    // batch as its own partition tree (batch=N/cell=*), so re-running an
+    // append replaces exactly that batch (dynamic partition overwrite) and
+    // cell pruning at probe time is unaffected (both are partition columns)
+    // repartition ON the partition column first: a partitionBy write from
+    // an unrelated partitioning opens one file per (task × cell) — up to
+    // tasks×nClusters small files whose listing/open overhead then taxes
+    // every probe; hash-clustered, each cell lands in one task → one file
+    model.cellCodes.withColumn("batch", lit(0))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("batch", "cell")
       .parquet(s"$dir/lists")
+  }
+
+  /** Append NEW vectors into a persisted residual-IVFPQ index without
+    * retraining or re-encoding anything — FAISS IndexIVFPQ.add(), and the
+    * ANN twin of x11c's ledger append (both production stores must be
+    * incremental IN TIME, not build-once): each new vector is assigned to
+    * its nearest EXISTING centroid, its residual is encoded with the
+    * EXISTING codebooks, and the rows land in the cell-partitioned lists
+    * as their own `batch=batchId` partition tree. Day-1 files are never
+    * rewritten; re-running a batch replaces only that batch's partitions
+    * (dynamic partition overwrite), so the append is idempotent. The
+    * quantizer stays immutable by design — a corpus whose distribution
+    * drifts past the trained centroids warrants a REBUILD, not an append
+    * (the FAISS operational rule); recall on appended batches is the
+    * spec's job (DataPlaneSpec forces nProbe=all + full-depth rerank,
+    * where results are provably exact).
+    *
+    * Returns the reloaded index (base ∪ all appended batches). */
+  def appendIvfPq(ivf: IvfModel, model: IvfPqModel, newVecs: DataFrame,
+      dir: String, batchId: Int = 1): IvfPqModel = {
+    val spark = newVecs.sparkSession
+    val centDf = broadcast(spark.createDataFrame(ivf.centroids).toDF("cell", "centroid"))
+    // nearest-centroid assignment via the shared routing machinery
+    // (nProbe=1 ⇒ argmin cell, the same Euclidean rule KMeans.transform
+    // applied to the base corpus)
+    val assigned = IvfIndex.route(ivf, newVecs, nProbe = 1)
+      .select(col("probe_id").as("vec_id"), col("pv").as("v"), col("cell"))
+    val withRes = assigned.join(centDf, Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        sqrt(Similarity.dotNative(col("v"), col("v"))).as("vnorm"),
+        zip_with(col("v"), col("centroid"), (x, y) => x - y).as("embedding"))
+    encode(withRes, model.codebooks, None, keep = Seq("cell", "vnorm"))
+      .withColumn("batch", lit(batchId))
+      .repartition(col("cell")) // one file per cell, not per task×cell
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch", "cell")
+      .parquet(s"$dir/lists")
+    loadIvfPq(spark, dir)
   }
 
   /** Load a persisted residual-IVFPQ index — NO retrain, NO re-encode.
@@ -467,19 +520,37 @@ object PqIndex {
   private val ivfPqCache =
     scala.collection.concurrent.TrieMap.empty[(String, Int, Int, Int), IvfPqModel]
 
+  // md5 of the key, not hashCode: distinct corpora must never collide
+  // on one on-disk path (the IvfIndex.cachedIndex rationale)
+  private def ivfPqDir(cacheKey: String, m: Int, ksub: Int, nClusters: Int): String = {
+    val keyHex = java.security.MessageDigest.getInstance("MD5")
+      .digest(cacheKey.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"${sys.props("java.io.tmpdir")}/graft_ivfpq_${keyHex}_${m}_${ksub}_$nClusters"
+  }
+
   def cachedIvfPq(cacheKey: String, ivf: IvfModel, corpus: DataFrame,
       m: Int, ksub: Int, nClusters: Int): IvfPqModel =
     ivfPqCache.getOrElseUpdate((cacheKey, m, ksub, nClusters), {
-      // md5 of the key, not hashCode: distinct corpora must never collide
-      // on one on-disk path (the IvfIndex.cachedIndex rationale)
-      val keyHex = java.security.MessageDigest.getInstance("MD5")
-        .digest(cacheKey.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_${keyHex}_${m}_${ksub}_$nClusters"
+      val dir = ivfPqDir(cacheKey, m, ksub, nClusters)
       val built = buildIvfPq(ivf, corpus, m, ksub)
       saveIvfPq(built, dir)
       built.unpersist()
       loadIvfPq(corpus.sparkSession, dir)
     })
+
+  /** Append `newVecs` into the PERSISTED index cached for `cacheKey`
+    * (building+saving the base first if this session hasn't), then refresh
+    * the cache so every later consumer of the key probes base ∪ appended.
+    * Idempotent per batchId — see [[appendIvfPq]]. */
+  def cachedIvfPqAppend(cacheKey: String, ivf: IvfModel, baseCorpus: DataFrame,
+      newVecs: DataFrame, m: Int, ksub: Int, nClusters: Int,
+      batchId: Int = 1): IvfPqModel = {
+    val base = cachedIvfPq(cacheKey, ivf, baseCorpus, m, ksub, nClusters)
+    val appended = appendIvfPq(ivf, base, newVecs,
+      ivfPqDir(cacheKey, m, ksub, nClusters), batchId)
+    ivfPqCache.put((cacheKey, m, ksub, nClusters), appended)
+    appended
+  }
 
   // per-corpus model cache — the offline/online split (the IvfIndex
   // precedent): the declared ANN query measures probe time, the build

@@ -383,6 +383,30 @@ object Similarity {
         k = 10, shortlist = 50, nProbe = 4)
     },
 
+    // INDEX APPEND (r13) — the ANN twin of x11c's ledger append: day-2
+    // vectors (vec_id%10==9) enter the PERSISTED day-1 index with no
+    // retrain/re-encode — nearest-existing-centroid assignment, residuals
+    // encoded with the frozen day-1 codebooks, rows landed as their own
+    // batch=1 partition tree under the cell layout (day-1 files never
+    // rewritten; re-append replaces only batch=1 — idempotent). Result:
+    // per-cell composition of the appended index. Engine-specific → spec
+    // gate: DataPlaneSpec proves day-2 probes against the appended index
+    // return EXACT merged-corpus neighbors under nProbe=all + full-depth
+    // rerank, and that the base index alone cannot see day-2 vectors.
+    QueryDef.noOracle("sim_ivfpqr_append") { (s, d) =>
+      val emb = Tables(s, d, "embeddings")
+      val day1 = emb.filter(col("vec_id") % 10 =!= 9)
+      val day2 = emb.filter(col("vec_id") % 10 === 9)
+      val key = d + "#ivfpqr-day1"
+      val ivf = IvfIndex.cachedIndexFor(key, day1, nClusters = 8)
+      PqIndex.cachedIvfPqAppend(key, ivf, day1, day2,
+          m = 8, ksub = 16, nClusters = 8)
+        .cellCodes.groupBy("cell")
+        .agg(sum(when(col("vec_id") % 10 =!= 9, 1L).otherwise(0L)).as("n_day1"),
+          sum(when(col("vec_id") % 10 === 9, 1L).otherwise(0L)).as("n_day2"),
+          round(sum(col("vnorm")), 6).as("norm_sum"))
+    },
+
     // L2-normalization to unit vectors — the preprocessing step that turns
     // cosine into a plain dot product (what any serious ANN index wants).
     // sqrt and / are IEEE-correctly-rounded, and the dot-product fold order

@@ -501,6 +501,71 @@ class DataPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
     ivf.unpersist(); res.unpersist(); pq.unpersist()
   }
 
+  test("sim_ivfpqr_append: day-2 vectors enter the persisted lists idempotently, " +
+      "day-1 rows untouched, appended probes exact at full depth, base never sees day-2") {
+    val emb = Tables(spark, sf, "embeddings")
+    val day1 = emb.filter(col("vec_id") % 10 =!= 9)
+    val day2 = emb.filter(col("vec_id") % 10 === 9)
+    val ivf = IvfIndex.build(day1, nClusters = 8)
+    val built = graft.llm.PqIndex.buildIvfPq(ivf, day1, m = 8, ksub = 16)
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_append_spec_${System.nanoTime()}"
+    graft.llm.PqIndex.saveIvfPq(built, dir); built.unpersist()
+    val base = graft.llm.PqIndex.loadIvfPq(spark, dir)
+    val baseRows = base.cellCodes.collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Int]("cell"), r.getAs[Double]("vnorm"), r.getAs[Seq[Int]]("codes"))).toMap
+    // negative control: the base index (loaded BEFORE the append, so its
+    // file listing is the day-1 snapshot) cannot return day-2 candidates
+    val probes2 = day2.filter(col("vec_id") < 100)
+    val baseGot = graft.llm.PqIndex.searchIvfPqResidual(
+        ivf, base, probes2, emb, k = 10, shortlist = 500, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(baseGot.nonEmpty, "negative control must return rows")
+    assert(baseGot.forall(_._2 % 10 != 9),
+      "the un-appended index must be blind to day-2 vectors")
+    // append the batch TWICE: dynamic partition overwrite replaces batch=1,
+    // so re-running a crawl batch cannot duplicate its rows
+    graft.llm.PqIndex.appendIvfPq(ivf, base, day2, dir)
+    val appended = graft.llm.PqIndex.appendIvfPq(ivf, base, day2, dir)
+    val cc = appended.cellCodes.collect()
+    assert(cc.length == emb.count(),
+      s"appended lists must cover the merged corpus exactly once, got ${cc.length}")
+    // day-1 rows byte-identical (append never rewrites base partitions)
+    for (r <- cc if r.getAs[Long]("vec_id") % 10 != 9) {
+      val want = baseRows(r.getAs[Long]("vec_id"))
+      assert((r.getAs[Int]("cell"), r.getAs[Double]("vnorm"),
+        r.getAs[Seq[Int]]("codes")) == want, s"day-1 row ${r.getAs[Long]("vec_id")} changed")
+    }
+    // day-2 assignment = nearest existing centroid; codes from the FROZEN
+    // day-1 codebooks — re-derive one batch independently
+    val cents = ivf.centroids.toMap
+    val d2 = day2.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    for (r <- cc if r.getAs[Long]("vec_id") % 10 == 9) {
+      val v = d2(r.getAs[Long]("vec_id"))
+      val nearest = cents.minBy { case (_, c) =>
+        v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum }._1
+      assert(r.getAs[Int]("cell") == nearest,
+        s"day-2 vec ${r.getAs[Long]("vec_id")} not in its nearest centroid's cell")
+      assert(r.getAs[Double]("vnorm") ==
+        math.sqrt(v.map(x => x * x).sum), "stored norm must be exact")
+    }
+    // at full depth (nProbe = all cells, shortlist >= corpus) the appended
+    // index is provably EXACT: pair-for-pair equal to brute force on the
+    // merged corpus, day-2 candidates included
+    val got = graft.llm.PqIndex.searchIvfPqResidual(
+        ivf, appended, probes2, emb, k = 10, shortlist = 500, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = Similarity.bruteForceKnn(probes2, emb, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got == exact,
+      s"full-depth search on the appended index must equal merged brute force " +
+        s"(got ${got.size} pairs, want ${exact.size})")
+    assert(got.keys.exists(_._2 % 10 == 9),
+      "merged neighbors must include day-2 vectors (planted same-cluster dups)")
+    ivf.unpersist()
+  }
+
   test("sim_align_filter: keep = rounded-score threshold AND the shared t11 gate; both outcomes live") {
     val rows = SparkEntry.queries("sim_align_filter")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2), r.getBoolean(3)))
