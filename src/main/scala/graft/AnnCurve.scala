@@ -53,6 +53,52 @@ object AnnCurve {
       df.select("probe_id", "cand_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+    // preset `append`: the index-append story at corpus scale — build the
+    // base index on day-1 (vec_id%97 != 3), APPEND day-2 (~1%) with frozen
+    // centroids/codebooks (PqIndex.appendIvfPq: assign + encode + land as
+    // batch=1 partitions; day-1 files untouched), then verify recall of
+    // day-2 probes against exact truth on the MERGED corpus. The number a
+    // deployment quotes: seconds per appended batch vs the full rebuild.
+    if (preset == "append") {
+      val day1 = emb.filter(col("vec_id") % 97 =!= 3)
+      val day2 = emb.filter(col("vec_id") % 97 === 3)
+      val nDay2 = day2.count()
+      val (ivfA, tIvfA) = timed(IvfIndex.build(day1, 256, maxIter = 10))
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_anncurve_ivfpq_append"
+      val (m, ksub, nProbe, shortlist) = (32, 64, 8, 200)
+      val (_, tBase) = timed {
+        val built = PqIndex.buildIvfPq(ivfA, day1, m, ksub)
+        PqIndex.saveIvfPq(built, dir)
+        built.unpersist()
+      }
+      val base = PqIndex.loadIvfPq(spark, dir)
+      val (appended, tAppend) = timed(PqIndex.appendIvfPq(ivfA, base, day2, dir))
+      val nLists = appended.cellCodes.count()
+      // recall of day-2 probes vs exact truth on the merged corpus
+      val aProbes = day2.filter(col("vec_id") % (97L * 500L) === 3)
+      val nap = aProbes.count()
+      val (tr, tTr) = timed(pairSet(Similarity.bruteForceKnnAgg(aProbes, emb, k = 10)))
+      val (gotA, tGotA) = timed(pairSet(PqIndex.searchIvfPqResidual(
+        ivfA, appended, aProbes, emb, k = 10, shortlist = shortlist, nProbe = nProbe)))
+      val rec = (tr & gotA).size.toDouble / tr.size
+      val day2Hits = gotA.count(_._2 % 97 == 3)
+      val json =
+        s"""{"sf_dir":"$sfDir","n_day1":${nVec - nDay2},"n_appended":$nDay2,
+           |"base_build_save_s":${math.rint((tIvfA + tBase) * 100) / 100},
+           |"append_s":${math.rint(tAppend * 100) / 100},
+           |"lists_rows_after":$nLists,
+           |"probes":$nap,"n_probe":$nProbe,"shortlist":$shortlist,
+           |"recall_at_10_vs_merged_exact":${math.rint(rec * 1e4) / 1e4},
+           |"truth_s":${math.rint(tTr * 100) / 100},
+           |"probe_s":${math.rint(tGotA * 100) / 100},
+           |"result_pairs_hitting_appended_vecs":$day2Hits}"""
+          .stripMargin.replace("\n", "")
+      println(s"[ann_append] append=${tAppend}s recall=$rec day2Hits=$day2Hits")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+      spark.stop()
+      return
+    }
+
     // exact truth: brute-force cosine top-10 (bounded-heap aggregator).
     // The cold preset defers it so the page-cache state around BOTH arms
     // is controlled explicitly inside the branch.
