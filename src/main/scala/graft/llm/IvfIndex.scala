@@ -154,9 +154,19 @@ object IvfIndex {
     val spark = index.assigned.sparkSession
     spark.createDataFrame(index.centroids).toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-    // repartition ON cell first — a partitionBy write from an unrelated
-    // partitioning opens one file per (task × cell); see PqIndex.saveIvfPq
-    index.assigned.repartition(col("cell"))
+    // range-partition ON (cell, vec_id) first — a partitionBy write from an
+    // unrelated partitioning opens one file per (task × cell), up to ~32k
+    // small files at 2M vectors / 256 cells; plain repartition(cell) fixes
+    // that but puts each WHOLE cell in one file, and at small cell counts
+    // (8 at sf10) an 8-file corpus caps every downstream cell-joined scan
+    // at 8 tasks (sim_near_dup_ivf measured 15.7 → 92.3 s). Range
+    // partitioning keeps both bounds: ≥1 writer per cell at high cell
+    // counts, multiple chunks per cell at low ones — total files ≈
+    // max(nCells, 2×parallelism).
+    index.assigned.repartitionByRange(
+        math.max(index.centroids.size,
+          index.assigned.sparkSession.sparkContext.defaultParallelism * 2),
+        col("cell"), col("vec_id"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/corpus")
   }
 

@@ -417,15 +417,21 @@ object PqIndex {
     // batch as its own partition tree (batch=N/cell=*), so re-running an
     // append replaces exactly that batch (dynamic partition overwrite) and
     // cell pruning at probe time is unaffected (both are partition columns)
-    // repartition ON the partition column first: a partitionBy write from
-    // an unrelated partitioning opens one file per (task × cell) — up to
-    // tasks×nClusters small files whose listing/open overhead then taxes
-    // every probe; hash-clustered, each cell lands in one task → one file
+    // range-partition ON (cell, vec_id) first: a partitionBy write from an
+    // unrelated partitioning opens one file per (task × cell) — up to
+    // tasks×nClusters small files whose listing/open overhead taxes every
+    // probe — while a plain repartition(cell) caps downstream cell-joined
+    // scans at nCells tasks (the IvfIndex.save lesson: 15.7 → 92.3 s at 8
+    // cells). Range keeps both bounds: files ≈ max(nCells, 2×parallelism).
     model.cellCodes.withColumn("batch", lit(0))
-      .repartition(col("cell"))
+      .repartitionByRange(listFileBudget(model.cellCodes), col("cell"), col("vec_id"))
       .write.mode("overwrite").partitionBy("batch", "cell")
       .parquet(s"$dir/lists")
   }
+
+  /** Writer-partition budget for the cell-partitioned list writes. */
+  private def listFileBudget(df: DataFrame): Int =
+    math.max(64, df.sparkSession.sparkContext.defaultParallelism * 2)
 
   /** Append NEW vectors into a persisted residual-IVFPQ index without
     * retraining or re-encoding anything — FAISS IndexIVFPQ.add(), and the
@@ -456,9 +462,10 @@ object PqIndex {
       .select(col("vec_id"), col("cell"),
         sqrt(Similarity.dotNative(col("v"), col("v"))).as("vnorm"),
         zip_with(col("v"), col("centroid"), (x, y) => x - y).as("embedding"))
-    encode(withRes, model.codebooks, None, keep = Seq("cell", "vnorm"))
+    val encoded = encode(withRes, model.codebooks, None, keep = Seq("cell", "vnorm"))
       .withColumn("batch", lit(batchId))
-      .repartition(col("cell")) // one file per cell, not per task×cell
+    encoded
+      .repartitionByRange(listFileBudget(encoded), col("cell"), col("vec_id"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch", "cell")
