@@ -57,6 +57,46 @@ final case class PqEncode(left: Expression, right: Expression,
   override def prettyName: String = "pq_encode"
 }
 
+/** The OPQ sibling of [[PqEncode]]: rotated-space argmin via the
+  * back-rotation fold (see PqIndex.backRotate) —
+  * argmin_c ||(Rv)_s − c||² = argmin_c (‖c‖² − 2⟨v, u_{s,c}⟩), evaluated
+  * against FULL-dim back-rotated code vectors. `right` packs
+  * [n2 (m·ksub)] ++ [u flattened (m·ksub·dim)] as one literal. Same
+  * bit-identity discipline as PqEncode: ascending-j dot fold, n2 − 2·dot,
+  * first minimum — equal to the interpreted
+  * zip_with(n2, transform(u, aggregate(...)))·array_position chain it
+  * replaces (FunctionsSpec pins it).
+  */
+final case class PqEncodeRot(left: Expression, right: Expression,
+    m: Int, ksub: Int, dim: Int) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, array<double>), got " +
+          s"${l.simpleString} and ${r.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PqEncode.encodeRot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      m, ksub, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.PqEncode.encodeRot($a, $b, $m, $ksub, $dim);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqEncodeRot =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "pq_encode_rot"
+}
+
 object PqEncode {
   /** Column form: encode `vec` against codebooks[s][c][j], flattened to one
     * array<double> literal (m·ksub·dsub values — KBs; rides the task
@@ -71,6 +111,47 @@ object PqEncode {
     b.columnOf(PqEncode(b.expressionOf(vec),
       b.expressionOf(org.apache.spark.sql.functions.typedLit(flat)),
       m, ksub, dsub))
+  }
+
+  /** Column form of [[PqEncodeRot]]: codebooks give ‖c‖², `u` the full-dim
+    * back-rotated code vectors (m × ksub × dim). */
+  def ofRotated(vec: org.apache.spark.sql.Column,
+      codebooks: Seq[Seq[Seq[Double]]],
+      u: Seq[Seq[Seq[Double]]]): org.apache.spark.sql.Column = {
+    val b = org.apache.spark.sql.GraftExpressionBridge
+    val m = codebooks.size
+    val ksub = codebooks.head.size
+    val dim = u.head.head.size
+    val n2: Seq[Double] = codebooks.flatMap(_.map(c => c.map(x => x * x).sum))
+    val flat: Seq[Double] = n2 ++ u.flatten.flatten
+    b.columnOf(PqEncodeRot(b.expressionOf(vec),
+      b.expressionOf(org.apache.spark.sql.functions.typedLit(flat)),
+      m, ksub, dim))
+  }
+
+  /** Shared by eval and generated code — keep the signature Java-friendly. */
+  def encodeRot(vec: ArrayData, packed: ArrayData, m: Int, ksub: Int, dim: Int): ArrayData = {
+    val codes = new Array[Int](m)
+    val uBase = m * ksub
+    var s = 0
+    while (s < m) {
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < ksub) {
+        val sc = s * ksub + c
+        var dot = 0.0
+        var j = 0
+        val off = uBase + sc * dim
+        while (j < dim) { dot += vec.getDouble(j) * packed.getDouble(off + j); j += 1 }
+        val d = packed.getDouble(sc) - 2.0 * dot
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    new GenericArrayData(codes)
   }
 
   /** Shared by eval and generated code — keep the signature Java-friendly. */

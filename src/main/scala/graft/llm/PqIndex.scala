@@ -236,19 +236,12 @@ object PqIndex {
         // rotated-space argmin via the back-rotation fold (see backRotate):
         // argmin_c ||(Rv)_s − c||² = argmin_c (||c||² − 2⟨v, u_{s,c}⟩) —
         // the ||(Rv)_s||² term is constant within a subspace and drops out.
-        // (Stays on the HOF path: OPQ encodes against FULL-vector dots, a
-        // different inner shape; its declared corpora are 64-d.)
-        val u = backRotate(codebooks, rot)
-        val codeCols = (0 until m).map { s =>
-          val n2: Seq[Double] = codebooks(s).map(c => c.map(x => x * x).sum)
-          val dists = zip_with(typedLit(n2),
-            transform(typedLit(u(s)), uc =>
-              aggregate(zip_with(e, uc, (x, y) => x * y), lit(0.0), (a, v) => a + v)),
-            (nc, dot) => nc - lit(2.0) * dot)
-          (array_position(dists, array_min(dists)) - 1).cast("int")
-        }
+        // r13: the fold runs in the codegen'd PqEncodeRot expression (the
+        // HOF chain it replaces ran interpreted — the same finding as the
+        // un-rotated branch); bit-identical codes, FunctionsSpec-pinned.
         corpus.select(col("vec_id") +: keep.map(col) :+
-          array(codeCols: _*).as("codes"): _*)
+          graft.functions.PqEncode.ofRotated(e, codebooks,
+            backRotate(codebooks, rot)).as("codes"): _*)
     }
   }
 
