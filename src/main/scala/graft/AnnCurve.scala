@@ -77,6 +77,12 @@ object AnnCurve {
       // recall of day-2 probes vs exact truth on the merged corpus
       val aProbes = day2.filter(col("vec_id") % (97L * 500L) === 3)
       val nap = aProbes.count()
+      // recall below divides by the truth-set size: an empty probe class
+      // (corpora under ~48.5k vectors) would emit NaN, which is not valid
+      // JSON — fail fast with the actionable message instead
+      require(nap > 0,
+        s"append preset: probe class vec_id % ${97L * 500L} == 3 is empty at $sfDir — " +
+          "this preset needs the 2M-vector corpus (VectorGen vec2m)")
       val (tr, tTr) = timed(pairSet(Similarity.bruteForceKnnAgg(aProbes, emb, k = 10)))
       val (gotA, tGotA) = timed(pairSet(PqIndex.searchIvfPqResidual(
         ivfA, appended, aProbes, emb, k = 10, shortlist = shortlist, nProbe = nProbe)))

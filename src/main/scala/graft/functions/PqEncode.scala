@@ -131,6 +131,9 @@ object PqEncode {
 
   /** Shared by eval and generated code — keep the signature Java-friendly. */
   def encodeRot(vec: ArrayData, packed: ArrayData, m: Int, ksub: Int, dim: Int): ArrayData = {
+    if (vec.numElements() < dim)
+      throw new IllegalArgumentException(
+        s"PqEncodeRot: embedding has ${vec.numElements()} elements, expected at least $dim")
     val codes = new Array[Int](m)
     val uBase = m * ksub
     var s = 0
@@ -156,6 +159,12 @@ object PqEncode {
 
   /** Shared by eval and generated code — keep the signature Java-friendly. */
   def encode(vec: ArrayData, cb: ArrayData, m: Int, ksub: Int, dsub: Int): ArrayData = {
+    // surface a malformed embedding as a data error, not an opaque
+    // ArrayIndexOutOfBounds from generated code (the HOF formulation this
+    // expression replaced degraded to null-tolerant behavior instead)
+    if (vec.numElements() < m * dsub)
+      throw new IllegalArgumentException(
+        s"PqEncode: embedding has ${vec.numElements()} elements, expected at least ${m * dsub} (m=$m, dsub=$dsub)")
     val codes = new Array[Int](m)
     var s = 0
     while (s < m) {

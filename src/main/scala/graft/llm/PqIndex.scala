@@ -445,6 +445,16 @@ object PqIndex {
   def appendIvfPq(ivf: IvfModel, model: IvfPqModel, newVecs: DataFrame,
       dir: String, batchId: Int = 1): IvfPqModel = {
     val spark = newVecs.sparkSession
+    // appending batch=N/cell=* trees into a pre-r13 dir persisted with the
+    // old single-level cell= layout would leave mixed partition depths,
+    // which the next load rejects as "Conflicting directory structures" —
+    // fail fast with the actionable message instead of corrupting the dir
+    val listsDir = new java.io.File(s"$dir/lists")
+    if (listsDir.isDirectory &&
+        !listsDir.listFiles().exists(f => f.isDirectory && f.getName.startsWith("batch=")))
+      throw new IllegalStateException(
+        s"appendIvfPq: $dir/lists uses the legacy single-level cell= layout " +
+          "(no batch= trees) — rebuild the index (saveIvfPq) before appending")
     val centDf = broadcast(spark.createDataFrame(ivf.centroids).toDF("cell", "centroid"))
     // nearest-centroid assignment via the shared routing machinery
     // (nProbe=1 ⇒ argmin cell, the same Euclidean rule KMeans.transform
@@ -528,6 +538,14 @@ object PqIndex {
     s"${sys.props("java.io.tmpdir")}/graft_ivfpq_${keyHex}_${m}_${ksub}_$nClusters"
   }
 
+  /** MUTATION CONTRACT: `cacheKey` names a persisted STORE, not a frozen
+    * snapshot — [[cachedIvfPqAppend]] lands new batches in the same dir,
+    * and because every cached model's `cellCodes` is a LAZY scan of that
+    * dir, all consumers of the key observe the appended store from the
+    * append onward (exactly as all readers of one index deployment do).
+    * A consumer that needs a frozen base view must use its own key (the
+    * sim_ivfpqr_append query keys its day-1 base as `d + "#ivfpqr-day1"`
+    * for precisely this reason — a suffixed key is a different dir). */
   def cachedIvfPq(cacheKey: String, ivf: IvfModel, corpus: DataFrame,
       m: Int, ksub: Int, nClusters: Int): IvfPqModel =
     ivfPqCache.getOrElseUpdate((cacheKey, m, ksub, nClusters), {

@@ -38,9 +38,7 @@ for i, ln in enumerate(survey):
     if (tpath, tline) != (path, line):
         drift.append((name, f"{path}:{line}", f"{tpath}:{tline}"))
         if FIX:
-            survey[i] = ln.replace(f"graft/{m.group(3)}:{line}",
-                                   tpath.replace("graft/", "graft/", 1) + f":{tline}", 1) \
-                if False else re.sub(r'graft/[^:]+:\d+', tpath + f":{tline}", ln, count=1)
+            survey[i] = re.sub(r'graft/[^:]+:\d+', tpath + f":{tline}", ln, count=1)
             fixed += 1
 
 if FIX and fixed:
