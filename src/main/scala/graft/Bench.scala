@@ -130,6 +130,17 @@ object Bench {
     // HashMap: map iteration reshuffles whenever the key set changes, which
     // moved one-time costs (caches, JIT) between named lines round-over-round
     // and made per-query numbers incomparable
+    // Staged cache release (r13 finding): the dedup family's pinned
+    // MEMORY_AND_DISK blocks (shared shingle checkpoints + the ≥-floor
+    // pair cache) have NO consumers after the Incremental family in
+    // declaration order — Multimodal/Sampling/Windowed/Streams never read
+    // them — yet left pinned they tax every later line with GC at the
+    // sf10 8 GiB default (st_stream_session 94.0 s in-suite vs 9.0 s at
+    // 16 GiB, same plan). Release them right after their last consumer
+    // instead of only at end of run; the release runs OUTSIDE the timed
+    // window because it is suite lifecycle, not any query's own cost.
+    val lastDedupCacheConsumer: String =
+      graft.llm.Incremental.entries.last.name
     val results: scala.collection.immutable.ListMap[String, Double] =
       scala.collection.immutable.ListMap.from(
         SparkEntry.allEntries.map(_.name)
@@ -152,6 +163,7 @@ object Bench {
             // sf10 suite (t14's gram-count frame is ~GBs there)
             graft.data.Frames.releaseTracked()
             val secs = (System.nanoTime() - t0) / 1e9
+            if (name == lastDedupCacheConsumer) graft.llm.Dedup.releaseCaches()
             Console.err.println(
               String.format(java.util.Locale.ROOT, "[bench] done %s %.2f s", name, Double.box(secs)))
             name -> secs

@@ -405,14 +405,20 @@ object Streams {
     // the same plan with a watermark in append mode so closed sessions emit
     // once and state stays bounded.
     //
-    // State store choice (re-measured r13 at 9.5M sessions,
-    // scale_r13/stream_store_sf10.json): heap stays the default for this
-    // one-shot replay — it wins the first-run number (19.7-20.0 s vs
+    // State store choice: a MEASURED DISPATCH on state size (the
+    // w3/Ranks.groupRank idiom). Heap wins the small-state one-shot replay
+    // (r13, scale_r13/stream_store_sf10.json: 19.7-20.0 s first run vs
     // RocksDB's 20.9-22.2, which pays native-lib load + store setup once
-    // per JVM) — but RocksDB wins steady state by 10-25% (14.0-14.2 vs
-    // 15.7-18.2 s warm) and bounds executor memory, so a CONTINUOUS
-    // deployment should flip providerClass to RocksDBStateStoreProvider;
-    // the r10 heap-wins result (15.4 s) inverts at this state size.
+    // per JVM), but at sf10's 9.5M sessions the heap provider holds the
+    // whole complete-mode state ON the executor heap — at the suite's
+    // 8 GiB default that turned this line into 94 s of GC (vs 9.0 s at
+    // 16 GiB, same plan). RocksDB moves the state off-heap (native
+    // memtables/SSTs), bounds executor memory, and wins steady state by
+    // 10-25% at that state size — so above the dispatch threshold the
+    // replay runs on RocksDB. Threshold: the measured crossover lies
+    // between sf1 (~1.5M events, heap comfortably wins) and sf10 (15M
+    // events, heap pays unbounded state); 5M events splits the decades.
+    // The count is a metadata-only parquet scan (no data read).
     QueryDef("st_stream_session",
       """WITH flagged AS (
         |  SELECT user_id, ts, value,
@@ -437,12 +443,21 @@ object Streams {
           col("session_window.start").as("session_start"),
           col("session_window.end").as("session_end"),
           col("n_events"), col("total"))
+      val bigState = Tables(s, d, "events").count() > 5000000L
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      if (bigState) s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       // row-per-session output (954k rows at 10x, ~10M at 100x): complete
       // mode re-emits the full session table every micro-batch, and the
       // memory sink put each emission on the driver heap (OOM at 100x) —
       // the parquet drain overwrites per batch, keeping the final state
       // distributed
-      runToParquetTable(s, sess, "complete")
+      try runToParquetTable(s, sess, "complete")
+      finally if (bigState) prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
     },
 
     // T1/S5 (streaming sink): foreachBatch writing each micro-batch to a
