@@ -18,7 +18,10 @@ import org.apache.spark.sql.functions._
   * table, so the whole job stays under the DuckDB oracle):
   *   - eval holdout   = doc_id % 10 == 0 (the d7b probe convention, as x10)
   *   - existing corpus = doc_id % 10 in 1..8 ("day 1")
-  *   - new crawl batch = doc_id % 10 == 9 ("day 2")
+  *   - new crawl batch = doc_id % 10 == 9; the x11c/x11d day-N carve
+  *     splits it further by %100: day-2 = the class minus {89,99}
+  *     (appended as batch 1), day-3 = %100==89 (appended as batch 2),
+  *     day-4 = %100==99 (the probe batch against the twice-appended store)
   *
   * The persisted ledger (built ONCE per corpus by the declared
   * `x11_ledger_build` setup step, parquet on disk — the d8 fingerprint
@@ -54,11 +57,19 @@ object Incremental {
   private def isHoldout = col("doc_id") % 10 === 0
   private def isBatch = col("doc_id") % 10 === 9
   private def isDay1 = !isHoldout && !isBatch
-  // the x11c day split carves the %10==9 class in two: day-2 is the batch
-  // that gets APPENDED to the store, day-3 the batch that must then dedup
-  // against day-2 survivors it has never seen as text
-  private def isDay3 = col("doc_id") % 100 === 99
-  private def isDay2 = isBatch && !isDay3
+  // the day-N split carves the %10==9 class in three: day-2 and day-3 are
+  // crawl batches APPENDED to the store (batch_id 1 and 2), day-4 the
+  // probe batch that must dedup against BOTH appended days' survivors,
+  // whose text it has never seen — only their persisted fingerprints
+  private def isDay4 = col("doc_id") % 100 === 99
+  private def isDay3 = col("doc_id") % 100 === 89
+  private def isDay2 = isBatch && !isDay3 && !isDay4
+  private[graft] def batchPredFor(n: Int): org.apache.spark.sql.Column = n match {
+    case 1 => isDay2
+    case 2 => isDay3
+    case 3 => isDay4
+    case _ => throw new IllegalArgumentException(s"no day split declared for batch $n")
+  }
 
   import Pipeline.{MixBudget, SourceCap, hash6, hash6Sql, manifestRow, toks}
 
@@ -83,14 +94,37 @@ object Incremental {
       dir
     })
 
-  /** The persisted ledger as a DataFrame — a plain parquet read, so every
+  // ---- the store's two zones (the LSM shape every appendable columnar
+  // store converges on):
+  //   delta/ — one batch_id=N partition tree per OPEN batch: appends land
+  //            here (dynamic partition overwrite ⇒ idempotent per batch),
+  //            and as-of reads prune whole batch partitions;
+  //   base/  — the COMPACTED horizon: closed batches rewritten into one
+  //            consolidated file set with batch_id preserved as a DATA
+  //            column, sorted by (batch_id, doc_id) so parquet row-group
+  //            min/max stats keep as-of reads pruned.
+  // Both zones expose identical schemas; every consumer reads their union.
+  private def deltaDir(dir: String) = s"$dir/delta"
+  private def baseDir(dir: String) = s"$dir/base"
+  private val LedgerCols =
+    Seq("doc_id", "source", "n_tok", "q", "h", "in3", "in4", "sig", "batch_id")
+  private def hasParquet(p: String): Boolean = {
+    val f = new java.io.File(p)
+    f.isDirectory && f.listFiles().exists(c =>
+      c.getName.endsWith(".parquet") || (c.isDirectory && c.getName.startsWith("batch_id=")))
+  }
+
+  /** The persisted ledger as a DataFrame — plain parquet reads, so every
     * consumer's plan shows the store scan (and column pruning keeps the
     * sig array out of queries that don't band: x11 reads 7 narrow columns
-    * of it, x11b additionally reads sig). The store is PARTITIONED BY
-    * batch_id (0 = the day-1 corpus build, 1+ = appended crawl batches),
-    * so an as-of read prunes whole batch partitions. */
-  private[graft] def ledgerFor(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(ledgerDir(s, d))
+    * of it, x11b additionally reads sig). batch_id 0 = the day-1 corpus
+    * build, 1+ = appended crawl batches. */
+  private[graft] def ledgerFor(s: SparkSession, d: String): DataFrame = {
+    val dir = ledgerDir(s, d)
+    val zones = Seq(baseDir(dir), deltaDir(dir)).filter(hasParquet)
+    zones.map(p => s.read.parquet(p).select(LedgerCols.map(col): _*))
+      .reduce(_.union(_))
+  }
 
   /** The store AS OF a batch: rows from batches ≤ `maxBatch` only — a
     * partition-pruned subset read. Every x11-family query pins its batch
@@ -106,6 +140,10 @@ object Incremental {
     * decontamination of the keepers against the holdout's broadcast gram
     * index. Writes the narrow store; day-1 text is never read again. */
   private def buildLedger(s: SparkSession, d: String, dir: String): Unit = {
+    // a fresh build owns the WHOLE store dir: clear any stale zones left
+    // by a prior process (its base/ would otherwise union with the
+    // rebuilt delta/ and double every row)
+    graft.streaming.Streams.deleteRecursively(new java.io.File(dir))
     val day1 = Tables(s, d, "documents").filter(isDay1)
     // NOT trackedCheckpoint: the build runs lazily on first ledger touch,
     // possibly mid-way through a caller's own query — releasing the GLOBAL
@@ -138,7 +176,7 @@ object Incremental {
       .drop("contam")
       .join(sig, Seq("doc_id"), "left_outer")
       .withColumn("batch_id", lit(0))
-      .write.mode("overwrite").partitionBy("batch_id").parquet(dir)
+      .write.mode("overwrite").partitionBy("batch_id").parquet(deltaDir(dir))
     Frames.release(fp)
     Dedup.releaseCorpusCaches(day1)
   }
@@ -147,43 +185,110 @@ object Incremental {
   // the APPEND path: per-crawl-batch fingerprints added to the store
   // ---------------------------------------------------------------------
 
-  // per-process guard: the day-2 batch is appended exactly once per store
-  // build (buildLedger's overwrite resets the dir, so a fresh process
-  // re-derives batch 0 and re-appends batch 1 — deterministic content)
+  // per-process guard: each batch is appended exactly once per store
+  // build (buildLedger's rebuild resets the dir, so a fresh process
+  // re-derives batch 0 and re-appends the batches — deterministic content)
   private val appendedBatches =
-    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Boolean]
 
-  /** The store AFTER the day-2 append (ensuring it on first use): the
-    * day-2 batch is fingerprinted and decided against the as-of-0 store —
-    * the SAME stage 01-04 decisions x11 makes — and the batch rows
-    * (h, sig, q/in3/in4 flags) are APPENDED as batch_id=1. This is the
-    * correctness condition of the "per crawl snapshot" cadence: a day-3
-    * batch must dedup against day-2 survivors, whose text it never reads —
-    * only their persisted fingerprints. (Reference analog: the final store
-    * is append-per-trial, maggy/core/experiment_driver/
-    * optimization_driver.py:504-506, not build-once.)
-    *
-    * Compaction note (the small-files tail): each appended batch writes
-    * its own file set under batch_id=N. At a daily crawl cadence that is
-    * ~365 partitions/year of narrow rows — a deployment compacts by
-    * periodically rewriting closed batches into one partition per horizon
-    * (the standard parquet maintenance job); the as-of read contract is
-    * unaffected because compaction preserves batch_id values. */
-  private[graft] def appendedLedger(s: SparkSession, d: String): DataFrame = {
+  /** Append crawl batch `n` (ensuring it exactly once per process). */
+  private def appendBatch(s: SparkSession, d: String, n: Int): Unit = {
     val dir = ledgerDir(s, d)
-    appendedBatches.getOrElseUpdate(dir, {
-      val batch2 = Tables(s, d, "documents").filter(isDay2)
-      val dec = batchDecisions(s, d, batch2, ledgerAsOf(s, d, 0),
-        lshNearCheck = false)
-      val sig = Dedup.minhashSignatures(batch2)
-      dec.select("doc_id", "source", "n_tok", "q", "h", "in3", "in4")
-        .join(sig, Seq("doc_id"), "left_outer")
-        .withColumn("batch_id", lit(1))
-        .write.mode("append").partitionBy("batch_id").parquet(dir)
-      Dedup.releaseCorpusCaches(batch2)
-      true
-    })
-    ledgerAsOf(s, d, 1)
+    appendedBatches.getOrElseUpdate((dir, n), { appendBatchWrite(s, d, n); true })
+  }
+
+  /** The append WRITE for batch `n` — the day-N production cadence: the
+    * batch is fingerprinted and decided against the as-of-(n−1) store —
+    * the SAME stage 01-04 decisions x11 makes — and the batch rows
+    * (h, sig, q/in3/in4 flags) land as the store's batch_id=n partition.
+    * This is the correctness condition of the "per crawl snapshot"
+    * cadence: batch n+1 must dedup against batch n's survivors, whose
+    * text it never reads — only their persisted fingerprints. (Reference
+    * analog: the final store is append-per-trial, maggy/core/
+    * experiment_driver/optimization_driver.py:504-506, not build-once.)
+    *
+    * IDEMPOTENT per batch: the decisions are a deterministic function of
+    * the as-of-(n−1) horizon (appending a later batch can never change
+    * them), and the landing is a DYNAMIC partition overwrite of exactly
+    * batch_id=n — a retried or re-run append replaces its own partition
+    * with identical content instead of doubling it (the mode("append")
+    * formulation this replaces failed exactly that retry). Package-
+    * private so the idempotence spec can force a mid-sequence re-run. */
+  private[graft] def appendBatchWrite(s: SparkSession, d: String, n: Int): Unit = {
+    val dir = ledgerDir(s, d)
+    // a batch compacted into base/ is CLOSED: re-appending it would land a
+    // second copy in delta/ (the dynamic overwrite only owns delta) — the
+    // retry window for an append ends at compaction, so fail loudly
+    if (n <= compactedUpTo(dir))
+      throw new IllegalStateException(
+        s"appendBatchWrite: batch $n is already compacted into $dir/base — " +
+          "compacted batches are closed; rebuild the store to replay them")
+    val batch = Tables(s, d, "documents").filter(batchPredFor(n))
+    val dec = batchDecisions(s, d, batch, ledgerAsOf(s, d, n - 1),
+      lshNearCheck = false)
+    val sig = Dedup.minhashSignatures(batch)
+    dec.select("doc_id", "source", "n_tok", "q", "h", "in3", "in4")
+      .join(sig, Seq("doc_id"), "left_outer")
+      .withColumn("batch_id", lit(n))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(deltaDir(dir))
+    Dedup.releaseCorpusCaches(batch)
+  }
+
+  /** The store after appending batches 1..`upTo` IN ORDER (each batch's
+    * decisions read the store as of its predecessor), ensured on first
+    * use — the generic day-N loop: per-batch cost is flat in the number
+    * of prior batches (fingerprint scans touch only the incoming batch;
+    * store-side reads are partition/row-group-pruned ledger scans). */
+  private[graft] def appendedLedger(s: SparkSession, d: String, upTo: Int = 1): DataFrame = {
+    (1 to upTo).foreach(n => appendBatch(s, d, n))
+    ledgerAsOf(s, d, upTo)
+  }
+
+  /** Compact the CLOSED horizon [0..upTo]: rewrite those batches' rows —
+    * wherever they currently live (delta partition trees and/or a prior
+    * base) — into ONE consolidated base file set, batch_id preserved as a
+    * data column and rows clustered by (batch_id, doc_id) so row-group
+    * stats keep as-of reads pruned; then drop the compacted delta
+    * partitions. At a daily crawl cadence this is the maintenance job
+    * that turns ~365 batch trees/year back into a bounded file count
+    * while open batches keep landing in delta/ — summaries and as-of
+    * probes are byte-identical pre/post (x11e's oracle re-proves the
+    * content through DuckDB; DataPlaneSpec proves the layout). File
+    * budget: one task per batch here (narrow rows, test-scale); a
+    * deployment sizes the budget by bytes/targetFileSize instead. */
+  /** Highest batch_id already compacted into base/ (−1 if none) — a tiny
+    * marker the append guard reads instead of scanning base. */
+  private def compactedUpTo(dir: String): Int = {
+    val f = java.nio.file.Paths.get(dir, "_compacted_up_to")
+    if (java.nio.file.Files.exists(f))
+      new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim.toInt
+    else -1
+  }
+
+  private[graft] def compactLedger(s: SparkSession, d: String, upTo: Int): Unit = {
+    val dir = ledgerDir(s, d)
+    val tmp = s"$dir/base_tmp"
+    ledgerFor(s, d).filter(col("batch_id") <= upTo)
+      .repartition(upTo + 1, col("batch_id"))
+      .sortWithinPartitions("batch_id", "doc_id")
+      .write.mode("overwrite").parquet(tmp)
+    // the tmp write above fully materialized the union — the source zones
+    // can now be swapped out from under the lazy readers (deployment
+    // analog: a manifest/metastore pointer swap)
+    graft.streaming.Streams.deleteRecursively(new java.io.File(baseDir(dir)))
+    require(new java.io.File(tmp).renameTo(new java.io.File(baseDir(dir))),
+      s"compactLedger: could not move $tmp into place")
+    val delta = new java.io.File(deltaDir(dir))
+    if (delta.isDirectory) delta.listFiles().foreach { f =>
+      val m = "batch_id=(\\d+)".r.findFirstMatchIn(f.getName)
+      if (m.exists(_.group(1).toInt <= upTo))
+        graft.streaming.Streams.deleteRecursively(f)
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_compacted_up_to"),
+      math.max(upTo, compactedUpTo(dir)).toString.getBytes("UTF-8"))
   }
 
   // ---------------------------------------------------------------------
@@ -414,24 +519,38 @@ object Incremental {
        |       CAST(sum(CAST(('0x' || substr(md5(text), 1, 6)) AS BIGINT)) AS BIGINT) AS chk_content
        |FROM corpus1 GROUP BY source""".stripMargin
 
-  /** Day-2 batch CTEs — the appended batch's from-scratch recomputation
-    * (DuckDB re-derives what the engine reads from the persisted store,
-    * which is exactly what validates the APPENDED content). */
-  private def day2Ctes: String =
-    s"""batch2 AS (
+  /** Appended-batch CTEs — each batch's from-scratch recomputation
+    * against its as-of horizon (DuckDB re-derives what the engine reads
+    * from the persisted store, which is exactly what validates the
+    * APPENDED content). `n` is the batch number, `where` its day split,
+    * `priorQs` the quality CTEs of every earlier horizon member (the
+    * store's quality-hash set the batch dedups against). */
+  private def dayCtes(n: Int, where: String, priorQs: Seq[String]): String = {
+    val hashes = priorQs.map(q => s"SELECT md5(text) FROM $q")
+      .mkString(" UNION ALL ")
+    s"""batch$n AS (
        |  SELECT doc_id, source, text,
        |         CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok
-       |  FROM documents WHERE doc_id % 10 = 9 AND doc_id % 100 <> 99),
-       |bq2 AS (SELECT * FROM batch2 WHERE ${TextStats.qualityPassSql}),
-       |b32 AS (SELECT * FROM bq2
-       |        WHERE md5(text) NOT IN (SELECT md5(text) FROM q1)
-       |          AND doc_id IN (SELECT min(doc_id) FROM bq2 GROUP BY md5(text))),
-       |cg2 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |  FROM documents WHERE $where),
+       |bq$n AS (SELECT * FROM batch$n WHERE ${TextStats.qualityPassSql}),
+       |b3$n AS (SELECT * FROM bq$n
+       |        WHERE md5(text) NOT IN ($hashes)
+       |          AND doc_id IN (SELECT min(doc_id) FROM bq$n GROUP BY md5(text))),
+       |cg$n AS (SELECT doc_id, unnest(list_distinct(list_transform(
        |            range(1, len(string_split(text,' ')) - 6),
        |            i -> array_to_string(string_split(text,' ')[i:i+7], ' ')))) AS gram
-       |        FROM b32 WHERE len(string_split(text,' ')) >= 8),
-       |contam2 AS (SELECT DISTINCT doc_id FROM cg2 JOIN pg USING (gram)),
-       |b42 AS (SELECT * FROM b32 WHERE doc_id NOT IN (SELECT doc_id FROM contam2))""".stripMargin
+       |        FROM b3$n WHERE len(string_split(text,' ')) >= 8),
+       |contam$n AS (SELECT DISTINCT doc_id FROM cg$n JOIN pg USING (gram)),
+       |b4$n AS (SELECT * FROM b3$n WHERE doc_id NOT IN (SELECT doc_id FROM contam$n))""".stripMargin
+  }
+
+  /** Day-2 = the %10==9 class minus the day-3/day-4 carves. */
+  private def day2Ctes: String =
+    dayCtes(2, "doc_id % 10 = 9 AND doc_id % 100 NOT IN (89, 99)", Seq("q1"))
+
+  /** Day-3 (%100==89), deduped against day-1 ∪ day-2 quality hashes. */
+  private def day3Ctes: String =
+    dayCtes(3, "doc_id % 100 = 89", Seq("q1", "bq2"))
 
   /** One per-batch leg of the x11c store summary. */
   private def storeSummarySql(src: String, qs: String, ks: String,
@@ -452,6 +571,18 @@ object Incremental {
        |${storeSummarySql("corpus1", "q1", "ded1", "dc1", 0)}
        |UNION ALL
        |${storeSummarySql("batch2", "bq2", "b32", "b42", 1)}""".stripMargin
+
+  /** The 3-batch store summary (x11d_ledger_append; x11e_ledger_compact
+    * re-proves the same content from the compacted layout). */
+  private def ledgerAppend2Sql: String =
+    s"""WITH ${day1Ctes},
+       |${day2Ctes},
+       |${day3Ctes}
+       |${storeSummarySql("corpus1", "q1", "ded1", "dc1", 0)}
+       |UNION ALL
+       |${storeSummarySql("batch2", "bq2", "b32", "b42", 1)}
+       |UNION ALL
+       |${storeSummarySql("batch3", "bq3", "b33", "b43", 2)}""".stripMargin
 
   /** The shared manifest SQL: `batchWhere` selects the incoming batch,
     * `extraCtes` injects prior-batch recomputations, `dedupHashes` is the
@@ -533,18 +664,33 @@ object Incremental {
     dedupHashes = "SELECT md5(text) FROM q1",
     mergedLegs = "SELECT doc_id, source, n_tok AS n_clean FROM dc1")
 
-  /** x11c's manifest SQL: the day-3 batch (%100==99) against the APPENDED
+  /** x11c's manifest SQL: the day-3 batch (%100==89) against the APPENDED
     * store — its dedup hash set is day-1 quality ∪ day-2 quality and the
     * merged corpus carries day-2 survivors, both of which DuckDB
     * recomputes from text while the engine reads persisted fingerprints. */
   private def day3Sql: String = pipelineSql(
-    batchWhere = "doc_id % 100 = 99",
+    batchWhere = "doc_id % 100 = 89",
     extraCtes = day2Ctes + ",\n",
     dedupHashes =
       "SELECT md5(text) FROM q1 UNION ALL SELECT md5(text) FROM bq2",
     mergedLegs =
       """SELECT doc_id, source, n_tok AS n_clean FROM dc1
         |           UNION ALL SELECT doc_id, source, n_tok FROM b42""".stripMargin)
+
+  /** x11d's manifest SQL: the day-4 batch (%100==99) against the store
+    * after BOTH appends — dedup hashes and merged survivors now span
+    * three persisted horizons, every one of which DuckDB recomputes from
+    * text while the engine reads fingerprints. */
+  private def day4Sql: String = pipelineSql(
+    batchWhere = "doc_id % 100 = 99",
+    extraCtes = day2Ctes + ",\n" + day3Ctes + ",\n",
+    dedupHashes =
+      "SELECT md5(text) FROM q1 UNION ALL SELECT md5(text) FROM bq2" +
+        " UNION ALL SELECT md5(text) FROM bq3",
+    mergedLegs =
+      """SELECT doc_id, source, n_tok AS n_clean FROM dc1
+        |           UNION ALL SELECT doc_id, source, n_tok FROM b42
+        |           UNION ALL SELECT doc_id, source, n_tok FROM b43""".stripMargin)
 
   val entries: Seq[QueryDef] = Seq(
     // the offline day-1 store build + content summary — declared first so
@@ -567,10 +713,34 @@ object Incremental {
     // store: a day-3 duplicate of a day-2 survivor is dropped without
     // either day's text ever being re-read (PlanSpec locks the scans).
     QueryDef("x11c_ledger_append", ledgerAppendSql)((s, d) =>
-      appendedLedger(s, d).groupBy("batch_id", "source")
+      appendedLedger(s, d, upTo = 1).groupBy("batch_id", "source")
         .agg(storeAggs.head, storeAggs.tail: _*)),
     QueryDef("x11c_incremental_pipeline", day3Sql)((s, d) =>
       incrementalManifest(s, d,
-        batchPred = Some(isDay3), store = Some(appendedLedger(s, d))))
+        batchPred = Some(isDay3), store = Some(appendedLedger(s, d, upTo = 1)))),
+    // x11d: the day-N loop — batch 2 (day-3) appended on top of batch 1,
+    // each batch's decisions pinned to its as-of horizon, then the day-4
+    // batch runs against the store after BOTH appends: its duplicates of
+    // day-2 AND day-3 survivors drop off persisted fingerprints alone
+    // (DataPlaneSpec plants dups across every batch pair and proves the
+    // mid-sequence re-append idempotent).
+    QueryDef("x11d_ledger_append", ledgerAppend2Sql)((s, d) =>
+      appendedLedger(s, d, upTo = 2).groupBy("batch_id", "source")
+        .agg(storeAggs.head, storeAggs.tail: _*)),
+    QueryDef("x11d_incremental_pipeline", day4Sql)((s, d) =>
+      incrementalManifest(s, d,
+        batchPred = Some(isDay4), store = Some(appendedLedger(s, d, upTo = 2)))),
+    // x11e: the maintenance op the append cadence requires — compact the
+    // closed horizon [0..2] into one consolidated base file set (batch_id
+    // preserved as a data column) and drop the per-batch delta trees; the
+    // oracle is the SAME 3-batch content summary as x11d_ledger_append,
+    // so DuckDB re-proves byte-identical store content from the compacted
+    // layout. SETUP-class line (owns the rewrite cost).
+    QueryDef("x11e_ledger_compact", ledgerAppend2Sql)((s, d) => {
+      appendedLedger(s, d, upTo = 2)
+      compactLedger(s, d, upTo = 2)
+      ledgerAsOf(s, d, 2).groupBy("batch_id", "source")
+        .agg(storeAggs.head, storeAggs.tail: _*)
+    })
   )
 }

@@ -1587,11 +1587,11 @@ class DataPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.streaming.Streams.deleteRecursively(new java.io.File(dir))
   }
 
-  test("x11c ledger append: a planted day-3 duplicate of a day-2 survivor is dropped — and survives WITHOUT the append") {
+  test("x11 day-N ledger: planted dups across EVERY batch pair drop; mid-sequence re-append is idempotent; compaction preserves store + probes") {
     import spark.implicits._
     // synthetic corpus (own dir → own store): quality texts passing the
-    // shared gate; day-3 plants one exact dup of the day-2 SURVIVOR (99),
-    // one dup of a day-1 doc (299), one fresh doc (199)
+    // shared gate; each later day plants one exact dup of a survivor in
+    // EVERY earlier day, plus one fresh doc.
     // short tokens keep the mean-token-length gate (≤ 4.8) satisfied
     def txt(tag: String) =
       "the of a and " + (1 to 36).map(i => s"$tag$i").mkString(" ")
@@ -1600,35 +1600,73 @@ class DataPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, "src1", txt("a")), (2L, "src1", txt("b")),   // day-1
       (19L, "src1", txt("n")),    // day-2: unique → appended survivor
       (29L, "src1", txt("a")),    // day-2: dup of day-1 → appended q, ¬in3
-      (99L, "src1", txt("n")),    // day-3: dup of the DAY-2 survivor
-      (199L, "src1", txt("c")),   // day-3: fresh
-      (299L, "src1", txt("a")))   // day-3: dup of day-1
+      (89L, "src1", txt("n")),    // day-3: dup of the DAY-2 survivor
+      (189L, "src1", txt("b")),   // day-3: dup of day-1
+      (289L, "src1", txt("d")),   // day-3: fresh → appended survivor
+      (99L, "src1", txt("d")),    // day-4: dup of the DAY-3 survivor
+      (199L, "src1", txt("n")),   // day-4: dup of the DAY-2 survivor
+      (299L, "src1", txt("a")),   // day-4: dup of day-1
+      (399L, "src1", txt("e")))   // day-4: fresh
     val dir = s"${sys.props("java.io.tmpdir")}/graft_spec_x11c_${System.nanoTime()}"
     docs.toDF("doc_id", "source", "text").write.parquet(s"$dir/documents.parquet")
     def stages(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
-    // the appended store carries the day-2 decisions
-    val led1 = graft.llm.Incremental.appendedLedger(spark, dir)
-      .filter(col("batch_id") === 1)
+    def flags(df: org.apache.spark.sql.DataFrame) = df
       .collect().map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[Boolean]("q"), r.getAs[Boolean]("in3"), r.getAs[Boolean]("in4"))).toMap
-    assert(led1 == Map(19L -> (true, true, true), 29L -> (true, false, false)),
-      s"appended batch rows wrong: $led1")
-    // day-3 vs the UPDATED store: 99 (dup of day-2) and 299 (dup of day-1)
-    // drop at stage 03; only 199 survives; merged = {1,2} ∪ {19} ∪ {199}
-    val withAppend = stages(SparkEntry.queries("x11c_incremental_pipeline")(spark, dir))
-    assert(withAppend("03_batch_exact_dedup") == ((1L, 199L)),
-      s"stage 03 must keep only the fresh day-3 doc: $withAppend")
-    assert(withAppend("05_merged_corpus") == ((4L, 221L)),
-      s"merged corpus must be day-1 ∪ day-2 ∪ day-3 survivors: $withAppend")
-    // NEGATIVE CONTROL: the same day-3 batch against the UN-appended store
-    // misses the day-2 duplicate — the correctness condition the append
-    // exists for (only 299's day-1 dup is caught; 99 sails through)
-    val withoutAppend = stages(graft.llm.Incremental.incrementalManifest(
+    // both appended batches carry their as-of-horizon decisions
+    val led = graft.llm.Incremental.appendedLedger(spark, dir, upTo = 2)
+    assert(flags(led.filter(col("batch_id") === 1)) ==
+      Map(19L -> (true, true, true), 29L -> (true, false, false)),
+      "appended batch-1 rows wrong")
+    assert(flags(led.filter(col("batch_id") === 2)) ==
+      Map(89L -> (true, false, false), 189L -> (true, false, false),
+        289L -> (true, true, true)),
+      "appended batch-2 rows wrong: day-3 dups of day-2 AND day-1 must be ¬in3")
+    // day-4 vs the twice-appended store: dups of day-3 (99), day-2 (199)
+    // and day-1 (299) survivors all drop at stage 03; only 399 survives;
+    // merged = {1,2} ∪ {19} ∪ {289} ∪ {399}
+    val day4 = stages(SparkEntry.queries("x11d_incremental_pipeline")(spark, dir))
+    assert(day4("03_batch_exact_dedup") == ((1L, 399L)),
+      s"stage 03 must keep only the fresh day-4 doc: $day4")
+    assert(day4("05_merged_corpus") == ((5L, 1L + 2L + 19L + 289L + 399L)),
+      s"merged corpus must span all four days' survivors: $day4")
+    // NEGATIVE CONTROL: the same day-4 batch against the ONCE-appended
+    // store misses the day-3 duplicate — the correctness condition each
+    // append exists for (199/299 are still caught by earlier horizons)
+    val withoutB2 = stages(graft.llm.Incremental.incrementalManifest(
       spark, dir, batchPred = Some(col("doc_id") % 100 === 99),
-      store = Some(graft.llm.Incremental.ledgerAsOf(spark, dir, 0))))
-    assert(withoutAppend("03_batch_exact_dedup") == ((2L, 99L + 199L)),
-      s"without the append the day-2 dup must slip through: $withoutAppend")
+      store = Some(graft.llm.Incremental.ledgerAsOf(spark, dir, 1))))
+    assert(withoutB2("03_batch_exact_dedup") == ((2L, 99L + 399L)),
+      s"without batch 2 the day-3 dup must slip through: $withoutB2")
+    // IDEMPOTENCE: force the MIDDLE batch's append write to run again
+    // (the retry/replay case) — the dynamic partition overwrite must
+    // replace batch_id=1 with identical content, never double it
+    def storeRows() = graft.llm.Incremental.ledgerAsOf(spark, dir, 2)
+      .select("batch_id", "doc_id", "q", "in3", "in4", "h")
+      .collect().map(_.toSeq).toSet
+    val before = storeRows()
+    graft.llm.Incremental.appendBatchWrite(spark, dir, 1)
+    assert(storeRows() == before,
+      "re-running the middle batch's append changed the store (idempotence broken)")
+    // COMPACTION: summaries and the day-4 manifest must be identical
+    // pre/post; the compacted horizon lives in base/ (batch_id preserved
+    // as a data column) and the per-batch delta trees are gone
+    graft.llm.Incremental.compactLedger(spark, dir, upTo = 2)
+    assert(storeRows() == before, "compaction changed store content")
+    val day4Post = stages(SparkEntry.queries("x11d_incremental_pipeline")(spark, dir))
+    assert(day4Post == day4, "compaction changed the day-4 manifest")
+    val storeDir = graft.llm.Incremental.ledgerDir(spark, dir)
+    assert(new java.io.File(s"$storeDir/base").isDirectory,
+      "compaction must land the consolidated base zone")
+    val deltaLeft = Option(new java.io.File(s"$storeDir/delta").listFiles())
+      .getOrElse(Array.empty).filter(_.getName.startsWith("batch_id=")).map(_.getName)
+    assert(deltaLeft.isEmpty,
+      s"compacted delta trees must be dropped, found: ${deltaLeft.mkString(",")}")
+    val baseFiles = new java.io.File(s"$storeDir/base").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(baseFiles <= 3,
+      s"compacted base must be ~one file per batch, found $baseFiles")
     graft.streaming.Streams.deleteRecursively(new java.io.File(dir))
   }
 
