@@ -416,15 +416,32 @@ object PqIndex {
     // probe — while a plain repartition(cell) caps downstream cell-joined
     // scans at nCells tasks (the IvfIndex.save lesson: 15.7 → 92.3 s at 8
     // cells). Range keeps both bounds: files ≈ max(nCells, 2×parallelism).
+    // a fresh save owns the whole lists surface: clear any stale
+    // compacted base zone (and its marker) a prior build left behind
+    graft.streaming.Streams.deleteRecursively(new java.io.File(s"$dir/lists_base"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, "_compacted_up_to"))
+    val budget = listFileBudget(model.cellCodes.count())
     model.cellCodes.withColumn("batch", lit(0))
-      .repartitionByRange(listFileBudget(model.cellCodes), col("cell"), col("vec_id"))
+      .repartitionByRange(budget, col("cell"), col("vec_id"))
       .write.mode("overwrite").partitionBy("batch", "cell")
       .parquet(s"$dir/lists")
   }
 
-  /** Writer-partition budget for the cell-partitioned list writes. */
-  private def listFileBudget(df: DataFrame): Int =
-    math.max(64, df.sparkSession.sparkContext.defaultParallelism * 2)
+  /** Writer-partition budget for the cell-partitioned list writes, sized
+    * by ROW COUNT (r13 verdict ask): target ~64k code rows per range
+    * bucket (a few MB of packed codes — small enough that a routed-cell
+    * probe scan parallelizes across files, large enough that the file
+    * count stays bounded: a 2M-vector corpus lands ~32 buckets, a
+    * 32M-vector sf10 corpus ~500). The old global max(64, 2×parallelism)
+    * ignored the data volume: it over-split small corpora and under-split
+    * large ones. Cells are contiguous in range order, so each cell's rows
+    * land in few writer tasks regardless of the budget, and partitionBy
+    * writes ~max(1, cellRows/64k) files per cell — "one file-set per
+    * cell, sized by its rows". The count the budget needs is of a
+    * persisted (build) or parquet-backed (append) frame — cheap. */
+  private def listFileBudget(nRows: Long): Int =
+    math.max(8, math.min(4096L, (nRows + 65535) / 65536).toInt)
 
   /** Append NEW vectors into a persisted residual-IVFPQ index without
     * retraining or re-encoding anything — FAISS IndexIVFPQ.add(), and the
@@ -451,10 +468,17 @@ object PqIndex {
     // fail fast with the actionable message instead of corrupting the dir
     val listsDir = new java.io.File(s"$dir/lists")
     if (listsDir.isDirectory &&
-        !listsDir.listFiles().exists(f => f.isDirectory && f.getName.startsWith("batch=")))
+        listsDir.listFiles().exists(f => f.isDirectory && f.getName.startsWith("cell=")))
       throw new IllegalStateException(
         s"appendIvfPq: $dir/lists uses the legacy single-level cell= layout " +
-          "(no batch= trees) — rebuild the index (saveIvfPq) before appending")
+          "(top-level cell= trees) — rebuild the index (saveIvfPq) before appending")
+    // a batch compacted into lists_base/ is CLOSED (the ledger rule): its
+    // delta tree is gone, so a re-append would land a SECOND copy beside
+    // the base rows — fail loudly; only open batches may be retried
+    if (batchId <= compactedUpTo(dir))
+      throw new IllegalStateException(
+        s"appendIvfPq: batch $batchId is already compacted into $dir/lists_base — " +
+          "compacted batches are closed; rebuild the index to replay them")
     val centDf = broadcast(spark.createDataFrame(ivf.centroids).toDF("cell", "centroid"))
     // nearest-centroid assignment via the shared routing machinery
     // (nProbe=1 ⇒ argmin cell, the same Euclidean rule KMeans.transform
@@ -468,12 +492,72 @@ object PqIndex {
     val encoded = encode(withRes, model.codebooks, None, keep = Seq("cell", "vnorm"))
       .withColumn("batch", lit(batchId))
     encoded
-      .repartitionByRange(listFileBudget(encoded), col("cell"), col("vec_id"))
+      .repartitionByRange(listFileBudget(newVecs.count()), col("cell"), col("vec_id"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch", "cell")
       .parquet(s"$dir/lists")
     loadIvfPq(spark, dir)
+  }
+
+  /** Highest batch already compacted into lists_base/ (−1 if none). */
+  private def compactedUpTo(dir: String): Int = {
+    val f = java.nio.file.Paths.get(dir, "_compacted_up_to")
+    if (java.nio.file.Files.exists(f))
+      new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim.toInt
+    else -1
+  }
+
+  /** Compact the CLOSED batches [0..upTo] of a persisted residual-IVFPQ
+    * index: their per-batch partition trees (and any prior base) are
+    * rewritten into ONE consolidated cell-partitioned file set under
+    * lists_base/ — `batch` preserved as a DATA column, codes untouched,
+    * file count per cell back to ~max(1, cellRows/64k) — and the
+    * compacted delta trees are dropped. The maintenance twin of
+    * [[graft.llm.Incremental.compactLedger]]: at a daily append cadence
+    * the lists/ dir accumulates one batch=N tree per crawl (~365/year of
+    * small file sets taxing every probe's listing path); this job bounds
+    * it while open batches keep landing in lists/. Probe results are
+    * byte-identical pre/post (DataPlaneSpec proves it at full depth —
+    * cell membership, vnorm, and codes all survive the rewrite). */
+  def compactIvfPq(spark: org.apache.spark.sql.SparkSession, dir: String, upTo: Int): Unit = {
+    val zones = listZones(spark, dir)
+    val rows = zones.reduce(_.union(_)).filter(col("batch") <= upTo)
+    val tmp = s"$dir/lists_base_tmp"
+    rows.repartitionByRange(listFileBudget(rows.count()), col("cell"), col("vec_id"))
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    // tmp fully materialized — swap zones (deployment analog: manifest swap)
+    graft.streaming.Streams.deleteRecursively(new java.io.File(s"$dir/lists_base"))
+    require(new java.io.File(tmp).renameTo(new java.io.File(s"$dir/lists_base")),
+      s"compactIvfPq: could not move $tmp into place")
+    val delta = new java.io.File(s"$dir/lists")
+    if (delta.isDirectory) delta.listFiles().foreach { f =>
+      val m = "batch=(\\d+)".r.findFirstMatchIn(f.getName)
+      if (m.exists(_.group(1).toInt <= upTo))
+        graft.streaming.Streams.deleteRecursively(f)
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_compacted_up_to"),
+      math.max(upTo, compactedUpTo(dir)).toString.getBytes("UTF-8"))
+  }
+
+  /** The inverted-list zones of a persisted index: the open delta trees
+    * (lists/batch=N/cell=M) and, after compaction, the consolidated base
+    * (lists_base/cell=M with batch as a data column). Identical five-
+    * column shape either way; consumers read their union, and `cell` is a
+    * partition column in BOTH zones so routed-cell pruning is unaffected
+    * by compaction. */
+  private def listZones(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[DataFrame] = {
+    val cols = Seq(col("vec_id"), col("cell").cast("int").as("cell"),
+      col("vnorm"), col("codes"), col("batch").cast("int").as("batch"))
+    def nonEmpty(p: String) = {
+      val f = new java.io.File(p)
+      f.isDirectory && f.listFiles().exists(c => c.isDirectory || c.getName.endsWith(".parquet"))
+    }
+    val zs = Seq(s"$dir/lists", s"$dir/lists_base").filter(nonEmpty)
+    require(zs.nonEmpty, s"no inverted lists found under $dir")
+    zs.map(p => spark.read.parquet(p).select(cols: _*))
   }
 
   /** Load a persisted residual-IVFPQ index — NO retrain, NO re-encode.
@@ -485,9 +569,9 @@ object PqIndex {
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (_, rows) => rows.sortBy(_._2).map(_._3).toSeq }
-    val lists = spark.read.parquet(s"$dir/lists")
-      .select(col("vec_id"), col("cell").cast("int").as("cell"),
-        col("vnorm"), col("codes"))
+    val lists = listZones(spark, dir)
+      .map(_.select(col("vec_id"), col("cell"), col("vnorm"), col("codes")))
+      .reduce(_.union(_))
     IvfPqModel(cb.size, cb.head.head.size, cb, lists)
   }
 
@@ -564,10 +648,29 @@ object PqIndex {
       newVecs: DataFrame, m: Int, ksub: Int, nClusters: Int,
       batchId: Int = 1): IvfPqModel = {
     val base = cachedIvfPq(cacheKey, ivf, baseCorpus, m, ksub, nClusters)
-    val appended = appendIvfPq(ivf, base, newVecs,
-      ivfPqDir(cacheKey, m, ksub, nClusters), batchId)
+    val dir = ivfPqDir(cacheKey, m, ksub, nClusters)
+    // a batch already compacted into lists_base/ is already IN the store —
+    // the append's idempotent outcome — so re-applying it would both fail
+    // the closed-batch guard and be pointless: just reload
+    val appended =
+      if (batchId <= compactedUpTo(dir)) loadIvfPq(baseCorpus.sparkSession, dir)
+      else appendIvfPq(ivf, base, newVecs, dir, batchId)
     ivfPqCache.put((cacheKey, m, ksub, nClusters), appended)
     appended
+  }
+
+  /** Compact the persisted index cached for `cacheKey` (ensuring the base
+    * build + batch-1 append first), refreshing the cache with the
+    * reloaded consolidated view — the declared sim_ivfpqr_compact path. */
+  def cachedIvfPqCompact(cacheKey: String, ivf: IvfModel, baseCorpus: DataFrame,
+      newVecs: DataFrame, m: Int, ksub: Int, nClusters: Int,
+      upTo: Int = 1): IvfPqModel = {
+    cachedIvfPqAppend(cacheKey, ivf, baseCorpus, newVecs, m, ksub, nClusters)
+    val dir = ivfPqDir(cacheKey, m, ksub, nClusters)
+    compactIvfPq(baseCorpus.sparkSession, dir, upTo)
+    val reloaded = loadIvfPq(baseCorpus.sparkSession, dir)
+    ivfPqCache.put((cacheKey, m, ksub, nClusters), reloaded)
+    reloaded
   }
 
   // per-corpus model cache — the offline/online split (the IvfIndex

@@ -407,6 +407,30 @@ object Similarity {
           round(sum(col("vnorm")), 6).as("norm_sum"))
     },
 
+    // INDEX COMPACTION (r14) — the maintenance twin of x11e: the appended
+    // batch=N trees (and any prior base) are rewritten into ONE
+    // consolidated cell-partitioned file set (batch preserved as a data
+    // column, codes untouched), so a daily append cadence cannot
+    // accumulate an unbounded small-file tail under the probe path.
+    // SETUP-class line (owns the rewrite). Output intentionally matches
+    // sim_ivfpqr_append's per-cell summary — identical rows pre/post is
+    // the content-preservation statement, and DataPlaneSpec additionally
+    // proves full-depth probe results identical and the file count per
+    // cell consolidated. Engine-specific layout op → spec gate.
+    QueryDef.noOracle("sim_ivfpqr_compact") { (s, d) =>
+      val emb = Tables(s, d, "embeddings")
+      val day1 = emb.filter(col("vec_id") % 10 =!= 9)
+      val day2 = emb.filter(col("vec_id") % 10 === 9)
+      val key = d + "#ivfpqr-day1"
+      val ivf = IvfIndex.cachedIndexFor(key, day1, nClusters = 8)
+      PqIndex.cachedIvfPqCompact(key, ivf, day1, day2,
+          m = 8, ksub = 16, nClusters = 8, upTo = 1)
+        .cellCodes.groupBy("cell")
+        .agg(sum(when(col("vec_id") % 10 =!= 9, 1L).otherwise(0L)).as("n_day1"),
+          sum(when(col("vec_id") % 10 === 9, 1L).otherwise(0L)).as("n_day2"),
+          round(sum(col("vnorm")), 6).as("norm_sum"))
+    },
+
     // L2-normalization to unit vectors — the preprocessing step that turns
     // cosine into a plain dot product (what any serious ANN index wants).
     // sqrt and / are IEEE-correctly-rounded, and the dot-product fold order

@@ -563,6 +563,57 @@ class DataPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"(got ${got.size} pairs, want ${exact.size})")
     assert(got.keys.exists(_._2 % 10 == 9),
       "merged neighbors must include day-2 vectors (planted same-cluster dups)")
+
+    // ---- COMPACTION (sim_ivfpqr_compact): batches [0..1] rewritten into
+    // one consolidated cell-partitioned base, batch kept as a data
+    // column; probe results identical at full depth; delta trees gone;
+    // closed batches refuse re-append; OPEN batches still appendable ----
+    val preRows = appended.cellCodes.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"),
+        r.getAs[Double]("vnorm"), r.getAs[Seq[Int]]("codes"))).toSet
+    def parquetFiles(root: java.io.File): Int =
+      if (!root.isDirectory) 0
+      else root.listFiles().map(f =>
+        if (f.isDirectory) parquetFiles(f)
+        else if (f.getName.endsWith(".parquet")) 1 else 0).sum
+    val preFiles = parquetFiles(new java.io.File(s"$dir/lists"))
+    graft.llm.PqIndex.compactIvfPq(spark, dir, upTo = 1)
+    val compacted = graft.llm.PqIndex.loadIvfPq(spark, dir)
+    val postRows = compacted.cellCodes.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"),
+        r.getAs[Double]("vnorm"), r.getAs[Seq[Int]]("codes"))).toSet
+    assert(postRows == preRows, "compaction changed list content")
+    val gotPost = graft.llm.PqIndex.searchIvfPqResidual(
+        ivf, compacted, probes2, emb, k = 10, shortlist = 500, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(gotPost == got, "full-depth probe results changed across compaction")
+    val deltaTrees = Option(new java.io.File(s"$dir/lists").listFiles())
+      .getOrElse(Array.empty).filter(_.getName.startsWith("batch=")).map(_.getName)
+    assert(deltaTrees.isEmpty,
+      s"compacted delta trees must be dropped, found: ${deltaTrees.mkString(",")}")
+    val baseCells = new java.io.File(s"$dir/lists_base").listFiles()
+      .filter(_.getName.startsWith("cell="))
+    assert(baseCells.length == 8, "base zone must keep the cell= partition layout")
+    // consolidation bound: each of the ≤8 range buckets writes one file
+    // per cell it straddles, so total files ≤ budget + cells − 1 (a
+    // skewed cell may legitimately span several buckets) — and strictly
+    // fewer than the two batch trees it replaced
+    val postFiles = parquetFiles(new java.io.File(s"$dir/lists_base"))
+    assert(postFiles <= 15 && postFiles < preFiles,
+      s"compaction must consolidate files: $preFiles -> $postFiles")
+    // batch column survives as data (the as-of provenance the verdict's
+    // "preserving batch_id values" contract requires)
+    val batches = spark.read.parquet(s"$dir/lists_base")
+      .select("batch").distinct().collect().map(_.getInt(0)).toSet
+    assert(batches == Set(0, 1), s"base must preserve batch values, got $batches")
+    val closed = intercept[IllegalStateException](
+      graft.llm.PqIndex.appendIvfPq(ivf, compacted, day2, dir, batchId = 1))
+    assert(closed.getMessage.contains("compacted"), "closed-batch guard must fire")
+    // an OPEN batch id still appends (two-zone union covers both)
+    val day3probe = day2.filter(col("vec_id") % 100 === 19)
+    val after = graft.llm.PqIndex.appendIvfPq(ivf, compacted, day3probe, dir, batchId = 2)
+    assert(after.cellCodes.count() == emb.count() + day3probe.count(),
+      "post-compaction append must land beside the base zone")
     ivf.unpersist()
   }
 
