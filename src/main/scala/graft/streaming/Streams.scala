@@ -560,6 +560,55 @@ object Streams {
         .groupBy("doc_id", "probe_id")
         .agg(count(lit(1)).as("n_shared"))
       runToTable(s, flags, "complete")
+    },
+
+    // STREAMING ANN PROBE (r14) — the serving deployment shape: probe
+    // vectors arrive as a stream in bounded micro-batches and are
+    // answered from the PERSISTED residual-IVFPQ store (the
+    // sim_ivfpqr_build index — offline step, amortized; this line
+    // measures serving only). Per micro-batch inside foreachBatch the two
+    // proven pieces compose: routing joins the probe batch map-side
+    // against the broadcast centroid table, ADC scans only routed cells'
+    // inverted lists, exact rerank reads full vectors for shortlist
+    // members — zero streaming state, so serving memory is bounded by the
+    // probe batch, never the corpus. Results land per-batch under an
+    // idempotent batch_N path (exactly-once via overwrite, the
+    // st_stream_sink contract). The probe rate (1/50) keeps each
+    // batch's routed broadcast in the KB-MB band at every bench decade —
+    // the micro-batching the measured qps-vs-batch curve says you want
+    // (throughput peaks at batch ~500, scale_r13/ann_qps_vec2m.json).
+    // ANN + engine-specific layout → spec gate: StreamingSuite proves
+    // stream == batch (same probes, same k) across ≥2 micro-batches.
+    QueryDef.noOracle("st_stream_ann") { (s, d) =>
+      val emb = Tables(s, d, "embeddings")
+      val ivf = graft.llm.IvfIndex.cachedIndexFor(d, emb, nClusters = 8)
+      val model = graft.llm.PqIndex.cachedIvfPq(d, ivf, emb, m = 8, ksub = 16, nClusters = 8)
+      val probes = emb.filter(col("vec_id") % 50 === 7)
+        .select("vec_id", "embedding")
+      // land the probe set as a 4-file dir so the file source genuinely
+      // streams it as 4 micro-batches (maxFilesPerTrigger = 1)
+      val root = s"${sys.props("java.io.tmpdir")}/graft_stream_ann_${math.abs(d.hashCode)}_${System.nanoTime()}"
+      probes.repartition(4).write.parquet(s"$root/probes")
+      val out = s"$root/out"
+      sinkDirs.add(root)
+      val stream = s.readStream.schema(probes.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/probes")
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          val t0 = System.nanoTime()
+          graft.llm.PqIndex.searchIvfPqResidual(ivf, model, batch, emb,
+              k = 10, shortlist = 50, nProbe = 4)
+            .write.mode("overwrite").parquet(s"$out/batch_$batchId")
+          Console.err.println(String.format(java.util.Locale.ROOT,
+            "[st_stream_ann] batch %d: %d probes in %.2f s",
+            Long.box(batchId), Long.box(batch.count()),
+            Double.box((System.nanoTime() - t0) / 1e9)))
+        }
+        .option("checkpointLocation", s"$root/_ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$out/batch_*")
     }
   )
 }

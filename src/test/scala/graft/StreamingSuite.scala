@@ -44,6 +44,28 @@ class StreamingSuite extends AnyFunSuite {
     assert(rows(stream) == rows(batch))
   }
 
+  test("st_stream_ann equals the batch ADC search on the same probes, across real micro-batches") {
+    import org.apache.spark.sql.functions._
+    val stream = SparkEntry.queries("st_stream_ann")(spark, sf)
+    val streamed = rows(stream)
+    // the batch twin: same persisted index (same cache key), same probes,
+    // same k/shortlist/nProbe — serving from a stream must change nothing
+    val emb = graft.data.Tables(spark, sf, "embeddings")
+    val ivf = graft.llm.IvfIndex.cachedIndexFor(sf, emb, nClusters = 8)
+    val model = graft.llm.PqIndex.cachedIvfPq(sf, ivf, emb, m = 8, ksub = 16, nClusters = 8)
+    val batch = graft.llm.PqIndex.searchIvfPqResidual(ivf, model,
+      emb.filter(col("vec_id") % 50 === 7).select("vec_id", "embedding"),
+      emb, k = 10, shortlist = 50, nProbe = 4)
+    assert(streamed == rows(batch), "streamed ANN results must equal the batch search")
+    assert(stream.count() > 0)
+    // the probe landing really streamed as multiple micro-batches: each
+    // produced its own idempotent batch_N output dir
+    val dirs = stream.inputFiles.map(_.replaceAll("/[^/]*$", ""))
+      .map(_.replaceAll(".*/", "")).distinct
+    assert(dirs.count(_.startsWith("batch_")) >= 2,
+      s"expected >=2 micro-batch outputs, got ${dirs.mkString(",")}")
+  }
+
   test("st_stream_decontaminate equals the batch wide-gram contamination scan") {
     // decontamination-at-ingest: the streamed documents against the
     // batch-built broadcast eval index must flag exactly the pairs the
