@@ -19,6 +19,34 @@ object Dedup {
   /** Tokenize on single spaces (testdata is space-separated words). */
   private def tokens = split(col("text"), " ")
 
+  /** Shared DuckDB CTEs recomputing the [[simhash]] signature from
+    * scratch: md5 token hashes split into 32-bit halves (BIGINT-safe bit
+    * tests), the 64 ±1-vote bit sums, and the two signature halves —
+    * consumers append the signed-long assembly (d5) or the brute-force
+    * hamming pair join (d5b). */
+  private def simhashSigSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, md5(t) AS hx FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)),
+      |th AS (
+      |  SELECT doc_id,
+      |         CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) AS hi,
+      |         CAST(('0x' || substr(hx, 9, 8)) AS BIGINT) AS lo
+      |  FROM tok),
+      |bits AS (
+      |  SELECT doc_id, b,
+      |         sum(CASE WHEN (CASE WHEN b < 32 THEN lo >> b
+      |                             ELSE hi >> (b - 32) END) & 1 = 1
+      |                  THEN 1 ELSE -1 END) AS s
+      |  FROM th CROSS JOIN (SELECT unnest(range(64)) AS b) bb
+      |  GROUP BY doc_id, b),
+      |halves AS (
+      |  SELECT doc_id,
+      |         CAST(sum(CASE WHEN b >= 32 AND s > 0 THEN 1 << (b - 32) ELSE 0 END) AS BIGINT) AS sh,
+      |         CAST(sum(CASE WHEN b < 32 AND s > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS sl
+      |  FROM bits GROUP BY doc_id)
+      |""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
     // d0: explicit build step for the shared per-corpus caches (the
     // localCheckpoint'ed shingle arrays + the ≥ PairCacheFloor scored
@@ -191,9 +219,17 @@ object Dedup {
           (col("node") === col("label")).as("is_keeper"))
     },
 
-    // SimHash (64-bit) near-dup buckets. Engine-specific hash (xxhash64) →
-    // no SQL oracle; ScalaTest checks hamming(simhash) small for near-dups.
-    QueryDef.noOracle("d5_simhash") { (s, d) =>
+    // SimHash (64-bit) near-dup buckets. The md5-derived token hash makes
+    // (shared signature CTEs: simhashSigSql below the entries)
+    // the ENTIRE signature DuckDB-expressible (r13 verdict ask #7): the
+    // oracle recomputes every token hash from its md5 halves, the 64
+    // ±1-vote bit sums, and the signed-long assembly — a full independent
+    // recomputation of the signature, hash-compared.
+    QueryDef("d5_simhash", simhashSigSql +
+      """SELECT doc_id,
+        |       CASE WHEN sh >= 2147483648 THEN (sh - 4294967296) * 4294967296 + sl
+        |            ELSE sh * 4294967296 + sl END AS simhash
+        |FROM halves""".stripMargin) { (s, d) =>
       simhash(Tables(s, d, "documents"))
     },
 
@@ -202,10 +238,20 @@ object Dedup {
     // keys of ~32 bits each — any pair within hamming 3 agrees exactly on
     // some key; candidates stream through a self equi-join and verify with
     // bit_count(xor) ≤ 3 (see [[simhashPairs]] for why single-band 16-bit
-    // keys collapse at scale). Same plan family as d3 (bucketed candidates
-    // + exact verify), hash-based → no SQL oracle; DataPlaneSpec proves
-    // set-equality with brute force.
-    QueryDef.noOracle("d5b_simhash_pairs") { (s, d) =>
+    // keys collapse at scale). The ENGINE prunes candidates by pigeonhole
+    // keys; DuckDB (oracle-scale corpus) verifies all n²/2 pairs directly —
+    // same answer proves the pruning lossless, and DataPlaneSpec re-proves
+    // set-equality with brute force in-engine.
+    QueryDef("d5b_simhash_pairs", simhashSigSql +
+      """, sig AS (
+        |  SELECT doc_id,
+        |         CASE WHEN sh >= 2147483648 THEN (sh - 4294967296) * 4294967296 + sl
+        |              ELSE sh * 4294967296 + sl END AS simhash
+        |  FROM halves)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin) { (s, d) =>
       simhashPairs(Tables(s, d, "documents"), maxHamming = 3)
     },
 
@@ -1185,12 +1231,21 @@ object Dedup {
     graft.data.Frames.materializeAndRelease(labels.union(isolated), edges, labels)
   }
 
-  /** 64-bit SimHash over token xxhash64 values: per doc, for each of 64 bit
-    * positions sum ±1 across token hashes, sign → bit. Pure columnar
-    * (explode + groupBy), no UDF; shuffle carries (doc_id, hash) longs only. */
+  /** 64-bit SimHash over md5-derived token hashes: per doc, for each of 64
+    * bit positions sum ±1 across token hashes, sign → bit. Pure columnar
+    * (explode + groupBy), no UDF; shuffle carries (doc_id, hash) longs only.
+    *
+    * Token hash = the top 16 hex chars of md5(token) parsed as two 32-bit
+    * halves (hi<<32 | lo). md5 costs a few ns more per token than the
+    * xxhash64 this replaces (r14: d5 sf0.1 unchanged within noise), and
+    * buys the whole signature an independent DuckDB recomputation — d5 and
+    * d5b moved from spec-gated to hash-green oracle rows with it. */
   def simhash(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .select(col("doc_id"), substring(md5(col("tok")), 1, 16).as("hx"))
+      .select(col("doc_id"),
+        shiftleft(conv(substring(col("hx"), 1, 8), 16, 10).cast("long"), 32)
+          .bitwiseOR(conv(substring(col("hx"), 9, 8), 16, 10).cast("long")).as("h"))
     // weight per bit: +1 if bit set else -1; aggregate via sum over shiftright&1
     val bitCols = (0 until 64).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")

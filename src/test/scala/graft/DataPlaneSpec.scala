@@ -275,20 +275,26 @@ class DataPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exact.values.exists(!_._2), "testdata must contain non-keeper dups")
   }
 
-  test("d5 SimHash: near-dup pairs land within hamming distance 8") {
+  test("d5 SimHash: near-dup pairs land far below the unrelated-doc hamming band") {
     val truth = exactPairs(0.8)
     val sig = Dedup.simhash(Tables(spark, sf, "documents"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
     val dists = truth.toSeq.map { case (a, b) => hamming(sig(a), sig(b)) }
-    assert(dists.forall(_ <= 8),
-      s"near-dup hamming distances exceed 8: ${dists.filter(_ > 8)}")
+    // expected hamming for jaccard-0.8 pairs ≈ 64·arccos(cos)/π ≈ 11
+    // (cos ~0.85-0.9 for these token multisets); 12 bounds the realized
+    // distribution with headroom while staying far under the unrelated
+    // expectation of 32 — the old bound of 8 was tuned to one hash
+    // realization (xxhash64) and broke on the md5-derived hash r14
+    // adopted for the DuckDB oracle
+    assert(dists.forall(_ <= 12),
+      s"near-dup hamming distances exceed 12: ${dists.filter(_ > 12)}")
     // sanity: unrelated docs are far apart — expected hamming 32 for random
     val far = sig.keys.toSeq.sorted.sliding(2).collect {
       case Seq(a, b) if !truth((a, b)) && !truth((b, a)) => hamming(sig(a), sig(b))
     }.toSeq
-    assert(far.count(_ > 8).toDouble / far.size > 0.95,
-      "unrelated docs should rarely collide under hamming 8")
+    assert(far.count(_ > 12).toDouble / far.size > 0.95,
+      "unrelated docs should rarely collide under hamming 12")
   }
 
   test("d5b banded simhash pairs equal the brute-force hamming pairs") {
