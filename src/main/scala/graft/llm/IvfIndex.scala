@@ -65,9 +65,11 @@ object IvfIndex {
     val p = probes.select(col("vec_id").as("probe_id"), col("embedding").cast("array<double>").as("pv"))
     val wRoute = Window.partitionBy("probe_id").orderBy(col("cdist"), col("cell"))
     p.crossJoin(centDf)
-      .withColumn("cdist",
-        aggregate(zip_with(col("pv"), col("centroid"), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (a, v) => a + v))
+      // codegen'd SqDist (r14): the HOF fold ran INTERPRETED over
+      // probes × centroids rows — and the routing frame is evaluated
+      // twice when it feeds both a DPP subquery and the join build side.
+      // Bit-identical accumulation, so routing (incl. ties) is unchanged.
+      .withColumn("cdist", Similarity.sqDistNative(col("pv"), col("centroid")))
       .withColumn("rr", row_number().over(wRoute))
       .filter(col("rr") <= nProbe)
       .select(col("probe_id"), col("pv"), col("cell"))
@@ -119,25 +121,170 @@ object IvfIndex {
     * so only the probe side moves. */
   val BroadcastMaxRoutedRows = 100000L
 
+  /** Routed sets above [[BroadcastMaxRoutedRows]] and up to this many rows
+    * take the blocked in-memory kernel (collect + broadcast of packed
+    * probe arrays: 1M × 64-d ≈ 550 MB — the ceiling a shared 8 GiB heap
+    * tolerates); beyond it the probe set is corpus-like and the plain
+    * cell join (shuffled, AQE-managed) is the only shape that scales. */
+  val KernelMaxRoutedRows = 1000000L
+
   def nearDupPairs(index: IvfModel, probes: DataFrame, threshold: Double,
       nProbe: Int): DataFrame = {
+    require(threshold > 0, "norm-hoisted prefilter assumes a positive threshold")
     val routed = route(index, probes, nProbe)
-    val cand = index.assigned.select(col("vec_id").as("cand_id"),
-      col("embedding").cast("array<double>").as("cv"), col("cell"))
+      .withColumn("pnorm", sqrt(Similarity.dotNative(col("pv"), col("pv"))))
     // measured dispatch (the w3/j2 precedent): one count of the RAW probe
-    // table picks the join strategy — route emits exactly
+    // table picks the strategy — route emits exactly
     // min(nProbe, nClusters) rows per probe, so probes × that IS the
     // routed row count, and counting the cheap scan (vs `routed` itself)
-    // keeps the cross-join + routing window lazy so it executes once,
-    // inside the returned join.
+    // keeps the cross-join + routing window lazy so it executes once.
     val perProbe = math.min(nProbe, index.centroids.size).toLong
+    val routedRows = probes.count() * perProbe
+    // Dispatch on PAIR volume, not routed rows: the Catalyst join form
+    // pays ~200 ns per candidate pair (measured by stage time at sf10:
+    // 437 s-cpu over ~2G matches) — the per-element ArrayData access in
+    // the join condition dominates, which is why hoisting the fused
+    // cosine's 3 ops/element to a 1-op dot, and even a 4-accumulator
+    // unroll, measured FLAT (18.8 / 18.6 / 18.5 s warm). The blocked
+    // kernel reads primitive arrays and keeps a probe block L2-resident
+    // while candidates stream under it (the GEMM insight), so above
+    // ~100M candidate pairs its collect+pack overhead amortizes; its
+    // ceiling is the packed-probe broadcast size. Below the floor the
+    // join path keeps the oracle-visible plan + DPP cell pruning; above
+    // the ceiling the shuffled cell join remains the only scalable shape.
+    val pairVolume =
+      routedRows.toDouble * index.assigned.count() / math.max(1, index.centroids.size)
+    if (pairVolume >= 1e8 && routedRows <= KernelMaxRoutedRows)
+      return nearDupPairsBlocked(index, routed, threshold)
+    val cand = index.assigned.select(col("vec_id").as("cand_id"),
+      col("embedding").cast("array<double>").as("cv"), col("cell"))
+      .withColumn("cnorm", sqrt(Similarity.dotNative(col("cv"), col("cv"))))
     val probeSide =
-      if (probes.count() * perProbe <= BroadcastMaxRoutedRows) broadcast(routed) else routed
+      if (routedRows <= BroadcastMaxRoutedRows) broadcast(routed) else routed
+    // norms hoisted out of the quadratic stage (the withinCellPairs
+    // contract: dot > τ·‖p‖·‖c‖ ⇔ cos > τ up to one-ulp boundary cases,
+    // τ > 0; the reported cosine divides by the hoisted norm product —
+    // ≤ 1 ulp vs the fused sqrt(a·b), invisible at 6 dp)
     cand.join(probeSide, Seq("cell"))
       .filter(col("probe_id") < col("cand_id"))
-      .withColumn("cos_raw", Similarity.cosine(col("pv"), col("cv")))
-      .filter(col("cos_raw") > threshold)
-      .select(col("probe_id"), col("cand_id"), round(col("cos_raw"), 6).as("cosine"))
+      .filter(Similarity.dotUnrolled(col("pv"), col("cv")) >
+        col("pnorm") * col("cnorm") * lit(threshold))
+      .select(col("probe_id"), col("cand_id"),
+        round(Similarity.dotUnrolled(col("pv"), col("cv")) /
+          (col("pnorm") * col("cnorm")), 6).as("cosine"))
+  }
+
+  /** The cache-blocked pair kernel for the mid-scale regime. Probes are
+    * collected once (bounded by [[KernelMaxRoutedRows]]), packed per cell
+    * into flat primitive arrays, and broadcast; each executor partition
+    * buffers its candidate rows per cell and scans them against one
+    * 256-probe block at a time — the block (~128 KB) stays L2-resident
+    * across the whole candidate stream, so main-memory traffic drops from
+    * pairs × vector-bytes to candidates × blocks (~32× less at sf10).
+    * mapPartitions is the documented last-resort tier, taken here on
+    * measurement: the quadratic stage is a dense rectangular kernel
+    * Catalyst has no operator for (it re-decodes build rows per pair and
+    * cannot tile). Semantics match the join path: probe_id < cand_id,
+    * dot > τ·‖p‖·‖c‖ (one-ulp contract), cosine = round(dot/(‖p‖·‖c‖), 6)
+    * with HALF_UP — the `round()` rule. */
+  private[graft] def nearDupPairsBlocked(index: IvfModel, routed: DataFrame,
+      threshold: Double): DataFrame = {
+    val spark = routed.sparkSession
+    import spark.implicits._
+    val tColl0 = System.nanoTime()
+    val probeRows = routed.select(col("cell"), col("probe_id"), col("pv"))
+      .collect()
+    Console.err.println(f"[neardup-kernel] collect ${probeRows.length} routed probes: ${(System.nanoTime() - tColl0) / 1e9}%.2f s")
+    val packed: Map[Int, (Array[Long], Array[Double], Array[Double], Int)] =
+      probeRows.groupBy(_.getInt(0)).map { case (cell, rs) =>
+        val dim = rs.head.getSeq[Double](2).size
+        val ids = new Array[Long](rs.length)
+        val norms = new Array[Double](rs.length)
+        val flat = new Array[Double](rs.length * dim)
+        var j = 0
+        while (j < rs.length) {
+          ids(j) = rs(j).getLong(1)
+          val v = rs(j).getSeq[Double](2)
+          var i = 0
+          var nn = 0.0
+          while (i < dim) {
+            val x = v(i); flat(j * dim + i) = x; nn += x * x; i += 1
+          }
+          norms(j) = math.sqrt(nn)
+          j += 1
+        }
+        cell -> ((ids, norms, flat, dim))
+      }
+    val bc = spark.sparkContext.broadcast(packed)
+    val cand = index.assigned
+      .select(col("vec_id"), col("embedding").cast("array<double>"), col("cell"))
+      .as[(Long, Array[Double], Int)]
+    cand.mapPartitions { iter =>
+      val cells = bc.value
+      val Block = 256
+      // buffer the partition's candidates per cell FIRST: tiling only
+      // pays if the probe block is the OUTER loop with many candidates
+      // streamed under it (block stays L2-resident; candidates stream
+      // sequentially from the buffer once per block)
+      val buf = scala.collection.mutable.HashMap
+        .empty[Int, scala.collection.mutable.ArrayBuffer[(Long, Array[Double])]]
+      iter.foreach { case (candId, cv, cell) =>
+        if (cells.contains(cell))
+          buf.getOrElseUpdate(cell, scala.collection.mutable.ArrayBuffer.empty) += ((candId, cv))
+      }
+      buf.iterator.flatMap { case (cell, cands) =>
+        val (ids, norms, flat, dim) = cells(cell)
+        val nc = cands.length
+        val cnorms = new Array[Double](nc)
+        var c = 0
+        while (c < nc) {
+          val cv = cands(c)._2
+          var nn = 0.0
+          var i = 0
+          while (i < dim) { nn += cv(i) * cv(i); i += 1 }
+          cnorms(c) = math.sqrt(nn)
+          c += 1
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var b0 = 0
+        while (b0 < ids.length) {
+          val b1 = math.min(b0 + Block, ids.length)
+          var ci = 0
+          while (ci < nc) {
+            val candId = cands(ci)._1
+            val cv = cands(ci)._2
+            val cnorm = cnorms(ci)
+            var j = b0
+            while (j < b1) {
+              if (ids(j) < candId) {
+                val off = j * dim
+                var a0 = 0.0; var a1 = 0.0; var a2 = 0.0; var a3 = 0.0
+                var k = 0
+                val d4 = dim - 3
+                while (k < d4) {
+                  a0 += cv(k) * flat(off + k)
+                  a1 += cv(k + 1) * flat(off + k + 1)
+                  a2 += cv(k + 2) * flat(off + k + 2)
+                  a3 += cv(k + 3) * flat(off + k + 3)
+                  k += 4
+                }
+                while (k < dim) { a0 += cv(k) * flat(off + k); k += 1 }
+                val dot = (a0 + a1) + (a2 + a3)
+                if (dot > threshold * norms(j) * cnorm) {
+                  val cos = BigDecimal(dot / (norms(j) * cnorm))
+                    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                  out += ((ids(j), candId, cos))
+                }
+              }
+              j += 1
+            }
+            ci += 1
+          }
+          b0 = b1
+        }
+        out.iterator
+      }
+    }.toDF("probe_id", "cand_id", "cosine")
   }
 
   /** Build-and-search in one call (tests/declared query convenience). */

@@ -48,6 +48,26 @@ object Similarity {
         org.apache.spark.sql.GraftExpressionBridge.expressionOf(a),
         org.apache.spark.sql.GraftExpressionBridge.expressionOf(b)))
 
+  /** Dot product with four independent accumulators — the quadratic
+    * PRESCREEN path only (threshold compares + 6-dp rounded reports):
+    * ~n·ε accumulation-order deviation from the sequential fold, ~2× the
+    * throughput (latency-chain bound; see graft.functions
+    * .DotProductUnrolled). Oracled/pinned paths use [[dotNative]]. */
+  def dotUnrolled(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftExpressionBridge.columnOf(
+      graft.functions.DotProductUnrolled(
+        org.apache.spark.sql.GraftExpressionBridge.expressionOf(a),
+        org.apache.spark.sql.GraftExpressionBridge.expressionOf(b)))
+
+  /** Squared Euclidean distance via the native codegen'd expression —
+    * the IVF routing hot loop (bit-identical to the HOF fold it
+    * replaced; see graft.functions.SqDist). */
+  def sqDistNative(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftExpressionBridge.columnOf(
+      graft.functions.SqDist(
+        org.apache.spark.sql.GraftExpressionBridge.expressionOf(a),
+        org.apache.spark.sql.GraftExpressionBridge.expressionOf(b)))
+
   /** Brute-force top-k cosine neighbors for each probe row, window-rank
     * formulation: shuffles every (probe, candidate) score to sort it.
     * Kept as the reference implementation [[bruteForceKnnAgg]] is pinned

@@ -658,6 +658,28 @@ class DataPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.6, s"IVF near-dup recall $recall < 0.6 (${ivf.size}/${exact.size})")
   }
 
+  test("blocked near-dup kernel is bit-identical to the Catalyst join path") {
+    // the big-pair-volume regime dispatches to the packed-array kernel
+    // (r14; measured 18.5 → 4.3 s at sf10) — same 4-accumulator fold,
+    // same hoisted norms, same HALF_UP 6-dp rounding, so the two paths
+    // must agree EXACTLY, not approximately
+    val emb = Tables(spark, sf, "embeddings")
+    val probes = emb.filter(col("vec_id") % 10 === 0)
+    val index = IvfIndex.build(emb, nClusters = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // spec-scale volume is far below the dispatch floor, so the declared
+    // query takes the join path — drive the kernel directly on the same
+    // routed frame
+    val joined = rows(IvfIndex.nearDupPairs(index, probes, threshold = 0.3, nProbe = 4))
+    val kernel = rows(IvfIndex.nearDupPairsBlocked(index,
+      IvfIndex.route(index, probes, nProbe = 4), threshold = 0.3))
+    assert(kernel == joined,
+      s"kernel/join drift: only-kernel=${(kernel -- joined).take(3)}, only-join=${(joined -- kernel).take(3)}")
+    assert(kernel.nonEmpty, "spec corpus must produce near-dup pairs")
+    index.unpersist()
+  }
+
   test("top-k Aggregator output equals the window-rank formulation exactly") {
     val emb = Tables(spark, sf, "embeddings")
     val probes = emb.filter(col("vec_id") < 7)
@@ -680,6 +702,26 @@ class DataPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
       Similarity.cosineHof(col("pe"), col("e")).as("hof")).collect()
     assert(rows.length > 0)
     // bit-identical, not approximately equal — same accumulation order
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        s"vec ${r.getLong(0)}: native ${r.getDouble(1)} != hof ${r.getDouble(2)}")
+    }
+  }
+
+  test("native codegen SqDist is bit-identical to the higher-order formulation") {
+    // routing decisions (incl. ties) must be unchanged by the r14 codegen
+    // swap in IvfIndex.route — same per-element expression, same fold order
+    val emb = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(col("e").as("pe")).crossJoin(emb)
+    val rows = probe.select(
+      col("vec_id"),
+      Similarity.sqDistNative(col("pe"), col("e")).as("native"),
+      aggregate(zip_with(col("pe"), col("e"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (a, v) => a + v).as("hof")).collect()
+    assert(rows.length > 0)
     rows.foreach { r =>
       assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
         java.lang.Double.doubleToLongBits(r.getDouble(2)),
