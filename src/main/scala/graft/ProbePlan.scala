@@ -24,8 +24,21 @@ object ProbePlan {
           Console.err.println(f"[stage] ${si.stageId}%4d ${si.numTasks}%4d tasks ${run}%8.1f s-cpu  ${si.name.take(80)}")
       }
     })
+    // "__adc": the raw batch ADC search st_stream_ann runs per micro-batch,
+    // built directly so its executed plan is inspectable (foreachBatch
+    // hides the inner query from the outer explain)
+    def build(): org.apache.spark.sql.DataFrame =
+      if (name == "__adc") {
+        import org.apache.spark.sql.functions._
+        val emb = graft.data.Tables(spark, sfDir, "embeddings")
+        val ivf = graft.llm.IvfIndex.cachedIndexFor(sfDir, emb, nClusters = 8)
+        val model = graft.llm.PqIndex.cachedIvfPq(sfDir, ivf, emb, m = 8, ksub = 16, nClusters = 8)
+        graft.llm.PqIndex.searchIvfPqResidual(ivf, model,
+          emb.filter(col("vec_id") % 200 === 7).select("vec_id", "embedding"),
+          emb, k = 10, shortlist = 50, nProbe = 4)
+      } else SparkEntry.queries(name)(spark, sfDir)
     for (i <- 1 to reps) {
-      val df = SparkEntry.queries(name)(spark, sfDir)
+      val df = build()
       val t0 = System.nanoTime()
       df.write.mode("overwrite").format("noop").save()
       val secs = (System.nanoTime() - t0) / 1e9

@@ -599,7 +599,19 @@ object PqIndex {
       .select(col("probe_id"), col("cell"),
         Similarity.dotNative(col("pv"), col("centroid")).as("cdot"))
       .join(p.drop("pvec"), "probe_id")
-    val approx = model.cellCodes.join(broadcast(routed), Seq("cell"))
+    // ADC-scan parallelism guard (the Dedup.fanOut idiom): the row-sized
+    // list layout can land a small corpus in fewer files than the session
+    // has cores, and the per-candidate join work (ADC + shortlist agg) is
+    // far heavier than the bytes suggest — measured 15-task stages doing
+    // 100+ s-cpu at sf10. The shuffle only fires when the layout is
+    // narrower than the parallelism, and moves only the packed code rows
+    // (~50 B each); production layouts (thousands of buckets) never pay it.
+    val par = model.cellCodes.sparkSession.sparkContext.defaultParallelism
+    val codes =
+      if (model.cellCodes.rdd.getNumPartitions < par)
+        model.cellCodes.repartition(par)
+      else model.cellCodes
+    val approx = codes.join(broadcast(routed), Seq("cell"))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("acos",
         (col("cdot") + adcDot(col("codes"), col("tbl"), ksub)) /

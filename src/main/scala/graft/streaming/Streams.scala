@@ -573,17 +573,18 @@ object Streams {
     // members — zero streaming state, so serving memory is bounded by the
     // probe batch, never the corpus. Results land per-batch under an
     // idempotent batch_N path (exactly-once via overwrite, the
-    // st_stream_sink contract). The probe rate (1/50) keeps each
-    // batch's routed broadcast in the KB-MB band at every bench decade —
-    // the micro-batching the measured qps-vs-batch curve says you want
-    // (throughput peaks at batch ~500, scale_r13/ann_qps_vec2m.json).
+    // st_stream_sink contract). The probe rate (1/100) lands each of
+    // the 4 micro-batches at ~500 probes at sf10 — the measured
+    // qps-vs-batch optimum (throughput peaks at batch ~513,
+    // scale_r13/ann_qps_vec2m.json) — with the routed broadcast in the
+    // KB-MB band at every bench decade.
     // ANN + engine-specific layout → spec gate: StreamingSuite proves
     // stream == batch (same probes, same k) across ≥2 micro-batches.
     QueryDef.noOracle("st_stream_ann") { (s, d) =>
       val emb = Tables(s, d, "embeddings")
       val ivf = graft.llm.IvfIndex.cachedIndexFor(d, emb, nClusters = 8)
       val model = graft.llm.PqIndex.cachedIvfPq(d, ivf, emb, m = 8, ksub = 16, nClusters = 8)
-      val probes = emb.filter(col("vec_id") % 50 === 7)
+      val probes = emb.filter(col("vec_id") % 100 === 7)
         .select("vec_id", "embedding")
       // land the probe set as a 4-file dir so the file source genuinely
       // streams it as 4 micro-batches (maxFilesPerTrigger = 1)

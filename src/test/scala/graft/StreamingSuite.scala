@@ -54,7 +54,7 @@ class StreamingSuite extends AnyFunSuite {
     val ivf = graft.llm.IvfIndex.cachedIndexFor(sf, emb, nClusters = 8)
     val model = graft.llm.PqIndex.cachedIvfPq(sf, ivf, emb, m = 8, ksub = 16, nClusters = 8)
     val batch = graft.llm.PqIndex.searchIvfPqResidual(ivf, model,
-      emb.filter(col("vec_id") % 50 === 7).select("vec_id", "embedding"),
+      emb.filter(col("vec_id") % 100 === 7).select("vec_id", "embedding"),
       emb, k = 10, shortlist = 50, nProbe = 4)
     assert(streamed == rows(batch), "streamed ANN results must equal the batch search")
     assert(stream.count() > 0)
