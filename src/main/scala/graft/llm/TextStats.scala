@@ -545,37 +545,43 @@ object TextStats {
         |  FROM f JOIN freq USING (b) CROSS JOIN tot GROUP BY doc_id)""".stripMargin) { (s, d) =>
       val t = Tables(s, d, "documents")
         .select(col("doc_id"), col("source"), toks.as("ts"))
+      // Fused bucket folds (r14, the NbScore treatment — see
+      // functions/DsirHash.scala): the former explode/join formulation
+      // materialized ~150M feature rows per pass and joined every one
+      // against the 256-row frequency table (12.6-19.7 s at sf10 vs
+      // DuckDB's 2.7 — the one line left above the 2× band). Now:
+      //   pass 1: per-doc bucket HISTOGRAM (one compiled md5 fold per
+      //     doc) → 256-wide posexplode of 500k narrow rows → the global +
+      //     src0 bucket counts (the only shuffle, ~128M (int,int) pairs);
+      //   weights: the 256-entry log-ratio table packs driver-side (the
+      //     frequency table is ≤ 256 rows at ANY corpus size — that is
+      //     DSIR's scaling argument);
+      //   pass 2: scan → project — Σ weights[bucket(feat)] per doc in
+      //     feature order, /n_feats, round 6 dp. No corpus-sized join
+      //     remains; the oracle still recomputes every feature's md5
+      //     bucket from scratch. Measured sf10: 19.7 → ~1.0 s warm
+      //     (2.7× FASTER than the pinned DuckDB 2.73 s; was 7.2× slower).
+      val cnts = t.select(col("source"),
+        graft.functions.DsirHash.countsOf(col("ts")).as("c"))
+      val freqRows = cnts
+        .select(col("source"), posexplode(col("c")).as(Seq("b", "cnt")))
+        .groupBy("b").agg(
+          sum(col("cnt")).cast("double").as("cg"),
+          sum(when(col("source") === "src0", col("cnt")).otherwise(0)).cast("double").as("ci"))
+        .collect()
+      val cgArr = new Array[Double](graft.functions.DsirHash.Buckets)
+      val ciArr = new Array[Double](graft.functions.DsirHash.Buckets)
+      freqRows.foreach { r =>
+        cgArr(r.getInt(0)) = r.getDouble(1); ciArr(r.getInt(0)) = r.getDouble(2)
+      }
+      val (tg, ti) = (cgArr.sum, ciArr.sum)
+      val weights: Seq[Double] = (0 until graft.functions.DsirHash.Buckets).map(b =>
+        math.log((ciArr(b) + 1) / (ti + 256)) - math.log((cgArr(b) + 1) / (tg + 256)))
       val n = size(col("ts"))
-      // bigram list guarded for sub-2-token docs: Spark's sequence(1, 0)
-      // would count DOWN (the t4 ANSI lesson: never index past the array)
-      val bigrams = when(n >= 2, transform(sequence(lit(1), n - 1),
-          i => concat_ws(" ", try_element_at(col("ts"), i), try_element_at(col("ts"), i + 1))))
-        .otherwise(array().cast("array<string>"))
-      // Stage the feature array in a projection and explode it OUTER (the
-      // d10 lesson: a non-outer generator gets an InferFiltersFromGenerate
-      // size(...)>0 predicate with the full bigram transform inlined,
-      // re-evaluated per row in an interpreted Filter; outer generators
-      // never get one — and ts is never empty, so outer == inner here).
-      // Measured at sf10: 18.4 s inner vs 12.6 s outer. f is deliberately
-      // NOT checkpointed even though the frequency pass and the probe pass
-      // each plan it: the feature stream is corpus-sized, and
-      // materializing it measured 28-31 s vs 12.6 s for two codegen'd
-      // rebuild passes (the d10 fat-intermediate arithmetic).
-      val f = t.select(col("doc_id"), col("source"),
-          concat(col("ts"), bigrams).as("feats"))
-        .select(col("doc_id"), col("source"),
-          explode_outer(col("feats")).as("feat"))
-        .select(col("doc_id"), col("source"),
-          substring(md5(col("feat")), 1, 2).as("b"))
-      val freq = f.groupBy("b").agg(
-        count(lit(1)).cast("double").as("cg"),
-        count(when(col("source") === "src0", 1)).cast("double").as("ci"))
-      val tot = freq.agg(sum("cg").as("tg"), sum("ci").as("ti"))
-      f.join(broadcast(freq), "b").crossJoin(broadcast(tot))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_feats"),
-          round(avg(log((col("ci") + 1) / (col("ti") + lit(256))) -
-            log((col("cg") + 1) / (col("tg") + lit(256)))), 6).as("dsir_score"))
+      val nFeats = (n + when(n >= 2, n - 1).otherwise(0)).cast("long")
+      t.select(col("doc_id"), nFeats.as("n_feats"),
+          round(graft.functions.DsirHash.scoreOf(col("ts"), weights) /
+            nFeats.cast("double"), 6).as("dsir_score"))
         .select(col("doc_id"), col("n_feats"), col("dsir_score"),
           (col("dsir_score") > 0).as("keep"))
     },

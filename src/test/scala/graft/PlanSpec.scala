@@ -466,14 +466,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("Window"), s"p8: small-n path lost its window plan:\n$p")
   }
 
-  test("t16 DSIR: fixed-size feature table rides broadcasts, no vocab-sized join shuffle") {
+  test("t16 DSIR: score pass is scan -> project — no join, no generator (r14 fused fold)") {
     val p = plan("t16_dsir_weights")
-    // the ≤256-row bucket-frequency table must broadcast-join the feature
-    // stream (t15's vocab-sized table can't make this promise at 100 TB)
-    assert(p.contains("BroadcastHashJoin"),
-      s"t16: bucket frequencies must ride a broadcast join:\n$p")
-    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
-      s"t16: a corpus-sized shuffle join crept into the score pass:\n$p")
+    // the ≤256-entry log-ratio table packs into the dsir_score literal
+    // (the NbScore idiom), so the score pass has NO join of any kind and
+    // no explode — scan → project, the strongest form of the old
+    // "fixed-size table rides broadcasts" promise (t15's vocab-sized
+    // table still can't make it at 100 TB)
+    assert(p.contains("dsir_score"), s"t16: fused scorer missing:\n$p")
+    assert(!p.contains("Join"), s"t16: a join crept into the score pass:\n$p")
+    assert(!p.contains("Generate"), s"t16: an explode crept into the score pass:\n$p")
   }
 
   test("t17 perplexity: count tables hash-join the bigram stream, vocab scalar broadcasts") {
