@@ -80,12 +80,5 @@ object MasterEnv {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.files.openCostInBytes", (128L * 1024 * 1024).toString)
-      // ObjectHashAggregate (the typed TopK aggregator's exec) falls back
-      // to SORT-based aggregation after this many distinct keys per
-      // partition; the 128 default silently turned every ADC shortlist
-      // pass with >128 probes into a full sort of the candidate stream
-      // (measured ~3 µs/row at sf10 — the sort, not the aggregation).
-      // TopK buffers are ≤ k tuples, so even 100k in-flight keys are ~MBs.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "100000")
       .config("spark.ui.enabled", "false")
 }
