@@ -105,6 +105,102 @@ object AnnCurve {
       return
     }
 
+    // preset `compact` (r15, verdict ask #5): the decade-up maintenance
+    // story — base index on day-1, TWO appended batches (timed each: the
+    // flatness-in-batch-number evidence), the operating-point probe run
+    // PRE-compaction, then compactIvfPq and the SAME probe run POST —
+    // asserted pair-for-pair identical — plus file counts (the
+    // consolidation the job exists for). Probes hit the PERSISTED store
+    // via loadIvfPq both times, so the comparison includes the two-zone
+    // read path, not just in-memory frames.
+    if (preset == "compact") {
+      val day1 = emb.filter(col("vec_id") % 97 =!= 3 && col("vec_id") % 97 =!= 7)
+      val day2 = emb.filter(col("vec_id") % 97 === 3)
+      val day3 = emb.filter(col("vec_id") % 97 === 7)
+      val (nD2, nD3) = (day2.count(), day3.count())
+      val (ivfA, tIvfA) = timed(IvfIndex.build(day1, 256, maxIter = 10))
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_anncurve_ivfpq_compact"
+      graft.streaming.Streams.deleteRecursively(new java.io.File(dir))
+      val (m, ksub, nProbe, shortlist) = (32, 64, 8, 200)
+      val (_, tBase) = timed {
+        val built = PqIndex.buildIvfPq(ivfA, day1, m, ksub)
+        PqIndex.saveIvfPq(built, dir)
+        built.unpersist()
+      }
+      val base = PqIndex.loadIvfPq(spark, dir)
+      val (afterB1, tA1) = timed(PqIndex.appendIvfPq(ivfA, base, day2, dir, batchId = 1))
+      val cProbes = emb.filter(col("vec_id") % (97L * 500L) === 3)
+      val nCProbes = cProbes.count()
+      require(nCProbes > 0, "compact preset needs the big vector corpus")
+      def probeRun(): (Set[(Long, Long)], Double) = {
+        // fresh loadIvfPq per run — the serving shape (st_stream_ann's
+        // micro-batches re-plan from the persisted store each trigger),
+        // so the measurement includes the zone-listing path that
+        // concurrent appends mutate
+        val model = PqIndex.loadIvfPq(spark, dir)
+        timed(pairSet(PqIndex.searchIvfPqResidual(
+          ivfA, model, cProbes, emb, k = 10, shortlist = shortlist, nProbe = nProbe)))
+      }
+      // ---- SERVE-WHILE-APPEND (r14 ask #7, measured): baseline qps on
+      // the 1-batch store, then probe continuously while batch 2 lands on
+      // a separate thread — every in-flight result must classify as
+      // pre-batch or post-batch (the staged-rename publish guarantee),
+      // and the during-append qps quantifies the serving tax ----
+      val (preB2, tBaseline) = probeRun()
+      @volatile var appendErr: Option[Throwable] = None
+      @volatile var tA2 = 0.0
+      val appender = new Thread(() =>
+        try { val (_, t) = timed(PqIndex.appendIvfPq(ivfA, afterB1, day3, dir, batchId = 2)); tA2 = t }
+        catch { case e: Throwable => appendErr = Some(e) })
+      appender.start()
+      val during = scala.collection.mutable.ArrayBuffer.empty[(Set[(Long, Long)], Double)]
+      while (appender.isAlive) during += probeRun()
+      appender.join()
+      require(appendErr.isEmpty, s"concurrent append failed: $appendErr")
+      val (postB2, tAfter) = probeRun()
+      val torn = during.count(r => r._1 != preB2 && r._1 != postB2)
+      require(torn == 0, s"$torn of ${during.size} concurrent probes saw a torn store")
+      val qpsBaseline = math.rint(nCProbes / tBaseline * 100) / 100
+      val qpsDuring =
+        if (during.isEmpty) 0.0
+        else math.rint(nCProbes * during.size / during.map(_._2).sum * 100) / 100
+      val qpsAfter = math.rint(nCProbes / tAfter * 100) / 100
+      def countFiles(p: String): Int = {
+        def rec(f: java.io.File): Int =
+          if (!f.isDirectory) (if (f.getName.endsWith(".parquet")) 1 else 0)
+          else f.listFiles().map(rec).sum
+        rec(new java.io.File(p))
+      }
+      val (pre, tPre) = probeRun()
+      val filesPre = countFiles(dir)
+      val (_, tCompact) = timed(PqIndex.compactIvfPq(spark, dir, upTo = 2))
+      val (post, tPost) = probeRun()
+      val filesPost = countFiles(dir)
+      require(post == pre,
+        s"probe results changed across compaction: pre=${pre.size} post=${post.size}")
+      val json =
+        s"""{"sf_dir":"$sfDir","n_day1":${nVec - nD2 - nD3},"n_batch1":$nD2,"n_batch2":$nD3,
+           |"base_build_save_s":${math.rint((tIvfA + tBase) * 100) / 100},
+           |"append_b1_s":${math.rint(tA1 * 100) / 100},
+           |"append_b2_s":${math.rint(tA2 * 100) / 100},
+           |"compact_s":${math.rint(tCompact * 100) / 100},
+           |"probe_pre_s":${math.rint(tPre * 100) / 100},
+           |"probe_post_s":${math.rint(tPost * 100) / 100},
+           |"files_pre":$filesPre,"files_post":$filesPost,
+           |"probe_identical":true,"n_probe":$nProbe,"shortlist":$shortlist,
+           |"serve_while_append":{"probes_per_run":$nCProbes,
+           |"qps_baseline":$qpsBaseline,"qps_during_append":$qpsDuring,
+           |"qps_after_append":$qpsAfter,"runs_during_append":${during.size},
+           |"torn_results":0}}"""
+          .stripMargin.replace("\n", "")
+      println(s"[ann_compact] a1=${tA1}s a2=${tA2}s compact=${tCompact}s " +
+        s"files $filesPre->$filesPost probe ${tPre}->${tPost}s identical=true " +
+        s"qps base=$qpsBaseline during=$qpsDuring after=$qpsAfter")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+      spark.stop()
+      return
+    }
+
     // exact truth: brute-force cosine top-10 (bounded-heap aggregator).
     // The cold preset defers it so the page-cache state around BOTH arms
     // is controlled explicitly inside the branch.

@@ -12,7 +12,50 @@ import org.apache.spark.sql.SparkSession
   *     not charged to whichever query happens to run first.
   */
 object Bench {
+
+  /** Canonical bench heap in GiB. Every committed baseline artifact runs at
+    * this -Xmx; runs at other heaps sit in a different G1 regime (measured
+    * ~+7% suite-wide at 96 GiB, r14 dual-condition artifacts) and are not
+    * like-for-like. */
+  private val CanonicalHeapGb = 8.0
+
+  /** Retire heap sensitivity AT THE SOURCE (r14 ask #8): when this JVM was
+    * launched with a heap far from the canonical 8 GiB (the per-round
+    * driver overrides SPARK_DRIVER_MEM to ~89 GiB), re-exec the bench into
+    * a child JVM pinned to the canonical heap — same classpath, same
+    * module flags, same env — and stream its output through. The child's
+    * JSON then compares to any committed canonical artifact directly; the
+    * launch condition is recorded in-band (launch_heap_gb) instead of
+    * reconstructed by archaeology. Opt out with SPARK_GRAFT_NO_HEAP_PIN=1
+    * (how the dual-condition heap studies are run). */
+  private def reexecPinnedHeap(): Option[Int] = {
+    val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
+    val optOut = sys.env.contains("SPARK_GRAFT_NO_HEAP_PIN") ||
+      sys.env.contains("SPARK_GRAFT_HEAP_PINNED")
+    if (optOut || math.abs(heapGb - CanonicalHeapGb) < 1.0) None
+    else {
+      val javaBin = s"${sys.props("java.home")}/bin/java"
+      val inherited = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.toArray.map(_.toString)
+        .filterNot(a => a.startsWith("-Xmx") || a.startsWith("-Xms"))
+      val cmd = Seq(javaBin) ++ inherited ++ Seq(
+        s"-Xmx${CanonicalHeapGb.toInt}g",
+        // explicit G1 pause target: the JDK default (200ms) is implicit —
+        // pinning it keeps the child's GC regime stable across JDK builds
+        "-XX:+UseG1GC", "-XX:MaxGCPauseMillis=200",
+        "-cp", sys.props("java.class.path"), "graft.Bench")
+      Console.err.println(
+        f"[bench] launch heap $heapGb%.1f GiB != canonical $CanonicalHeapGb%.0f GiB - re-execing pinned child JVM")
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_HEAP_PINNED", "1")
+      pb.environment().put("SPARK_GRAFT_LAUNCH_HEAP_GB", f"$heapGb%.1f")
+      pb.inheritIO()
+      Some(pb.start().waitFor())
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    reexecPinnedHeap().foreach(rc => sys.exit(rc))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // NOTE on AQE sizing, measured on the 10× scale corpus: widening
@@ -139,12 +182,21 @@ object Bench {
     // 16 GiB, same plan). Release them right after their last consumer
     // instead of only at end of run; the release runs OUTSIDE the timed
     // window because it is suite lifecycle, not any query's own cost.
-    val lastDedupCacheConsumer: String =
-      graft.llm.Incremental.entries.last.name
+    // Keyed on the last CONSUMER PRESENT IN THIS RUN, not the unfiltered
+    // family tail: a SPARK_GRAFT_ONLY filter that excludes the final
+    // Incremental query (while including later families) would otherwise
+    // keep the pinned blocks alive all run — reintroducing the late-suite
+    // GC tax on exactly the local-iteration runs used to chase it.
+    val runNames: Seq[String] = SparkEntry.allEntries.map(_.name)
+      .filter(name => only.forall(_.contains(name)))
+    val dedupCacheConsumers: Set[String] =
+      (graft.llm.Dedup.entries ++ graft.llm.Pipeline.entries ++
+        graft.llm.Incremental.entries).map(_.name).toSet
+    val lastDedupCacheConsumer: Option[String] =
+      runNames.reverse.find(dedupCacheConsumers.contains)
     val results: scala.collection.immutable.ListMap[String, Double] =
       scala.collection.immutable.ListMap.from(
-        SparkEntry.allEntries.map(_.name)
-          .filter(name => only.forall(_.contains(name)))
+        runNames
           .map { name =>
             // stderr progress line per query: when a run dies mid-suite
             // (OOM, heartbeat starvation), the log self-attributes the
@@ -163,7 +215,7 @@ object Bench {
             // sf10 suite (t14's gram-count frame is ~GBs there)
             graft.data.Frames.releaseTracked()
             val secs = (System.nanoTime() - t0) / 1e9
-            if (name == lastDedupCacheConsumer) graft.llm.Dedup.releaseCaches()
+            if (lastDedupCacheConsumer.contains(name)) graft.llm.Dedup.releaseCaches()
             Console.err.println(
               String.format(java.util.Locale.ROOT, "[bench] done %s %.2f s", name, Double.box(secs)))
             name -> secs
@@ -182,11 +234,58 @@ object Bench {
     // GC-shaped, so runs at different -Xmx are not like-for-like (measured
     // sf1 d0_cache_build 14.5 s at one heap vs 65.5 s at another, same code)
     val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
+    // --- self-normalizing summary (r14 ask #3) -----------------------------
+    // Per-calibration-class subtotals and their ratios to the matching
+    // calibration measurement, IN BAND: two bench artifacts are compared by
+    // ratio (work per unit of measured machine speed), not by raw seconds —
+    // no more post-hoc archaeology over heap/load/disk conditions.
+    //   io class     = lines dominated by writing persisted state (sinks,
+    //                  layouts, ledger/index builds+appends+compactions);
+    //                  denominator: seconds the 256 MB fsync'd calibration
+    //                  write took (mean of first/last probe);
+    //   stream class = st_stream_* lines (micro-batch machinery + state
+    //                  store IO; reported as its own subtotal, normalized
+    //                  by the CPU calib like the cpu class);
+    //   cpu class    = everything else; denominator: the constant-work CPU
+    //                  calibration query (mean of first/last probe).
+    val ioClass: Set[String] = Set(
+      "s5_sink_roundtrip", "s7_jsonl_roundtrip", "s8_partition_layout",
+      "s9_schema_evolution", "s11_orc_write", "s11_orc_roundtrip",
+      "s12_tfrecord_roundtrip", "s13_zorder_layout", "j12_bucket_layout",
+      "x4_shard_export", "d0_cache_build", "d0b_shingle_cache",
+      "x11_ledger_build", "x11c_ledger_append", "x11d_ledger_append",
+      "x11e_ledger_compact", "sim_ivf_build", "sim_semdedup_build",
+      "sim_ivfpqr_append", "sim_ivfpqr_compact", "st_stream_sink")
+    def classOfQuery(n: String): String =
+      if (ioClass.contains(n)) "io"
+      else if (n.startsWith("st_stream")) "stream"
+      else "cpu"
+    val classTotals: Map[String, Double] =
+      results.toSeq.groupBy { case (n, _) => classOfQuery(n) }
+        .map { case (c, kv) => c -> kv.map(_._2).sum }
+        .withDefaultValue(0.0)
+    val cpuCalibMean = (calibFirst + calibLast) / 2
+    val ioCalibSecsMean = (256.0 / ioFirst + 256.0 / ioLast) / 2
+    val classRatios: Seq[(String, Double)] = Seq(
+      "cpu" -> classTotals("cpu") / cpuCalibMean,
+      "io" -> classTotals("io") / ioCalibSecsMean,
+      "stream" -> classTotals("stream") / cpuCalibMean)
+    def jobj(kv: Seq[(String, Double)]): String =
+      kv.map { case (k, v) => s"\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
+    val normalized =
+      s""""class_totals":${jobj(Seq("cpu", "io", "stream").map(c => c -> classTotals(c)))},""" +
+      s""""calib_class_ratios":${jobj(classRatios)}"""
+    // heap this process was LAUNCHED under before the canonical-heap
+    // re-exec, when that happened — the in-band record of the original
+    // condition (heap_gb is the condition the numbers were measured at)
+    val launchHeap = sys.env.get("SPARK_GRAFT_LAUNCH_HEAP_GB")
+      .map(h => s""""launch_heap_gb":${jstr(h)},""").getOrElse("")
     val contention =
-      s""""heap_gb":${jnum(heapGb)},""" +
+      s""""heap_gb":${jnum(heapGb)},$launchHeap""" +
       s""""loadavg_before":${jnum(loadBefore)},"loadavg_after":${jnum(loadAfter)},""" +
       s""""calib_first_s":${jnum(calibFirst)},"calib_last_s":${jnum(calibLast)},""" +
-      s""""io_calib_first_mb_s":${jnum(ioFirst)},"io_calib_last_mb_s":${jnum(ioLast)}"""
+      s""""io_calib_first_mb_s":${jnum(ioFirst)},"io_calib_last_mb_s":${jnum(ioLast)},""" +
+      normalized
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + jnum(v) }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }

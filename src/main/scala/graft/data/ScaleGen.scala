@@ -54,6 +54,12 @@ object ScaleGen {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/graft_scale/sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    // optional comma-separated table filter (arg 3): a decade-up probe of
+    // ONE operator family shouldn't pay a full-corpus generation — e.g.
+    // the r15 sf100 day-N proof needs `documents` (5M docs) but not the
+    // 600M-row lineitem that factor would imply
+    val tableFilter = args.lift(3).map(_.split(",").map(_.trim).toSet)
+    def want(t: String): Boolean = tableFilter.forall(_.contains(t))
 
     val spark = SparkSession.builder()
       .appName("graft-scalegen")
@@ -81,7 +87,7 @@ object ScaleGen {
       math.min(cap, math.max(base, (base.toLong * factor / 10).toInt))
 
     // --- dims: copy unchanged ---------------------------------------------
-    for (t <- Seq("region", "nation", "customer", "supplier", "part"))
+    for (t <- Seq("region", "nation", "customer", "supplier", "part") if want(t))
       write(spark.read.parquet(s"$src/$t.parquet"), t, 1)
     // --- events: replicate with USER-key offsets --------------------------
     // (round 9; previously copied unchanged, which left streaming state
@@ -94,34 +100,39 @@ object ScaleGen {
     // round-trips in whichever physical layout the source has
     // (TIMESTAMP(MICROS) natively; TIMESTAMP(NANOS) as int64 under
     // nanosAsLong) — Tables' schema-adaptive read handles both.
-    val events = spark.read.parquet(s"$src/events.parquet")
-    val userSpan = events.agg(max("user_id")).as[Long].head() + 1L
-    val eventSpan = events.agg(max("event_id")).as[Long].head() + 1L
-    val evReplicas = spark.range(factor).select(col("id").as("rep"))
-    write(
-      events.crossJoin(broadcast(evReplicas))
-        .withColumn("user_id", col("user_id") + col("rep") * userSpan)
-        .withColumn("event_id", col("event_id") + col("rep") * eventSpan)
-        .drop("rep").select(events.columns.map(col).toSeq: _*),
-      "events", scaled(2, 16))
+    if (want("events")) {
+      val events = spark.read.parquet(s"$src/events.parquet")
+      val userSpan = events.agg(max("user_id")).as[Long].head() + 1L
+      val eventSpan = events.agg(max("event_id")).as[Long].head() + 1L
+      val evReplicas = spark.range(factor).select(col("id").as("rep"))
+      write(
+        events.crossJoin(broadcast(evReplicas))
+          .withColumn("user_id", col("user_id") + col("rep") * userSpan)
+          .withColumn("event_id", col("event_id") + col("rep") * eventSpan)
+          .drop("rep").select(events.columns.map(col).toSeq: _*),
+        "events", scaled(2, 16))
+    }
 
     // --- facts: replicate with key offsets --------------------------------
-    val orders = spark.read.parquet(s"$src/orders.parquet")
-    val lineitem = spark.read.parquet(s"$src/lineitem.parquet")
-    val span = orders.agg(max("o_orderkey")).as[Long].head() + 1L
-    val replicas = spark.range(factor).select(col("id").as("rep"))
-    write(
-      orders.crossJoin(broadcast(replicas))
-        .withColumn("o_orderkey", col("o_orderkey") + col("rep") * span)
-        .drop("rep").select(orders.columns.map(col).toSeq: _*),
-      "orders", scaled(4, 32))
-    write(
-      lineitem.crossJoin(broadcast(replicas))
-        .withColumn("l_orderkey", col("l_orderkey") + col("rep") * span)
-        .drop("rep").select(lineitem.columns.map(col).toSeq: _*),
-      "lineitem", scaled(8, 64))
+    if (want("orders") || want("lineitem")) {
+      val orders = spark.read.parquet(s"$src/orders.parquet")
+      val lineitem = spark.read.parquet(s"$src/lineitem.parquet")
+      val span = orders.agg(max("o_orderkey")).as[Long].head() + 1L
+      val replicas = spark.range(factor).select(col("id").as("rep"))
+      if (want("orders")) write(
+        orders.crossJoin(broadcast(replicas))
+          .withColumn("o_orderkey", col("o_orderkey") + col("rep") * span)
+          .drop("rep").select(orders.columns.map(col).toSeq: _*),
+        "orders", scaled(4, 32))
+      if (want("lineitem")) write(
+        lineitem.crossJoin(broadcast(replicas))
+          .withColumn("l_orderkey", col("l_orderkey") + col("rep") * span)
+          .drop("rep").select(lineitem.columns.map(col).toSeq: _*),
+        "lineitem", scaled(8, 64))
+    }
 
     // --- documents: synthesize at observed statistics ---------------------
+    if (want("documents")) {
     val srcDocs = spark.read.parquet(s"$src/documents.parquet")
     val nDocs = srcDocs.count() * factor
     // base vocab = observed tokens minus the "dup" mutation marker
@@ -163,8 +174,10 @@ object ScaleGen {
       }
     }.toDF("doc_id", "text", "lang", "source", "n_chars")
     write(docs, "documents", scaled(8, 64))
+    }
 
     // --- embeddings: 10 seeded spherical clusters -------------------------
+    if (want("embeddings")) {
     val srcEmb = spark.read.parquet(s"$src/embeddings.parquet")
     val nVecs = srcEmb.count() * factor
     val dim = 64
@@ -188,9 +201,10 @@ object ScaleGen {
       }
     }.toDF("vec_id", "embedding", "label")
     write(embs, "embeddings", scaled(4, 64))
+    }
 
     // summary line for the generation log
-    val counts = Tables.names.map { t =>
+    val counts = Tables.names.filter(want).map { t =>
       t -> spark.read.parquet(s"$out/$t.parquet").count()
     }
     println("SCALEGEN " + counts.map { case (t, c) => s"$t=$c" }.mkString(" "))

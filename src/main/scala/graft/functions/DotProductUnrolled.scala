@@ -65,24 +65,32 @@ final case class DotProductUnrolled(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
-      val acc = ctx.freshName("acc")
+      // four INDEPENDENT fresh names: suffixing one freshName("acc") with
+      // 0..3 can collide with a later freshName in the same codegen context
+      // (e.g. acc_1 + "0" == a legitimate acc_10), which janino rejects and
+      // whole-stage silently falls back to interpreted — forfeiting the
+      // measured 2× this expression exists for
+      val acc0 = ctx.freshName("acc0")
+      val acc1 = ctx.freshName("acc1")
+      val acc2 = ctx.freshName("acc2")
+      val acc3 = ctx.freshName("acc3")
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double ${acc}0 = 0.0, ${acc}1 = 0.0, ${acc}2 = 0.0, ${acc}3 = 0.0;
+         |  double $acc0 = 0.0, $acc1 = 0.0, $acc2 = 0.0, $acc3 = 0.0;
          |  int $i = 0;
          |  for (; $i < $n - 3; $i += 4) {
-         |    ${acc}0 += $a.getDouble($i) * $b.getDouble($i);
-         |    ${acc}1 += $a.getDouble($i + 1) * $b.getDouble($i + 1);
-         |    ${acc}2 += $a.getDouble($i + 2) * $b.getDouble($i + 2);
-         |    ${acc}3 += $a.getDouble($i + 3) * $b.getDouble($i + 3);
+         |    $acc0 += $a.getDouble($i) * $b.getDouble($i);
+         |    $acc1 += $a.getDouble($i + 1) * $b.getDouble($i + 1);
+         |    $acc2 += $a.getDouble($i + 2) * $b.getDouble($i + 2);
+         |    $acc3 += $a.getDouble($i + 3) * $b.getDouble($i + 3);
          |  }
          |  for (; $i < $n; $i++) {
-         |    ${acc}0 += $a.getDouble($i) * $b.getDouble($i);
+         |    $acc0 += $a.getDouble($i) * $b.getDouble($i);
          |  }
-         |  ${ev.value} = (${acc}0 + ${acc}1) + (${acc}2 + ${acc}3);
+         |  ${ev.value} = ($acc0 + $acc1) + ($acc2 + $acc3);
          |}
        """.stripMargin
     })

@@ -47,6 +47,65 @@ object Dedup {
       |  FROM bits GROUP BY doc_id)
       |""".stripMargin
 
+  /** Shared DuckDB CTEs recomputing the ENTIRE banded-minhash pair set
+    * from scratch — the r15 oracle flip for the LSH family (the d5
+    * precedent applied to minhash): shingle fingerprints from md5 halves
+    * (signed-long assembly identical to the engine's shiftleft|OR), the 64
+    * Carter-Wegman permutations with the SAME (aᵢ,bᵢ,p) literals the
+    * engine uses ([[MinhashParams]] interpolated below), band keys as the
+    * same 16 md5 hex chars the engine buckets on, candidate pairs by
+    * band-key equality, and exact-Jaccard verification on string shingle
+    * sets. Ends with a `pairs(doc_a, doc_b, jaccard)` CTE; d3 selects it,
+    * d6b appends the recursive connected-components decision.
+    *
+    * [[minhashLshCtes]] is the embeddable form (no WITH keyword, source
+    * relation parameterized): x10b/x11b splice it into their pipeline
+    * oracles over the stage-3 survivor relation instead of `documents`. */
+  private def minhashLshPairsSql(threshold: Double): String =
+    "WITH RECURSIVE " + minhashLshCtes(threshold) + "\n"
+
+  private[graft] def minhashLshCtes(threshold: Double,
+      docsRel: String = "documents"): String = {
+    val permRows = MinhashParams.zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    s"""toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ts FROM $docsRel
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |shs AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(ts) - 1),
+       |         i -> array_to_string(ts[i:i+2], ' '))) AS shingles
+       |  FROM toks),
+       |sh AS (SELECT doc_id, unnest(shingles) AS s FROM shs),
+       |rh AS (
+       |  SELECT doc_id,
+       |         ((((CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+       |             * 4294967296 + lo) % $MinhashP) + $MinhashP) % $MinhashP AS r
+       |  FROM (SELECT doc_id,
+       |               CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS hi,
+       |               CAST(('0x' || substr(md5(s), 9, 8)) AS BIGINT) AS lo
+       |        FROM sh)),
+       |perms(i, a, b) AS (VALUES $permRows),
+       |mh AS (
+       |  SELECT doc_id, i, min((a * r + b) % $MinhashP) AS m
+       |  FROM rh CROSS JOIN perms GROUP BY doc_id, i),
+       |bk AS (
+       |  SELECT doc_id, i // 4 AS band,
+       |         substr(md5(CAST(i // 4 AS VARCHAR) || ',' ||
+       |                    string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)), 1, 16) AS k
+       |  FROM mh GROUP BY doc_id, band),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bk a JOIN bk b ON a.band = b.band AND a.k = b.k AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT doc_a, doc_b, jaccard FROM (
+       |    SELECT c.doc_a, c.doc_b,
+       |           round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+       |                 (len(a.shingles) + len(b.shingles)
+       |                  - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+       |    FROM cand c JOIN shs a ON a.doc_id = c.doc_a JOIN shs b ON b.doc_id = c.doc_b)
+       |  WHERE jaccard >= $threshold)""".stripMargin
+  }
+
   val entries: Seq[QueryDef] = Seq(
     // d0: explicit build step for the shared per-corpus caches (the
     // localCheckpoint'ed shingle arrays + the ≥ PairCacheFloor scored
@@ -207,10 +266,22 @@ object Dedup {
     // ≥0.1 pair spill exceeds local disk), while this path's pair stage
     // ran 7.4 s. A missed pair (sub-1.0 recall regime) splits a component
     // — keepers become a superset of d6's — which is the standard accepted
-    // trade of every LSH dedup pipeline. Probabilistic → no SQL oracle;
-    // DataPlaneSpec asserts group identity with d6 whenever the pair sets
-    // agree (they do on every measured corpus).
-    QueryDef.noOracle("d6b_neardup_groups_lsh") { (s, d) =>
+    // trade of every LSH dedup pipeline. ORACLED since r15 (the d3 flip):
+    // DuckDB recomputes the banded pair set itself and runs the same
+    // recursive-CTE component labeling as d6's oracle over it, so the
+    // decision is hash-checked against the engine's LSH pairs — not
+    // against d4's exact truth (that identity stays DataPlaneSpec's).
+    QueryDef("d6b_neardup_groups_lsh", minhashLshPairsSql(0.8) +
+      """, edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |r(node, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, r.label FROM r JOIN edges e ON r.node = e.src)
+        |SELECT node AS doc_id, min(label) AS component,
+        |       CAST(node = min(label) AS BOOLEAN) AS is_keeper
+        |FROM r GROUP BY node""".stripMargin) { (s, d) =>
       val docs = Tables(s, d, "documents")
       val pairs = bandedLshPairs(docs, jaccardThreshold = 0.8)
         .select("doc_a", "doc_b")
@@ -360,10 +431,27 @@ object Dedup {
     // path — the pass that stays feasible when even the batch×corpus
     // exact join leaves the budget (the bounded-vocab 100× corpus: every
     // shingle is common, so cross-candidate volume is itself ~quadratic).
-    // Probabilistic recall → no SQL oracle; DataPlaneSpec proves
-    // dup_exact identity, dup_near ⊆ exact d8's (candidates are
-    // exact-verified), and planted-dup recall.
-    QueryDef.noOracle("d8b_incremental_lsh") { (s, d) =>
+    // ORACLED since r15 (the d3 flip): DuckDB recomputes the banded pair
+    // set and derives dup_near as "batch doc with an LSH pair into the
+    // corpus" — the exact contract of incrementalDedupLsh — while
+    // dup_exact reuses d8/d9's md5 join. DataPlaneSpec keeps the
+    // cross-path guarantees (dup_near ⊆ exact d8's, planted-dup recall).
+    QueryDef("d8b_incremental_lsh", minhashLshPairsSql(0.8) +
+      """, near AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT doc_a AS doc_id, doc_b AS other FROM pairs
+        |    UNION ALL SELECT doc_b, doc_a FROM pairs)
+        |  WHERE doc_id % 7 = 0 AND other % 7 <> 0),
+        |ex AS (
+        |  SELECT DISTINCT b.doc_id
+        |  FROM documents b JOIN documents c
+        |    ON b.doc_id % 7 = 0 AND c.doc_id % 7 <> 0 AND md5(b.text) = md5(c.text))
+        |SELECT doc_id,
+        |       doc_id IN (SELECT doc_id FROM ex) AS dup_exact,
+        |       doc_id IN (SELECT doc_id FROM near) AS dup_near,
+        |       NOT (doc_id IN (SELECT doc_id FROM ex)
+        |            OR doc_id IN (SELECT doc_id FROM near)) AS keep
+        |FROM documents WHERE doc_id % 7 = 0""".stripMargin) { (s, d) =>
       incrementalDedupLsh(Tables(s, d, "documents"), col("doc_id") % 7 === 0)
     },
 
@@ -388,14 +476,18 @@ object Dedup {
       bloomIncrementalDedup(Tables(s, d, "documents"), col("doc_id") % 7 === 0)
     },
 
-    // MinHash + banded AND/OR LSH near-dup pairs (probabilistic recall →
-    // rows-only; DataPlaneSpec proves recall vs d4's exact Jaccard).
-    // NOTE (schema change vs round 1): output column is `jaccard`
-    // (similarity, kept when >= 0.8) — round 1 emitted `jaccard_dist`
-    // (distance, kept when <= 0.6); and docs under 3 tokens are excluded by
-    // the empty-shingle filter in shingleSets. Old and new d3 outputs are
-    // NOT comparable.
-    QueryDef.noOracle("d3_minhash_pairs") { (s, d) =>
+    // MinHash + banded AND/OR LSH near-dup pairs — ORACLED since r15: the
+    // md5-derived shingle fingerprint + Carter-Wegman permutations +
+    // md5-derived band keys make the FULL banded pair set (not just the
+    // verified survivors) DuckDB-recomputable, so the oracle independently
+    // re-derives every signature, band bucket, candidate, and exact-Jaccard
+    // verdict from the text (the d5/d5b precedent; r14 verdict ask #1).
+    // DataPlaneSpec still proves recall 1.0 vs d4's exact truth across
+    // three decades. NOTE (schema change vs round 1): output column is
+    // `jaccard` (similarity, kept when >= 0.8); docs under 3 tokens are
+    // excluded by the empty-shingle filter in shingleSets.
+    QueryDef("d3_minhash_pairs", minhashLshPairsSql(0.8) +
+      "SELECT doc_a, doc_b, jaccard FROM pairs") { (s, d) =>
       bandedLshPairs(Tables(s, d, "documents"), jaccardThreshold = 0.8)
     },
 
@@ -1328,20 +1420,80 @@ object Dedup {
     * × 4 rows → P(candidate | jaccard s) = 1−(1−s⁴)¹⁶: 0.9998 at s=0.8,
     * 0.64 at s=0.5, 0.025 at s=0.2 — high recall in the near-dup regime,
     * sub-quadratic candidate volume below it. */
-  val NumHashes = 64
-  val Bands     = 16
-  val BandRows  = 4
+  // final + literal = compile-time constants, inlined at use sites: the
+  // oracle-SQL strings are built while `entries` (a val declared earlier
+  // in the file) initializes, BEFORE ordinary vals down here are assigned
+  // — a non-final NumHashes read 0 there and froze MinhashParams empty
+  final val NumHashes = 64
+  final val Bands     = 16
+  final val BandRows  = 4
 
-  /** Distinct 3-shingle xxhash64 values per doc. Narrow (no shuffle).
+  /** Smallest prime above 2³² — the modulus of the Carter-Wegman minhash
+    * permutation family. The shingle fingerprint reduces to
+    * r = h mod p ∈ [0, p), and permutation i is (aᵢ·r + bᵢ) mod p with
+    * aᵢ < 2³⁰ — so aᵢ·r + bᵢ < 2⁶³ and the whole family is exact signed
+    * 64-bit arithmetic in BOTH engines (no overflow under ANSI, no HUGEINT
+    * needed in DuckDB). This replaces the r14-and-earlier xxhash64(i, h)
+    * permutations, which DuckDB cannot recompute — the swap is what moves
+    * d3/d6b from spec-gated to oracle rows (the d5 md5 precedent). */
+  private[graft] final val MinhashP = 4294967311L
+
+  /** The 64 (aᵢ, bᵢ) permutation constants, derived once from md5 of fixed
+    * labels — deterministic across JVMs, and interpolated as LITERALS into
+    * the generated oracle SQL (DuckDB never re-derives them). */
+  private[graft] lazy val MinhashParams: IndexedSeq[(Long, Long)] = {
+    def h64(label: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(label.getBytes("UTF-8"))
+      java.nio.ByteBuffer.wrap(d).getLong
+    }
+    (0 until NumHashes).map { i =>
+      val a = java.lang.Math.floorMod(h64(s"graft-minhash-a-$i"), (1L << 30) - 1L) + 1L
+      val b = java.lang.Math.floorMod(h64(s"graft-minhash-b-$i"), MinhashP)
+      (a, b)
+    }
+  }
+
+  /** 64 min-aggregate columns m0..m63 over a (doc_id, h) token frame —
+    * THE minhash signature definition, shared verbatim by the inline pair
+    * path ([[bandedLshPairs]]) and the persisted-store path
+    * ([[minhashSignatures]]) so fresh and persisted signatures agree
+    * bit-for-bit. r is projected ONCE per token row (not once per
+    * permutation) before the partial-aggregated groupBy. */
+  private def minhashAgg(tok: DataFrame): DataFrame = {
+    val withR = tok.select(col("doc_id"), pmod(col("h"), lit(MinhashP)).as("r"))
+    val minCols = (0 until NumHashes).map { i =>
+      val (a, b) = MinhashParams(i)
+      min((lit(a) * col("r") + lit(b)) % lit(MinhashP)).as(s"m$i")
+    }
+    withR.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** Band key for band `b` over its four minhash columns: md5-derived
+    * 64-bit long over the canonical "b,m0,m1,m2,m3" decimal string — the
+    * one band-key definition both the engine and the DuckDB oracle
+    * compute (the oracle buckets on the same 16 hex chars, so even a
+    * truncated-md5 collision produces the identical candidate set). */
+  private def bandKeyCol(b: Int, ms: Seq[Column]): Column = {
+    val hx = md5(concat_ws(",", lit(b) +: ms: _*))
+    shiftleft(conv(substring(hx, 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(hx, 9, 8), 16, 10).cast("long"))
+  }
+
+  /** Distinct 3-shingle 64-bit fingerprints per doc. Narrow (no shuffle).
     * `keep` carries extra columns through (e.g. `source` for d4).
     *
-    * The shingle fingerprint hashes the three tokens directly
-    * (multi-arg xxhash64 chains the token hashes) instead of materializing
-    * the joined shingle string per position — slice+array_join allocated an
-    * array AND a string per shingle, which dominated the shingling pass
-    * (measured 4.2s → 1.9s for 260k shingles at sf0.1). Tokens cannot
-    * contain the split delimiter, so the (t1,t2,t3) triple identifies the
-    * shingle exactly as the joined string did. */
+    * Fingerprint = the top 16 hex chars of md5(space-joined triple) parsed
+    * as two 32-bit halves (hi<<32 | lo) — the d5 token-hash idiom
+    * (r15, replacing xxhash64 over the raw triple). md5 costs more per
+    * shingle than xxhash64, but the whole pass is charged once per corpus
+    * to the d0 SETUP line, and it buys the minhash LSH family an
+    * independent DuckDB recomputation: with a SQL-expressible shingle
+    * fingerprint, the 64 Carter-Wegman permutations and the banded pair
+    * set become oracle rows (d3/d6b moved from spec-gated to hash-green,
+    * the d5/d5b precedent). The string build per position is back (md5
+    * needs bytes), but concat_ws of three elements skips the slice+
+    * array_join array allocation the round-5 note measured as dominant. */
   def shingleSets(docs: DataFrame, keep: Seq[String] = Nil): DataFrame =
     // under-3-token docs are excluded BEFORE shingling (equivalent to the
     // old trailing filter(size(sh) > 0), but that formulation made the
@@ -1353,11 +1505,17 @@ object Dedup {
       .select(col("doc_id") +: keep.map(col) :+ tokens.as("toks"): _*)
       .select(
         col("doc_id") +: keep.map(col) :+
+        // two nested transforms so md5 runs ONCE per position (hex → long
+        // referenced twice would re-evaluate the digest inside the HOF
+        // interpreter, where no common-subexpression elimination runs)
         array_distinct(transform(
-          sequence(lit(1), size(col("toks")) - 2),
-          i => xxhash64(element_at(col("toks"), i),
-            element_at(col("toks"), i + 1),
-            element_at(col("toks"), i + 2)))).as("sh"): _*)
+          transform(
+            sequence(lit(1), size(col("toks")) - 2),
+            i => md5(concat_ws(" ", element_at(col("toks"), i),
+              element_at(col("toks"), i + 1),
+              element_at(col("toks"), i + 2)))),
+          hx => shiftleft(conv(substring(hx, 1, 8), 16, 10).cast("long"), 32)
+            .bitwiseOR(conv(substring(hx, 9, 8), 16, 10).cast("long")))).as("sh"): _*)
 
   /** Per-doc 64-minhash signature ARRAY — the PERSISTABLE fingerprint-store
     * column the incremental near-check (x11b) bands against WITHOUT
@@ -1367,21 +1525,17 @@ object Dedup {
     * so bands derived from a persisted array and bands computed fresh from
     * text agree bit-for-bit. Docs under 3 tokens have no shingles and no
     * row here (they cannot be shingle near-dups of anything). */
-  private[graft] def minhashSignatures(docs: DataFrame): DataFrame = {
-    val tok = sharedTokens(docs)
-    val minCols = (0 until NumHashes).map(i =>
-      min(xxhash64(lit(i), col("h"))).as(s"m$i"))
-    tok.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+  private[graft] def minhashSignatures(docs: DataFrame): DataFrame =
+    minhashAgg(sharedTokens(docs))
       .select(col("doc_id"),
         array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
-  }
 
   /** LSH band keys from a signature ARRAY (persisted or fresh):
     * (doc_id, band, bh). Same banding arithmetic as [[bandedLshPairs]]. */
   private[graft] def bandsFromSignature(sig: DataFrame): DataFrame = {
     val bandCols = (0 until Bands).map { b =>
-      xxhash64(lit(b) +: (b * BandRows until (b + 1) * BandRows)
-        .map(i => element_at(col("sig"), i + 1)): _*)
+      bandKeyCol(b, (b * BandRows until (b + 1) * BandRows)
+        .map(i => element_at(col("sig"), i + 1)))
     }
     sig.select(col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
@@ -1393,12 +1547,14 @@ object Dedup {
     * Plan shape (and why it survives 100 TB):
     *   1. minhash signatures via ONE partial-aggregated groupBy over the
     *      shared exploded token table: sig[i] = min over a doc's shingle
-    *      hashes of xxhash64(i, h), 64 min-columns computed map-side before
-    *      the (doc_id)-keyed shuffle of 64-long partial rows. (The earlier
-    *      per-row higher-order formulation needed the array-column cache as
-    *      a CollapseProject barrier — the aggregation form has no such
-    *      hazard and shares the cheap token cache with d4/d6/d7.)
-    *   2. band keys (xxhash64 of each 4-min group) → groupBy (band, hash)
+    *      fingerprints of the Carter-Wegman permutation (aᵢ·r + bᵢ) mod p
+    *      ([[MinhashParams]] — DuckDB-recomputable, r15), 64 min-columns
+    *      computed map-side before the (doc_id)-keyed shuffle of 64-long
+    *      partial rows. (The earlier per-row higher-order formulation
+    *      needed the array-column cache as a CollapseProject barrier — the
+    *      aggregation form has no such hazard and shares the cheap token
+    *      cache with d4/d6/d7.)
+    *   2. band keys (md5-derived long of each 4-min group) → groupBy (band, hash)
     *      buckets → pairs generated INSIDE each bucket (higher-order
     *      transform over the sorted id list). Candidate volume scales with
     *      true near-dup pairs, not n² (vs the previous MLlib
@@ -1425,12 +1581,9 @@ object Dedup {
       docs: DataFrame,
       jaccardThreshold: Double,
       maxBucketSize: Int = 1000): DataFrame = {
-    val tok = sharedTokens(docs)
-    val minCols = (0 until NumHashes).map(i =>
-      min(xxhash64(lit(i), col("h"))).as(s"m$i"))
-    val sig = tok.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    val sig = minhashAgg(sharedTokens(docs))
     val bandCols = (0 until Bands).map { b =>
-      xxhash64(lit(b) +: (b * BandRows until (b + 1) * BandRows).map(i => col(s"m$i")): _*)
+      bandKeyCol(b, (b * BandRows until (b + 1) * BandRows).map(i => col(s"m$i")))
     }
     val bands = sig.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
     // bucket members → ordered pairs within the bucket; tiny rows from here on

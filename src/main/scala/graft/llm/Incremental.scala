@@ -121,9 +121,19 @@ object Incremental {
     * build, 1+ = appended crawl batches. */
   private[graft] def ledgerFor(s: SparkSession, d: String): DataFrame = {
     val dir = ledgerDir(s, d)
-    val zones = Seq(baseDir(dir), deltaDir(dir)).filter(hasParquet)
-    zones.map(p => s.read.parquet(p).select(LedgerCols.map(col): _*))
-      .reduce(_.union(_))
+    // delta rows at or below the compaction marker are STALE: compaction
+    // writes the marker after swapping base in but before deleting the
+    // compacted delta trees, so a crash in that window leaves a batch in
+    // both zones — this filter (partition-pruned, so it costs nothing in
+    // the steady state) makes the union immune to the partial swap
+    val horizon = compactedUpTo(dir)
+    def zone(p: String): Option[DataFrame] =
+      if (!hasParquet(p)) None
+      else Some(s.read.parquet(p).select(LedgerCols.map(col): _*))
+    val base = zone(baseDir(dir))
+    val delta = zone(deltaDir(dir)).map(df =>
+      if (horizon < 0) df else df.filter(col("batch_id") > horizon))
+    (base.toSeq ++ delta.toSeq).reduce(_.union(_))
   }
 
   /** The store AS OF a batch: rows from batches ≤ `maxBatch` only — a
@@ -269,6 +279,13 @@ object Incremental {
 
   private[graft] def compactLedger(s: SparkSession, d: String, upTo: Int): Unit = {
     val dir = ledgerDir(s, d)
+    // a compaction horizon BELOW a prior one would rewrite base from the
+    // batch_id<=upTo slice and delete the old base — silently dropping the
+    // already-compacted batches in (upTo, prior] whose delta trees are
+    // long gone. The horizon only ever moves forward.
+    require(upTo >= compactedUpTo(dir),
+      s"compactLedger: horizon $upTo is below the already-compacted " +
+        s"${compactedUpTo(dir)} — compaction horizons only move forward")
     val tmp = s"$dir/base_tmp"
     ledgerFor(s, d).filter(col("batch_id") <= upTo)
       .repartition(upTo + 1, col("batch_id"))
@@ -280,15 +297,18 @@ object Incremental {
     graft.streaming.Streams.deleteRecursively(new java.io.File(baseDir(dir)))
     require(new java.io.File(tmp).renameTo(new java.io.File(baseDir(dir))),
       s"compactLedger: could not move $tmp into place")
+    // marker BEFORE the delta deletes: ledgerFor filters delta rows to
+    // batch_id > marker, so a crash mid-delete leaves batches present in
+    // both zones without double-counting (the read path is swap-immune)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_compacted_up_to"),
+      math.max(upTo, compactedUpTo(dir)).toString.getBytes("UTF-8"))
     val delta = new java.io.File(deltaDir(dir))
     if (delta.isDirectory) delta.listFiles().foreach { f =>
       val m = "batch_id=(\\d+)".r.findFirstMatchIn(f.getName)
       if (m.exists(_.group(1).toInt <= upTo))
         graft.streaming.Streams.deleteRecursively(f)
     }
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(dir, "_compacted_up_to"),
-      math.max(upTo, compactedUpTo(dir)).toString.getBytes("UTF-8"))
   }
 
   // ---------------------------------------------------------------------
@@ -590,9 +610,34 @@ object Incremental {
     * store-survivor legs of the merged corpus. x11 = day-2 batch vs
     * day-1; x11c = day-3 batch vs day-1 ∪ appended day-2. */
   private def pipelineSql(batchWhere: String, extraCtes: String,
-      dedupHashes: String, mergedLegs: String): String = {
+      dedupHashes: String, mergedLegs: String, lsh: Boolean = false): String = {
     val chk = hash6Sql
-    s"""WITH ${day1Ctes},
+    // stage 03c (x11b): DuckDB recomputes the store-backed LSH near-check
+    // from text — banded pairs over batch-survivors ∪ store-survivors
+    // (persisted signatures provably equal fresh ones), near = a pair
+    // crossing the batch/corpus boundary, candidates already exact-
+    // Jaccard-verified inside the shared pairs CTE
+    val b3F = if (lsh) "b3c" else "b3"
+    val lshCtes =
+      if (!lsh) ""
+      else
+        s"""lshdocs AS (SELECT doc_id, text FROM b3
+           |            UNION ALL SELECT doc_id, text FROM dc1),
+           |${graft.llm.Dedup.minhashLshCtes(0.8, "lshdocs")},
+           |nearb AS (SELECT DISTINCT p.doc_id FROM (
+           |    SELECT doc_a AS doc_id, doc_b AS other FROM pairs
+           |    UNION ALL SELECT doc_b, doc_a FROM pairs) p
+           |  WHERE p.doc_id IN (SELECT doc_id FROM b3)
+           |    AND p.other IN (SELECT doc_id FROM dc1)),
+           |b3c AS (SELECT * FROM b3 WHERE doc_id NOT IN (SELECT doc_id FROM nearb)),
+           |""".stripMargin
+    val stage3c =
+      if (!lsh) ""
+      else
+        s"""UNION ALL SELECT '03c_batch_neardup_lsh', count(*), CAST(sum(n_tok) AS BIGINT),
+           |       CAST(sum(doc_id) AS BIGINT), CAST(sum($chk) AS BIGINT) FROM b3c
+           |""".stripMargin
+    s"""WITH RECURSIVE ${day1Ctes},
        |${extraCtes}batch AS (
        |  SELECT doc_id, source, text,
        |         CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok
@@ -601,12 +646,12 @@ object Incremental {
        |b3 AS (SELECT * FROM bq
        |       WHERE md5(text) NOT IN ($dedupHashes)
        |         AND doc_id IN (SELECT min(doc_id) FROM bq GROUP BY md5(text))),
-       |cgb AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |${lshCtes}cgb AS (SELECT doc_id, unnest(list_distinct(list_transform(
        |            range(1, len(string_split(text,' ')) - 6),
        |            i -> array_to_string(string_split(text,' ')[i:i+7], ' ')))) AS gram
-       |        FROM b3 WHERE len(string_split(text,' ')) >= 8),
+       |        FROM $b3F WHERE len(string_split(text,' ')) >= 8),
        |contamb AS (SELECT DISTINCT doc_id FROM cgb JOIN pg USING (gram)),
-       |b4 AS (SELECT * FROM b3 WHERE doc_id NOT IN (SELECT doc_id FROM contamb)),
+       |b4 AS (SELECT * FROM $b3F WHERE doc_id NOT IN (SELECT doc_id FROM contamb)),
        |merged AS ($mergedLegs
        |           UNION ALL SELECT doc_id, source, n_tok FROM b4),
        |ct AS (SELECT source, count(*) AS n_docs,
@@ -639,7 +684,7 @@ object Incremental {
        |       CAST(sum(doc_id) AS BIGINT), CAST(sum($chk) AS BIGINT) FROM bq
        |UNION ALL SELECT '03_batch_exact_dedup', count(*), CAST(sum(n_tok) AS BIGINT),
        |       CAST(sum(doc_id) AS BIGINT), CAST(sum($chk) AS BIGINT) FROM b3
-       |UNION ALL SELECT '04_batch_decontam', count(*), CAST(sum(n_tok) AS BIGINT),
+       |${stage3c}UNION ALL SELECT '04_batch_decontam', count(*), CAST(sum(n_tok) AS BIGINT),
        |       CAST(sum(doc_id) AS BIGINT), CAST(sum($chk) AS BIGINT) FROM b4
        |UNION ALL SELECT '05_merged_corpus', count(*), CAST(sum(n_clean) AS BIGINT),
        |       CAST(sum(doc_id) AS BIGINT), CAST(sum($chk) AS BIGINT) FROM merged
@@ -700,11 +745,19 @@ object Incremental {
       ledgerSummary(s, d)),
     QueryDef("x11_incremental_pipeline", incrementalSql)((s, d) =>
       incrementalManifest(s, d)),
-    // x11b: + the store-backed LSH near-check (stage 03c). LSH banding is
-    // engine-specific → no SQL oracle; DataPlaneSpec proves the shared
-    // stages identical to x11 and the dropped set equal to a direct
-    // incrementalDedupLsh recomputation over the same doc universe.
-    QueryDef.noOracle("x11b_incremental_lsh")((s, d) =>
+    // x11b: + the store-backed LSH near-check (stage 03c). ORACLED since
+    // r15 (the d3 flip): DuckDB recomputes the banded pairs over batch ∪
+    // day-1 survivors from TEXT, while the engine bands PERSISTED corpus
+    // signatures — the hash match is therefore also a proof that the
+    // stored sig arrays equal fresh recomputation (the x11c content
+    // contract, extended to signatures). DataPlaneSpec keeps the direct
+    // incrementalDedupLsh cross-path lock.
+    QueryDef("x11b_incremental_lsh", pipelineSql(
+      batchWhere = "doc_id % 10 = 9",
+      extraCtes = "",
+      dedupHashes = "SELECT md5(text) FROM q1",
+      mergedLegs = "SELECT doc_id, source, n_tok AS n_clean FROM dc1",
+      lsh = true))((s, d) =>
       incrementalManifest(s, d, lshNearCheck = true)),
     // x11c: the store made incremental IN TIME — the day-2 batch's
     // fingerprints are APPENDED as batch_id=1 (this line owns the append

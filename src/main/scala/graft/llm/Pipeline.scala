@@ -210,16 +210,47 @@ object Pipeline {
     )).reduce(_.union(_))
   }
 
-  private def pipelineSql: String = {
+  private def pipelineSql: String = pipelineSqlFor(lsh = false)
+
+  /** x10's oracle; with `lsh` the stage-03b near-dup decision is spliced
+    * in (r15): the shared banded-minhash CTEs run over the stage-3
+    * survivor relation, the recursive-CTE component labeling (d6's oracle
+    * idiom, named `ccr` — `r` is taken by the mixture rates) drops
+    * non-keepers, and every downstream stage reads the 03b survivors —
+    * DuckDB recomputes the ENTIRE LSH decision inside the composition. */
+  private def pipelineSqlFor(lsh: Boolean): String = {
     val chk = hash6Sql
-    s"""WITH corpus AS (
+    val dedF = if (lsh) "ded3b" else "ded"
+    val lshCtes =
+      if (!lsh) ""
+      else
+        s"""${graft.llm.Dedup.minhashLshCtes(0.8, "ded")},
+           |edges AS (
+           |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+           |ccr(node, label) AS (
+           |  SELECT doc_id, doc_id FROM ded
+           |  UNION
+           |  SELECT e.dst, ccr.label FROM ccr JOIN edges e ON ccr.node = e.src),
+           |nk AS (SELECT node AS doc_id FROM (
+           |         SELECT node, min(label) AS lab FROM ccr GROUP BY node)
+           |       WHERE node <> lab),
+           |ded3b AS (SELECT * FROM ded WHERE doc_id NOT IN (SELECT doc_id FROM nk)),
+           |""".stripMargin
+    val stage3b =
+      if (!lsh) ""
+      else
+        s"""UNION ALL SELECT '03b_neardup_lsh', count(*), CAST(sum(n_tok) AS BIGINT),
+           |       CAST(sum(doc_id) AS BIGINT), CAST(sum($chk) AS BIGINT) FROM ded3b
+           |""".stripMargin
+    s"""WITH RECURSIVE corpus AS (
        |  SELECT doc_id, source, text,
        |         CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok
        |  FROM documents WHERE doc_id % 10 <> 0),
        |q AS (SELECT * FROM corpus WHERE ${TextStats.qualityPassSql}),
        |ded AS (SELECT * FROM q WHERE doc_id IN
        |          (SELECT min(doc_id) FROM q GROUP BY md5(text))),
-       |pg AS (SELECT DISTINCT unnest(list_transform(
+       |${lshCtes}pg AS (SELECT DISTINCT unnest(list_transform(
        |           range(1, len(string_split(text,' ')) - 6),
        |           i -> array_to_string(string_split(text,' ')[i:i+7], ' '))) AS gram
        |       FROM documents
@@ -227,9 +258,9 @@ object Pipeline {
        |cg AS (SELECT doc_id, unnest(list_distinct(list_transform(
        |           range(1, len(string_split(text,' ')) - 6),
        |           i -> array_to_string(string_split(text,' ')[i:i+7], ' ')))) AS gram
-       |       FROM ded WHERE len(string_split(text,' ')) >= 8),
+       |       FROM $dedF WHERE len(string_split(text,' ')) >= 8),
        |contam AS (SELECT DISTINCT doc_id FROM cg JOIN pg USING (gram)),
-       |dc AS (SELECT * FROM ded WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+       |dc AS (SELECT * FROM $dedF WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
        |tt AS (SELECT doc_id, string_split(text,' ') AS ts FROM dc),
        |g2 AS (SELECT doc_id, i AS pos, array_to_string(ts[i:i+4], ' ') AS gram
        |       FROM (SELECT * FROM tt WHERE len(ts) >= 5), UNNEST(range(1, len(ts)-3)) AS u(i)),
@@ -276,7 +307,7 @@ object Pipeline {
        |       CAST(sum(doc_id) AS BIGINT), CAST(sum($chk) AS BIGINT) FROM q
        |UNION ALL SELECT '03_exact_dedup', count(*), CAST(sum(n_tok) AS BIGINT),
        |       CAST(sum(doc_id) AS BIGINT), CAST(sum($chk) AS BIGINT) FROM ded
-       |UNION ALL SELECT '04_decontam', count(*), CAST(sum(n_tok) AS BIGINT),
+       |${stage3b}UNION ALL SELECT '04_decontam', count(*), CAST(sum(n_tok) AS BIGINT),
        |       CAST(sum(doc_id) AS BIGINT), CAST(sum($chk) AS BIGINT) FROM dc
        |UNION ALL SELECT '05_trim', count(*), CAST(sum(n_clean) AS BIGINT),
        |       CAST(sum(doc_id) AS BIGINT), CAST(sum($chk) AS BIGINT) FROM tr
@@ -300,10 +331,12 @@ object Pipeline {
     // x10b: the same composed pipeline with the LSH near-dup group
     // decision inserted after the exact pass (stage 03b = d6b) — the
     // 100 TB dedup decision the RefinedWeb-class pipelines actually run.
-    // LSH recall is probabilistic → no SQL oracle; DataPlaneSpec proves
-    // the shared stages identical to x10 and stage 03b's drop set equal
-    // to a direct d6b recomputation over the stage-3 survivors.
-    QueryDef.noOracle("x10b_full_pipeline_lsh")((s, d) =>
+    // ORACLED since r15 (the d3 flip): DuckDB recomputes the banded pair
+    // set over the stage-3 survivors and the component decision inside
+    // the composed pipeline, so every downstream stage is hash-checked
+    // against the LSH decision's actual survivors. DataPlaneSpec keeps
+    // the cross-path lock (03b drop set == direct d6b recomputation).
+    QueryDef("x10b_full_pipeline_lsh", pipelineSqlFor(lsh = true))((s, d) =>
       fullPipelineManifest(s, d, lshNearDup = true))
   )
 }

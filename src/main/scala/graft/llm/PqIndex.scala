@@ -490,13 +490,25 @@ object PqIndex {
         sqrt(Similarity.dotNative(col("v"), col("v"))).as("vnorm"),
         zip_with(col("v"), col("centroid"), (x, y) => x - y).as("embedding"))
     val encoded = encode(withRes, model.codebooks, None, keep = Seq("cell", "vnorm"))
-      .withColumn("batch", lit(batchId))
+    // ATOMIC batch visibility (r15, serve-while-append): the batch is fully
+    // materialized under a staging dir, then ONE directory rename publishes
+    // it as lists/batch=N. A concurrent prober listing the zones sees the
+    // whole batch or none of it — never a partially-committed subset of
+    // cell trees (the in-place dynamic partition overwrite this replaces
+    // committed cell dirs one by one at job end). Retry idempotence is
+    // preserved: the stage write is mode("overwrite") and the publish
+    // replaces any prior batch=N tree wholesale.
+    val stage = new java.io.File(s"$dir/lists_stage_$batchId")
     encoded
       .repartitionByRange(listFileBudget(newVecs.count()), col("cell"), col("vec_id"))
       .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch", "cell")
-      .parquet(s"$dir/lists")
+      .partitionBy("cell")
+      .parquet(stage.getPath)
+    val target = new java.io.File(s"$dir/lists/batch=$batchId")
+    target.getParentFile.mkdirs()
+    graft.streaming.Streams.deleteRecursively(target)
+    require(stage.renameTo(target),
+      s"appendIvfPq: could not publish $stage as $target")
     loadIvfPq(spark, dir)
   }
 
@@ -521,6 +533,12 @@ object PqIndex {
     * byte-identical pre/post (DataPlaneSpec proves it at full depth —
     * cell membership, vnorm, and codes all survive the rewrite). */
   def compactIvfPq(spark: org.apache.spark.sql.SparkSession, dir: String, upTo: Int): Unit = {
+    // horizon only moves forward: a lower upTo would rewrite lists_base
+    // from the batch<=upTo slice and drop already-compacted higher batches
+    // whose delta trees are gone (same rule as Incremental.compactLedger)
+    require(upTo >= compactedUpTo(dir),
+      s"compactIvfPq: horizon $upTo is below the already-compacted " +
+        s"${compactedUpTo(dir)} — compaction horizons only move forward")
     val zones = listZones(spark, dir)
     val rows = zones.reduce(_.union(_)).filter(col("batch") <= upTo)
     val tmp = s"$dir/lists_base_tmp"
@@ -530,15 +548,17 @@ object PqIndex {
     graft.streaming.Streams.deleteRecursively(new java.io.File(s"$dir/lists_base"))
     require(new java.io.File(tmp).renameTo(new java.io.File(s"$dir/lists_base")),
       s"compactIvfPq: could not move $tmp into place")
+    // marker BEFORE the delta deletes: listZones filters delta rows to
+    // batch > marker, so a crash mid-delete never double-counts a batch
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_compacted_up_to"),
+      math.max(upTo, compactedUpTo(dir)).toString.getBytes("UTF-8"))
     val delta = new java.io.File(s"$dir/lists")
     if (delta.isDirectory) delta.listFiles().foreach { f =>
       val m = "batch=(\\d+)".r.findFirstMatchIn(f.getName)
       if (m.exists(_.group(1).toInt <= upTo))
         graft.streaming.Streams.deleteRecursively(f)
     }
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(dir, "_compacted_up_to"),
-      math.max(upTo, compactedUpTo(dir)).toString.getBytes("UTF-8"))
   }
 
   /** The inverted-list zones of a persisted index: the open delta trees
@@ -555,9 +575,18 @@ object PqIndex {
       val f = new java.io.File(p)
       f.isDirectory && f.listFiles().exists(c => c.isDirectory || c.getName.endsWith(".parquet"))
     }
+    // delta (lists/) rows at or below the compaction marker are stale
+    // leftovers of a partial zone swap (marker is written before the
+    // compacted delta trees are deleted) — filter them so the union never
+    // double-counts a batch; partition-pruned, free in the steady state
+    val horizon = compactedUpTo(dir)
     val zs = Seq(s"$dir/lists", s"$dir/lists_base").filter(nonEmpty)
     require(zs.nonEmpty, s"no inverted lists found under $dir")
-    zs.map(p => spark.read.parquet(p).select(cols: _*))
+    zs.map { p =>
+      val df = spark.read.parquet(p).select(cols: _*)
+      if (p.endsWith("/lists") && horizon >= 0) df.filter(col("batch") > horizon)
+      else df
+    }
   }
 
   /** Load a persisted residual-IVFPQ index — NO retrain, NO re-encode.

@@ -50,12 +50,17 @@ class DataPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("shingleSets matches independent Scala-side 3-shingling (incl. <3-token guard)") {
-    import spark.implicits._
     val docs = Tables(spark, sf, "documents").select("doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1))
-    // independent derivation: plain Scala sliding-window shingling, so a bug
-    // in the Spark-side sequence/slice windowing or the <3-token guard shows
-    // up here (the hash fn itself is shared — it is not the suspect part)
+    // FULLY independent derivation (r15): plain Scala sliding-window
+    // shingling AND a plain-JVM md5 fingerprint — the engine's hi<<32|lo
+    // assembly of the top 16 md5 hex chars equals the big-endian long of
+    // the digest's first 8 bytes, so no Spark expression is shared at all
+    def md5Fp(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.nio.ByteBuffer.wrap(d).getLong
+    }
     val expectedStrings: Map[Long, Seq[(String, String, String)]] = docs.map { case (id, text) =>
       val toks = text.split(" ", -1)
       val shingles =
@@ -64,13 +69,10 @@ class DataPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
         else Seq.empty[(String, String, String)]
       id -> shingles
     }.toMap
-    val expected: Map[Long, Set[Long]] = expectedStrings.toSeq
-      .flatMap { case (id, ss) => ss.map { case (a, b, c) => (id, a, b, c) } }
-      .toDF("doc_id", "t1", "t2", "t3")
-      // same fingerprint as shingleSets: multi-arg xxhash64 over the triple
-      .select(col("doc_id"), xxhash64(col("t1"), col("t2"), col("t3")).as("h"))
-      .collect().groupBy(_.getLong(0))
-      .map { case (id, rows) => id -> rows.map(_.getLong(1)).toSet }
+    val expected: Map[Long, Set[Long]] = expectedStrings.collect {
+      case (id, ss) if ss.nonEmpty =>
+        id -> ss.map { case (a, b, c) => md5Fp(s"$a $b $c") }.toSet
+    }
     val actual: Map[Long, Set[Long]] = Dedup.shingleSets(Tables(spark, sf, "documents"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
     assert(actual == expected, "shingle extraction diverges from independent derivation")
@@ -620,6 +622,44 @@ class DataPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
     val after = graft.llm.PqIndex.appendIvfPq(ivf, compacted, day3probe, dir, batchId = 2)
     assert(after.cellCodes.count() == emb.count() + day3probe.count(),
       "post-compaction append must land beside the base zone")
+    // SERVE-WHILE-APPEND (r15, ask #7): concurrent probes race a batch-3
+    // append. The staged-write + single-rename publish means every reader
+    // sees the store PRE (no batch 3) or POST (the whole batch 3) — a
+    // partially-visible batch (the in-place committer's cell-by-cell
+    // window) would surface here as an intermediate row count.
+    val day4 = day2.filter(col("vec_id") % 100 === 29)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val preN = graft.llm.PqIndex.loadIvfPq(spark, dir).cellCodes.count()
+    val day4N = day4.count()
+    @volatile var appendErr: Option[Throwable] = None
+    val appender = new Thread(() =>
+      try graft.llm.PqIndex.appendIvfPq(ivf, after, day4, dir, batchId = 3)
+      catch { case e: Throwable => appendErr = Some(e) })
+    appender.start()
+    var observed = List.empty[Long]
+    while (appender.isAlive && observed.length < 200)
+      observed ::= graft.llm.PqIndex.loadIvfPq(spark, dir).cellCodes.count()
+    appender.join()
+    assert(appendErr.isEmpty, s"concurrent append failed: $appendErr")
+    val torn = observed.filter(n => n != preN && n != preN + day4N)
+    assert(torn.isEmpty,
+      s"probes saw a partially-published batch: $torn (pre=$preN post=${preN + day4N})")
+    assert(graft.llm.PqIndex.loadIvfPq(spark, dir).cellCodes.count() == preN + day4N,
+      "post-append store must carry the full batch")
+    // BACKWARD-HORIZON GUARD (r15, advice #1): compacting below the
+    // already-compacted horizon must refuse (it would drop batch 1's rows,
+    // whose delta tree is gone)
+    intercept[IllegalArgumentException](
+      graft.llm.PqIndex.compactIvfPq(spark, dir, upTo = 0))
+    // PARTIAL-SWAP IMMUNITY (r15, advice #2): a stale delta tree at/below
+    // the marker (crash between marker write and delta delete) must be
+    // ignored by the zone union, never double-counted
+    val liveRows = graft.llm.PqIndex.loadIvfPq(spark, dir).cellCodes.count()
+    compacted.cellCodes.filter(col("vec_id") % 10 =!= 9)
+      .select("vec_id", "vnorm", "codes")
+      .write.parquet(s"$dir/lists/batch=0/cell=3")
+    assert(graft.llm.PqIndex.loadIvfPq(spark, dir).cellCodes.count() == liveRows,
+      "stale compacted delta tree must be filtered by the read path")
     ivf.unpersist()
   }
 
@@ -1293,6 +1333,24 @@ class DataPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dist == win, "distributed epoch order diverged from the window order")
   }
 
+  test("s2 shard invariance: sliced-reshard path equals the full-reshard result (r15 dispatch lock)") {
+    // the query dispatches on corpus row count (full reshard below
+    // Scans.ShardReshardMaxRows); force the ABOVE-bound formulation here
+    // and assert it produces the identical aggregate
+    val li = Tables(spark, sf, "lineitem")
+    val full = li.repartition(32)
+      .agg(count(lit(1)).as("n"), countDistinct(col("l_orderkey")).as("n_orders"))
+      .collect().head
+    val slice = substring(md5(col("l_orderkey").cast("string")), 1, 1) === "0"
+    val sliced = li.filter(slice).repartition(32).unionByName(li.filter(!slice))
+      .agg(count(lit(1)).as("n"), countDistinct(col("l_orderkey")).as("n_orders"))
+      .collect().head
+    assert(sliced.getLong(0) == full.getLong(0) && sliced.getLong(1) == full.getLong(1),
+      "sliced-reshard invariance path diverged from the full reshard")
+    // the slice must be live (some rows actually cross the reshard)
+    assert(li.filter(slice).count() > 0, "deterministic slice selected no rows")
+  }
+
   test("p9 source cap: exactly N per source, reproducible, both rank paths agree") {
     val rows = SparkEntry.queries("p9_source_cap")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
@@ -1766,6 +1824,21 @@ class DataPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count(_.getName.endsWith(".parquet"))
     assert(baseFiles <= 3,
       s"compacted base must be ~one file per batch, found $baseFiles")
+    // BACKWARD-HORIZON GUARD (r15, advice #1): a compaction below the
+    // already-compacted horizon would rewrite base from the <=upTo slice
+    // and silently drop batches in (upTo, prior] — it must refuse
+    intercept[IllegalArgumentException] {
+      graft.llm.Incremental.compactLedger(spark, dir, upTo = 1)
+    }
+    assert(storeRows() == before, "refused compaction must not touch the store")
+    // PARTIAL-SWAP IMMUNITY (r15, advice #2): a crash between the marker
+    // write and the delta deletes leaves a compacted batch in BOTH zones —
+    // simulate the leftover delta tree and assert the read path ignores it
+    graft.llm.Incremental.ledgerAsOf(spark, dir, 2)
+      .filter(col("batch_id") === 1).drop("batch_id")
+      .write.parquet(s"$storeDir/delta/batch_id=1")
+    assert(storeRows() == before,
+      "stale delta tree at/below the compaction marker must be filtered, not double-counted")
     graft.streaming.Streams.deleteRecursively(new java.io.File(dir))
   }
 
