@@ -128,6 +128,12 @@ object AnnCurve {
         built.unpersist()
       }
       val base = PqIndex.loadIvfPq(spark, dir)
+      // the corpus-wide assigned cache exists only for the base ENCODE
+      // pass; appends re-route their own batch and probes read the
+      // persisted lists — dropping it here frees ~20 GB of cache spill at
+      // 20M vectors (the r15 disk-exhaustion lesson), and matches the
+      // serving deployment, which never holds the build-time corpus cache
+      ivfA.assigned.unpersist()
       val (afterB1, tA1) = timed(PqIndex.appendIvfPq(ivfA, base, day2, dir, batchId = 1))
       val cProbes = emb.filter(col("vec_id") % (97L * 500L) === 3)
       val nCProbes = cProbes.count()
@@ -191,7 +197,8 @@ object AnnCurve {
            |"serve_while_append":{"probes_per_run":$nCProbes,
            |"qps_baseline":$qpsBaseline,"qps_during_append":$qpsDuring,
            |"qps_after_append":$qpsAfter,"runs_during_append":${during.size},
-           |"torn_results":0}}"""
+           |"torn_results":0},
+           |"heap_gb":${math.rint(Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024) * 10) / 10}}"""
           .stripMargin.replace("\n", "")
       println(s"[ann_compact] a1=${tA1}s a2=${tA2}s compact=${tCompact}s " +
         s"files $filesPre->$filesPost probe ${tPre}->${tPost}s identical=true " +

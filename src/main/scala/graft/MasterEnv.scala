@@ -75,10 +75,21 @@ object MasterEnv {
     standardConfs(withCp, partitions.toString)
   }
 
-  private def standardConfs(b: SparkSession.Builder, partitions: String): SparkSession.Builder =
-    b.config("spark.sql.shuffle.partitions", partitions)
+  private def standardConfs(b: SparkSession.Builder, partitions: String): SparkSession.Builder = {
+    val base = b.config("spark.sql.shuffle.partitions", partitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.files.openCostInBytes", (128L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
+    // SPARK_GRAFT_EXTRA_CONF="k=v;k=v": diagnostic/studies passthrough
+    // (event logs, memory knobs) without touching the pinned conf block
+    // above — applied LAST so a study can also override a pinned value,
+    // with the override recorded in the run's own environment
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(";").toSeq).map(_.trim).filter(_.contains("="))
+      .foldLeft(base) { (bb, kv) =>
+        val Array(k, v) = kv.split("=", 2)
+        bb.config(k.trim, v.trim)
+      }
+  }
 }

@@ -320,9 +320,21 @@ object PqIndex {
       .select(col("probe_id"), explode(col("top")).as("s"))
       .select(col("probe_id"), col("s._1").as("cand_id"))
       .join(broadcast(p.select(col("probe_id"), col("pvec"))), "probe_id")
-    // exact rerank: full vectors are read ONLY for shortlist members
+    // exact rerank: full vectors are read ONLY for shortlist members — and
+    // (r15) the corpus is RESTRICTED to shortlist ids by a broadcast
+    // semi-join BEFORE the rerank join. The old unrestricted join held the
+    // bytes-READ contract but not bytes-SHUFFLED: it planned as a
+    // sort-merge join and shuffled the corpus's full vectors (31 GB at
+    // 20M×256-d — measured in the vec20m event log, and the disk
+    // exhaustion that killed that run) to meet a probes×shortlist-row
+    // side. The semi keeps the corpus scan map-side; the ≤|shortlist|
+    // surviving fat rows meet the shortlist in an AQE-sized join. The
+    // shortlist aggregation's exchange is referenced by both branches and
+    // canonically identical, so ReuseExchange runs the ADC scan once.
+    val candIds = short.select("cand_id").distinct()
     val cand = corpus.select(col("vec_id").as("cand_id"),
-      col("embedding").cast("array<double>").as("cv"))
+        col("embedding").cast("array<double>").as("cv"))
+      .join(broadcast(candIds), Seq("cand_id"), "left_semi")
     val wK = Window.partitionBy("probe_id")
       .orderBy(col("cos_raw").desc, col("cand_id"))
     short.join(cand, "cand_id")
