@@ -90,8 +90,7 @@ object Dedup {
        |  FROM rh CROSS JOIN perms GROUP BY doc_id, i),
        |bk AS (
        |  SELECT doc_id, i // 4 AS band,
-       |         substr(md5(CAST(i // 4 AS VARCHAR) || ',' ||
-       |                    string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)), 1, 16) AS k
+       |         string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS k
        |  FROM mh GROUP BY doc_id, band),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -478,7 +477,7 @@ object Dedup {
 
     // MinHash + banded AND/OR LSH near-dup pairs — ORACLED since r15: the
     // md5-derived shingle fingerprint + Carter-Wegman permutations +
-    // md5-derived band keys make the FULL banded pair set (not just the
+    // raw-tuple band keys make the FULL banded pair set (not just the
     // verified survivors) DuckDB-recomputable, so the oracle independently
     // re-derives every signature, band bucket, candidate, and exact-Jaccard
     // verdict from the text (the d5/d5b precedent; r14 verdict ask #1).
@@ -1469,16 +1468,20 @@ object Dedup {
     withR.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
   }
 
-  /** Band key for band `b` over its four minhash columns: md5-derived
-    * 64-bit long over the canonical "b,m0,m1,m2,m3" decimal string — the
-    * one band-key definition both the engine and the DuckDB oracle
-    * compute (the oracle buckets on the same 16 hex chars, so even a
-    * truncated-md5 collision produces the identical candidate set). */
-  private def bandKeyCol(b: Int, ms: Seq[Column]): Column = {
-    val hx = md5(concat_ws(",", lit(b) +: ms: _*))
-    shiftleft(conv(substring(hx, 1, 8), 16, 10).cast("long"), 32)
-      .bitwiseOR(conv(substring(hx, 9, 8), 16, 10).cast("long"))
-  }
+  /** Band key for a band's four minhash columns: the raw 4-tuple STRUCT —
+    * no hashing at all. Bucketing on the values themselves is exact (zero
+    * key collisions), costs nothing to compute (the md5-string key this
+    * replaces spent ~8M digests per LSH query at sf10 — measured +2-3 s
+    * on every d3-family line, r15), and stays DuckDB-expressible: the
+    * oracle buckets on the comma-joined decimal string of the same four
+    * values, which encodes the tuple uniquely, so both engines derive the
+    * identical candidate set. The shuffle key is 32 B instead of 8 — noise
+    * against the banded row itself. The `band` position rides alongside as
+    * its own column (posexplode), exactly as before. */
+  private def bandKeyCol(ms: Seq[Column]): Column =
+    // uniform field names: the 16 band structs ride one array column
+    // (posexplode), which needs a single element type across bands
+    struct(ms.zipWithIndex.map { case (c, i) => c.as(s"r$i") }: _*)
 
   /** Distinct 3-shingle 64-bit fingerprints per doc. Narrow (no shuffle).
     * `keep` carries extra columns through (e.g. `source` for d4).
@@ -1534,7 +1537,7 @@ object Dedup {
     * (doc_id, band, bh). Same banding arithmetic as [[bandedLshPairs]]. */
   private[graft] def bandsFromSignature(sig: DataFrame): DataFrame = {
     val bandCols = (0 until Bands).map { b =>
-      bandKeyCol(b, (b * BandRows until (b + 1) * BandRows)
+      bandKeyCol((b * BandRows until (b + 1) * BandRows)
         .map(i => element_at(col("sig"), i + 1)))
     }
     sig.select(col("doc_id"),
@@ -1583,7 +1586,7 @@ object Dedup {
       maxBucketSize: Int = 1000): DataFrame = {
     val sig = minhashAgg(sharedTokens(docs))
     val bandCols = (0 until Bands).map { b =>
-      bandKeyCol(b, (b * BandRows until (b + 1) * BandRows).map(i => col(s"m$i")))
+      bandKeyCol((b * BandRows until (b + 1) * BandRows).map(i => col(s"m$i")))
     }
     val bands = sig.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
     // bucket members → ordered pairs within the bucket; tiny rows from here on
