@@ -91,7 +91,10 @@ object Scans {
       val sharded =
         if (li.count() <= ShardReshardMaxRows) li.repartition(32)
         else {
-          val slice = substring(md5(col("l_orderkey").cast("string")), 1, 1) === "0"
+          // xxhash64, not md5: the slice is internal (the oracle sees only
+          // the union's aggregate, identical either way), and md5 here cost
+          // ~2 s of pure digesting across the two 60M-row scans at sf10
+          val slice = pmod(xxhash64(col("l_orderkey")), lit(16L)) === 0L
           li.filter(slice).repartition(32).unionByName(li.filter(!slice))
         }
       sharded.agg(count(lit(1)).as("n"), countDistinct(col("l_orderkey")).as("n_orders"))

@@ -1341,7 +1341,7 @@ class DataPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
     val full = li.repartition(32)
       .agg(count(lit(1)).as("n"), countDistinct(col("l_orderkey")).as("n_orders"))
       .collect().head
-    val slice = substring(md5(col("l_orderkey").cast("string")), 1, 1) === "0"
+    val slice = pmod(xxhash64(col("l_orderkey")), lit(16L)) === 0L
     val sliced = li.filter(slice).repartition(32).unionByName(li.filter(!slice))
       .agg(count(lit(1)).as("n"), countDistinct(col("l_orderkey")).as("n_orders"))
       .collect().head
