@@ -113,6 +113,50 @@ object AnnCurve {
     // consolidation the job exists for). Probes hit the PERSISTED store
     // via loadIvfPq both times, so the comparison includes the two-zone
     // read path, not just in-memory frames.
+    // preset `recall`: recall@10 at the DECLARED operating point (residual
+    // IVFPQ m32/k64, nProbe 8, shortlist 200, 256 cells) vs block-
+    // partitioned exact truth — the r15 verdict's ask #6: the 20M-vector
+    // decade had probe-identity and serving proofs but recall pinned only
+    // at 2M. ~100 deterministic probes; truth is the bounded-heap
+    // brute-force aggregator (broadcast probes, one corpus scan — the
+    // block-partitioned formulation, no pair materialization).
+    if (preset == "recall") {
+      val (m, ksub, nProbe, shortlist) = (32, 64, 8, 200)
+      val (ivf, tIvf) = timed(IvfIndex.build(emb, 256, maxIter = 10))
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_anncurve_recall"
+      graft.streaming.Streams.deleteRecursively(new java.io.File(dir))
+      val (_, tBuild) = timed {
+        val built = PqIndex.buildIvfPq(ivf, emb, m, ksub)
+        PqIndex.saveIvfPq(built, dir)
+        built.unpersist()
+      }
+      // serving never holds the build-time corpus cache (the r15 lesson)
+      ivf.assigned.unpersist()
+      val model = PqIndex.loadIvfPq(spark, dir)
+      val recallProbes = emb.filter(col("vec_id") % math.max(2L, nVec / 100L) === 0)
+      val nRp = recallProbes.count()
+      val (truthSet, tTruthR) = timed(pairSet(
+        Similarity.bruteForceKnnAgg(recallProbes, emb, k = 10)))
+      val (gotSet, tGot) = timed(pairSet(PqIndex.searchIvfPqResidual(
+        ivf, model, recallProbes, emb, k = 10, shortlist = shortlist, nProbe = nProbe)))
+      val recall = math.rint((truthSet & gotSet).size.toDouble / truthSet.size * 10000) / 10000
+      val json =
+        s"""{"sf_dir":"$sfDir","n_vectors":$nVec,"n_probes":$nRp,
+           |"operating_point":{"m":$m,"ksub":$ksub,"n_probe":$nProbe,"shortlist":$shortlist,"cells":256},
+           |"recall_at_10":$recall,
+           |"ivf_build_s":${math.rint(tIvf * 100) / 100},
+           |"pq_build_save_s":${math.rint(tBuild * 100) / 100},
+           |"exact_truth_s":${math.rint(tTruthR * 100) / 100},
+           |"adc_probe_s":${math.rint(tGot * 100) / 100},
+           |"heap_gb":${math.rint(Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024) * 10) / 10}}"""
+          .stripMargin.replace("\n", "")
+      println(s"[ann_recall] n=$nVec probes=$nRp recall@10=$recall " +
+        s"truth=${tTruthR}s adc=${tGot}s")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+      spark.stop()
+      return
+    }
+
     if (preset == "compact") {
       val day1 = emb.filter(col("vec_id") % 97 =!= 3 && col("vec_id") % 97 =!= 7)
       val day2 = emb.filter(col("vec_id") % 97 === 3)

@@ -48,7 +48,10 @@ object Bench {
         f"[bench] launch heap $heapGb%.1f GiB != canonical $CanonicalHeapGb%.0f GiB - re-execing pinned child JVM")
       val pb = new ProcessBuilder(cmd: _*)
       pb.environment().put("SPARK_GRAFT_HEAP_PINNED", "1")
-      pb.environment().put("SPARK_GRAFT_LAUNCH_HEAP_GB", f"$heapGb%.1f")
+      // Locale.ROOT: this value is emitted unquoted as the JSON number
+      // launch_heap_gb — a comma-decimal default locale would break the parse
+      pb.environment().put("SPARK_GRAFT_LAUNCH_HEAP_GB",
+        String.format(java.util.Locale.ROOT, "%.1f", Double.box(heapGb)))
       pb.inheritIO()
       Some(pb.start().waitFor())
     }
@@ -250,7 +253,7 @@ object Bench {
     //                  calibration query (mean of first/last probe).
     val ioClass: Set[String] = Set(
       "s5_sink_roundtrip", "s7_jsonl_roundtrip", "s8_partition_layout",
-      "s9_schema_evolution", "s11_orc_write", "s11_orc_roundtrip",
+      "s9_schema_write", "s11_orc_write", "s11_orc_roundtrip",
       "s12_tfrecord_roundtrip", "s13_zorder_layout", "j12_bucket_layout",
       "x4_shard_export", "d0_cache_build", "d0b_shingle_cache",
       "x11_ledger_build", "x11c_ledger_append", "x11d_ledger_append",

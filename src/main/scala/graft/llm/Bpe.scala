@@ -35,15 +35,30 @@ object Bpe {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
         .otherwise(concat(acc, array(x))))
 
+  /** Measured-dispatch bound for the trainer (the w3/s2 idiom): a vocab
+    * (distinct words) at or under this many rows collects to the driver
+    * and the merge loop runs locally — each merge iteration was otherwise
+    * a full scheduled Spark job (orderBy.limit(1).collect argmax), ~3 s of
+    * pure job-launch floor for 20 merges at sf0.1, over data that is
+    * MB-scale by Sennrich's own vocab argument. Above the bound the
+    * distributed loop below (identical semantics, BpeSpec-proven equal)
+    * takes over; at 100-TB corpora the vocab is tens of millions of rows
+    * and the distributed path is the right one. */
+  private[graft] val DriverLocalVocabMaxRows = 2000000
+
   /** Train `nMerges` BPE merges over the corpus word distribution.
     * Symbols start as single characters plus a terminal `eow` marker (so
     * suffix merges are learnable); ties on pair count break
     * lexicographically on (left, right) — deterministic across engines
     * and partitionings. Stops early when no pair occurs `minCount` times.
     * Returns the merge table (step, left, right, merged, pair_count) —
-    * driver-sized by definition (≤ nMerges rows). */
+    * driver-sized by definition (≤ nMerges rows).
+    *
+    * `localVocabMax` is the driver-local dispatch bound (0 forces the
+    * distributed loop — how BpeSpec pins the two paths' identity). */
   def trainBpe(docs: DataFrame, nMerges: Int = 30, minCount: Long = 2L,
-      eow: String = "</w>"): DataFrame = {
+      eow: String = "</w>",
+      localVocabMax: Int = DriverLocalVocabMaxRows): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     // the single corpus pass: word -> frequency
@@ -52,6 +67,14 @@ object Bpe {
       .select(explode_outer(col("ts")).as("word"))
       .where(col("word").isNotNull && length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("freq"))
+    // measured dispatch: limit(bound+1).collect caps driver exposure — a
+    // result within the bound IS the whole vocab and trains locally
+    if (localVocabMax > 0) {
+      val head = wordFreq.as[(String, Long)].limit(localVocabMax + 1).collect()
+      if (head.length <= localVocabMax)
+        return trainBpeLocal(head, nMerges, minCount, eow)
+          .toDF("step", "left", "right", "merged", "pair_count")
+    }
     // char-level start: ["w","o","r","d","</w>"]
     var vocab = graft.data.Frames.trackedCheckpoint(wordFreq.select(
       col("freq"),
@@ -92,6 +115,94 @@ object Bpe {
       }
     }
     merges.toSeq.toDF("step", "left", "right", "merged", "pair_count")
+  }
+
+  /** UTF-8 byte-order string comparison — what Spark's orderBy compares
+    * (UTF8String binary ordering), NOT Java's UTF-16 code-unit compareTo;
+    * the two diverge on supplementary characters, and the local loop's
+    * tie-break must match the distributed argmax bit-for-bit. */
+  private def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Driver-local merge loop over a collected vocab — semantics identical
+    * to the distributed loop above (code-point symbol start, overlapping
+    * pair counts weighted by word frequency, greedy left-to-right merge
+    * application, count-desc/(l,r)-asc tie-break in UTF8 byte order,
+    * minCount early stop); BpeSpec proves the merge-table identity. */
+  private[llm] def trainBpeLocal(words: Array[(String, Long)], nMerges: Int,
+      minCount: Long, eow: String): Seq[(Int, String, String, String, Long)] = {
+    // code-point split, matching Spark's substr(i, 1) character semantics
+    val syms: Array[scala.collection.mutable.ArrayBuffer[String]] =
+      words.map { case (w, _) =>
+        val b = new scala.collection.mutable.ArrayBuffer[String](w.length + 1)
+        var i = 0
+        while (i < w.length) {
+          val cp = w.codePointAt(i)
+          b += new String(Character.toChars(cp))
+          i += Character.charCount(cp)
+        }
+        b += eow
+        b
+      }
+    val freqs = words.map(_._2)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= nMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var wi = 0
+      while (wi < syms.length) {
+        val b = syms(wi); val f = freqs(wi)
+        var j = 0
+        while (j < b.length - 1) {
+          val k = (b(j), b(j + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          j += 1
+        }
+        wi += 1
+      }
+      var best: ((String, String), Long) = null
+      counts.foreach { kv =>
+        if (best == null || kv._2 > best._2 || (kv._2 == best._2 &&
+            (if (kv._1._1 != best._1._1) utf8Less(kv._1._1, best._1._1)
+             else utf8Less(kv._1._2, best._1._2)))) best = kv
+      }
+      if (best == null || best._2 < minCount) done = true
+      else {
+        val ((l, r), c) = best
+        out += ((step, l, r, l + r, c))
+        val m = l + r
+        var wi2 = 0
+        while (wi2 < syms.length) {
+          val b = syms(wi2)
+          if (b.length >= 2) {
+            val nb = new scala.collection.mutable.ArrayBuffer[String](b.length)
+            var j = 0
+            while (j < b.length) {
+              val x = b(j)
+              if (nb.nonEmpty && nb(nb.length - 1) == l && x == r)
+                nb(nb.length - 1) = m
+              else nb += x
+              j += 1
+            }
+            syms(wi2) = nb
+          }
+          wi2 += 1
+        }
+        step += 1
+      }
+    }
+    out.toSeq
   }
 
   /** ENCODE with a trained merge table — the apply half of the tokenizer

@@ -64,8 +64,18 @@ object Dedup {
   private def minhashLshPairsSql(threshold: Double): String =
     "WITH RECURSIVE " + minhashLshCtes(threshold) + "\n"
 
+  /** Engine-side hot-bucket cap (see [[bandedLshPairs]]): pairs are only
+    * generated among the `DefaultMaxBucketSize` smallest doc_ids of each
+    * (band, key) bucket. The oracle SQL replicates the cap bit-for-bit
+    * (row_number over doc_id order), so the hash gate stays exact even on
+    * a corpus with a >cap boilerplate bucket — the regime the cap exists
+    * for. `maxBucketSize = 0` disables the cap (the x11b equi-join path
+    * never materializes buckets, so its oracle must not cap either). */
+  private[graft] val DefaultMaxBucketSize = 1000
+
   private[graft] def minhashLshCtes(threshold: Double,
-      docsRel: String = "documents"): String = {
+      docsRel: String = "documents",
+      maxBucketSize: Int = DefaultMaxBucketSize): String = {
     val permRows = MinhashParams.zipWithIndex
       .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
     s"""toks AS (
@@ -92,9 +102,19 @@ object Dedup {
        |  SELECT doc_id, i // 4 AS band,
        |         string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS k
        |  FROM mh GROUP BY doc_id, band),
+       |${if (maxBucketSize > 0)
+           s"""bkr AS (
+       |  SELECT doc_id, band, k,
+       |         row_number() OVER (PARTITION BY band, k ORDER BY doc_id) AS rn
+       |  FROM bk),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bk a JOIN bk b ON a.band = b.band AND a.k = b.k AND a.doc_id < b.doc_id),
+       |  FROM bkr a JOIN bkr b ON a.band = b.band AND a.k = b.k AND a.doc_id < b.doc_id
+       |  WHERE a.rn <= $maxBucketSize AND b.rn <= $maxBucketSize),"""
+         else
+           s"""cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bk a JOIN bk b ON a.band = b.band AND a.k = b.k AND a.doc_id < b.doc_id),"""}
        |pairs AS (
        |  SELECT doc_a, doc_b, jaccard FROM (
        |    SELECT c.doc_a, c.doc_b,
@@ -1583,17 +1603,20 @@ object Dedup {
   def bandedLshPairs(
       docs: DataFrame,
       jaccardThreshold: Double,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val sig = minhashAgg(sharedTokens(docs))
     val bandCols = (0 until Bands).map { b =>
       bandKeyCol((b * BandRows until (b + 1) * BandRows).map(i => col(s"m$i")))
     }
     val bands = sig.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
     // bucket members → ordered pairs within the bucket; tiny rows from here on
-    val buckets = bands.groupBy("band", "bh")
+    val grouped = bands.groupBy("band", "bh")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .withColumn("ids", slice(col("ids"), 1, maxBucketSize))
+    // <= 0 disables the cap (mirrors the oracle-side parameter)
+    val buckets =
+      if (maxBucketSize > 0) grouped.withColumn("ids", slice(col("ids"), 1, maxBucketSize))
+      else grouped
     val cands = buckets
       .select(explode(flatten(transform(col("ids"), (a, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))),

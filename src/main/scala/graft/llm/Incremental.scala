@@ -105,7 +105,56 @@ object Incremental {
   //            min/max stats keep as-of reads pruned.
   // Both zones expose identical schemas; every consumer reads their union.
   private def deltaDir(dir: String) = s"$dir/delta"
-  private def baseDir(dir: String) = s"$dir/base"
+
+  /** Live-base manifest (r16, advice #2): one small file recording
+    * `<live base dir name> <compacted horizon>`, replaced ATOMICALLY.
+    * Compaction writes each new consolidated base to a VERSIONED dir
+    * (`base_v<horizon>`) and only then swaps this pointer, so no crash
+    * point can lose the base zone (the r15 in-place delete+rename could,
+    * between the delete and the rename) or double-count a batch present
+    * in both zones (between the rename and the old marker write) — the
+    * reader's view flips from {old base, old horizon} to {new base, new
+    * horizon} in one filesystem rename. Legacy stores (plain `base/` +
+    * `_compacted_up_to`) stay readable through the fallback. */
+  private def manifestPath(dir: String) =
+    java.nio.file.Paths.get(dir, "_base_manifest")
+
+  /** (live base dir name, compacted horizon). */
+  private def baseState(dir: String): (String, Int) = {
+    val m = manifestPath(dir)
+    if (java.nio.file.Files.exists(m)) {
+      val parts = new String(java.nio.file.Files.readAllBytes(m), "UTF-8")
+        .trim.split(" ")
+      (parts(0), parts(1).toInt)
+    } else {
+      val legacy = java.nio.file.Paths.get(dir, "_compacted_up_to")
+      val h =
+        if (java.nio.file.Files.exists(legacy))
+          new String(java.nio.file.Files.readAllBytes(legacy), "UTF-8").trim.toInt
+        else -1
+      ("base", h)
+    }
+  }
+
+  private def swapBaseManifest(dir: String, baseName: String, horizon: Int): Unit = {
+    val tmp = java.nio.file.Paths.get(dir, "_base_manifest.tmp")
+    java.nio.file.Files.write(tmp, s"$baseName $horizon".getBytes("UTF-8"))
+    try java.nio.file.Files.move(tmp, manifestPath(dir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+      java.nio.file.Files.move(tmp, manifestPath(dir),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** The LIVE base zone path, resolved through the manifest — the spec's
+    * layout assertions go through this instead of assuming `base/`. */
+  private[graft] def liveBaseDir(s: SparkSession, d: String): String = {
+    val dir = ledgerDir(s, d)
+    s"$dir/${baseState(dir)._1}"
+  }
+
   private val LedgerCols =
     Seq("doc_id", "source", "n_tok", "q", "h", "in3", "in4", "sig", "batch_id")
   private def hasParquet(p: String): Boolean = {
@@ -126,11 +175,14 @@ object Incremental {
     // compacted delta trees, so a crash in that window leaves a batch in
     // both zones — this filter (partition-pruned, so it costs nothing in
     // the steady state) makes the union immune to the partial swap
-    val horizon = compactedUpTo(dir)
+    // ONE manifest read resolves both the live base dir and the staleness
+    // horizon — two separate reads could straddle a concurrent pointer
+    // swap and pair the new base with the old horizon
+    val (baseName, horizon) = baseState(dir)
     def zone(p: String): Option[DataFrame] =
       if (!hasParquet(p)) None
       else Some(s.read.parquet(p).select(LedgerCols.map(col): _*))
-    val base = zone(baseDir(dir))
+    val base = zone(s"$dir/$baseName")
     val delta = zone(deltaDir(dir)).map(df =>
       if (horizon < 0) df else df.filter(col("batch_id") > horizon))
     (base.toSeq ++ delta.toSeq).reduce(_.union(_))
@@ -268,41 +320,43 @@ object Incremental {
     * content through DuckDB; DataPlaneSpec proves the layout). File
     * budget: one task per batch here (narrow rows, test-scale); a
     * deployment sizes the budget by bytes/targetFileSize instead. */
-  /** Highest batch_id already compacted into base/ (−1 if none) — a tiny
-    * marker the append guard reads instead of scanning base. */
-  private def compactedUpTo(dir: String): Int = {
-    val f = java.nio.file.Paths.get(dir, "_compacted_up_to")
-    if (java.nio.file.Files.exists(f))
-      new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim.toInt
-    else -1
-  }
+  /** Highest batch_id already compacted into the live base (−1 if none) —
+    * read from the manifest; the append guard reads this instead of
+    * scanning base. */
+  private def compactedUpTo(dir: String): Int = baseState(dir)._2
 
   private[graft] def compactLedger(s: SparkSession, d: String, upTo: Int): Unit = {
     val dir = ledgerDir(s, d)
+    val (oldBase, oldHorizon) = baseState(dir)
     // a compaction horizon BELOW a prior one would rewrite base from the
     // batch_id<=upTo slice and delete the old base — silently dropping the
     // already-compacted batches in (upTo, prior] whose delta trees are
     // long gone. The horizon only ever moves forward.
-    require(upTo >= compactedUpTo(dir),
+    require(upTo >= oldHorizon,
       s"compactLedger: horizon $upTo is below the already-compacted " +
-        s"${compactedUpTo(dir)} — compaction horizons only move forward")
-    val tmp = s"$dir/base_tmp"
-    ledgerFor(s, d).filter(col("batch_id") <= upTo)
-      .repartition(upTo + 1, col("batch_id"))
-      .sortWithinPartitions("batch_id", "doc_id")
-      .write.mode("overwrite").parquet(tmp)
-    // the tmp write above fully materialized the union — the source zones
-    // can now be swapped out from under the lazy readers (deployment
-    // analog: a manifest/metastore pointer swap)
-    graft.streaming.Streams.deleteRecursively(new java.io.File(baseDir(dir)))
-    require(new java.io.File(tmp).renameTo(new java.io.File(baseDir(dir))),
-      s"compactLedger: could not move $tmp into place")
-    // marker BEFORE the delta deletes: ledgerFor filters delta rows to
-    // batch_id > marker, so a crash mid-delete leaves batches present in
-    // both zones without double-counting (the read path is swap-immune)
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(dir, "_compacted_up_to"),
-      math.max(upTo, compactedUpTo(dir)).toString.getBytes("UTF-8"))
+        s"$oldHorizon — compaction horizons only move forward")
+    val newBase = s"base_v$upTo"
+    if (oldBase != newBase) {
+      // 1. fully materialize the consolidated horizon into a VERSIONED dir
+      //    the manifest does not yet reference (a crashed prior attempt's
+      //    leftovers are simply overwritten)
+      ledgerFor(s, d).filter(col("batch_id") <= upTo)
+        .repartition(upTo + 1, col("batch_id"))
+        .sortWithinPartitions("batch_id", "doc_id")
+        .write.mode("overwrite").parquet(s"$dir/$newBase")
+      // 2. the ATOMIC pointer swap: readers flip from {old base, old
+      //    horizon} to {new base, new horizon} in one rename — before it
+      //    the old view is fully intact, after it the old base and the
+      //    compacted deltas are unreferenced garbage (deployment analog:
+      //    a metastore/manifest commit)
+      swapBaseManifest(dir, newBase, upTo)
+      // 3. drop the dead zones; a crash anywhere in here only leaves
+      //    unreferenced files (the delta filter is batch_id > horizon, and
+      //    the old base dir is no longer resolved)
+      graft.streaming.Streams.deleteRecursively(new java.io.File(s"$dir/$oldBase"))
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(dir, "_compacted_up_to")) // legacy marker
+    }
     val delta = new java.io.File(deltaDir(dir))
     if (delta.isDirectory) delta.listFiles().foreach { f =>
       val m = "batch_id=(\\d+)".r.findFirstMatchIn(f.getName)
@@ -623,7 +677,7 @@ object Incremental {
       else
         s"""lshdocs AS (SELECT doc_id, text FROM b3
            |            UNION ALL SELECT doc_id, text FROM dc1),
-           |${graft.llm.Dedup.minhashLshCtes(0.8, "lshdocs")},
+           |${graft.llm.Dedup.minhashLshCtes(0.8, "lshdocs", maxBucketSize = 0)},
            |nearb AS (SELECT DISTINCT p.doc_id FROM (
            |    SELECT doc_a AS doc_id, doc_b AS other FROM pairs
            |    UNION ALL SELECT doc_b, doc_a FROM pairs) p

@@ -429,8 +429,12 @@ object PqIndex {
     // scans at nCells tasks (the IvfIndex.save lesson: 15.7 → 92.3 s at 8
     // cells). Range keeps both bounds: files ≈ max(nCells, 2×parallelism).
     // a fresh save owns the whole lists surface: clear any stale
-    // compacted base zone (and its marker) a prior build left behind
-    graft.streaming.Streams.deleteRecursively(new java.io.File(s"$dir/lists_base"))
+    // compacted base zones (legacy and versioned), the manifest, and the
+    // legacy marker a prior build left behind
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("lists_base"))
+      .foreach(graft.streaming.Streams.deleteRecursively)
+    java.nio.file.Files.deleteIfExists(manifestPath(dir))
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(dir, "_compacted_up_to"))
     val budget = listFileBudget(model.cellCodes.count())
@@ -524,13 +528,52 @@ object PqIndex {
     loadIvfPq(spark, dir)
   }
 
-  /** Highest batch already compacted into lists_base/ (−1 if none). */
-  private def compactedUpTo(dir: String): Int = {
-    val f = java.nio.file.Paths.get(dir, "_compacted_up_to")
-    if (java.nio.file.Files.exists(f))
-      new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim.toInt
-    else -1
+  /** Live-base manifest (r16, advice #2 — the Incremental.compactLedger
+    * twin): one small file `_lists_manifest` recording `<live base dir
+    * name> <compacted horizon>`, replaced atomically. Compaction writes
+    * each new consolidated base to a VERSIONED dir (lists_base_v<horizon>)
+    * and then swaps the pointer — no crash point loses the base zone or
+    * pairs a new base with a stale horizon. Legacy stores (lists_base/ +
+    * _compacted_up_to) stay readable through the fallback. */
+  private def manifestPath(dir: String) =
+    java.nio.file.Paths.get(dir, "_lists_manifest")
+
+  /** (live base dir name, compacted horizon). */
+  private def baseState(dir: String): (String, Int) = {
+    val m = manifestPath(dir)
+    if (java.nio.file.Files.exists(m)) {
+      val parts = new String(java.nio.file.Files.readAllBytes(m), "UTF-8")
+        .trim.split(" ")
+      (parts(0), parts(1).toInt)
+    } else {
+      val legacy = java.nio.file.Paths.get(dir, "_compacted_up_to")
+      val h =
+        if (java.nio.file.Files.exists(legacy))
+          new String(java.nio.file.Files.readAllBytes(legacy), "UTF-8").trim.toInt
+        else -1
+      ("lists_base", h)
+    }
   }
+
+  private def swapBaseManifest(dir: String, baseName: String, horizon: Int): Unit = {
+    val tmp = java.nio.file.Paths.get(dir, "_lists_manifest.tmp")
+    java.nio.file.Files.write(tmp, s"$baseName $horizon".getBytes("UTF-8"))
+    try java.nio.file.Files.move(tmp, manifestPath(dir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+      java.nio.file.Files.move(tmp, manifestPath(dir),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** Highest batch already compacted into the live base (−1 if none). */
+  private def compactedUpTo(dir: String): Int = baseState(dir)._2
+
+  /** The LIVE base zone path, resolved through the manifest — layout
+    * assertions (DataPlaneSpec) go through this, not a hardcoded name. */
+  private[graft] def liveListsBaseDir(dir: String): String =
+    s"$dir/${baseState(dir)._1}"
 
   /** Compact the CLOSED batches [0..upTo] of a persisted residual-IVFPQ
     * index: their per-batch partition trees (and any prior base) are
@@ -545,26 +588,28 @@ object PqIndex {
     * byte-identical pre/post (DataPlaneSpec proves it at full depth —
     * cell membership, vnorm, and codes all survive the rewrite). */
   def compactIvfPq(spark: org.apache.spark.sql.SparkSession, dir: String, upTo: Int): Unit = {
-    // horizon only moves forward: a lower upTo would rewrite lists_base
+    // horizon only moves forward: a lower upTo would rewrite the base
     // from the batch<=upTo slice and drop already-compacted higher batches
     // whose delta trees are gone (same rule as Incremental.compactLedger)
-    require(upTo >= compactedUpTo(dir),
+    val (oldBase, oldHorizon) = baseState(dir)
+    require(upTo >= oldHorizon,
       s"compactIvfPq: horizon $upTo is below the already-compacted " +
-        s"${compactedUpTo(dir)} — compaction horizons only move forward")
-    val zones = listZones(spark, dir)
-    val rows = zones.reduce(_.union(_)).filter(col("batch") <= upTo)
-    val tmp = s"$dir/lists_base_tmp"
-    rows.repartitionByRange(listFileBudget(rows.count()), col("cell"), col("vec_id"))
-      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
-    // tmp fully materialized — swap zones (deployment analog: manifest swap)
-    graft.streaming.Streams.deleteRecursively(new java.io.File(s"$dir/lists_base"))
-    require(new java.io.File(tmp).renameTo(new java.io.File(s"$dir/lists_base")),
-      s"compactIvfPq: could not move $tmp into place")
-    // marker BEFORE the delta deletes: listZones filters delta rows to
-    // batch > marker, so a crash mid-delete never double-counts a batch
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(dir, "_compacted_up_to"),
-      math.max(upTo, compactedUpTo(dir)).toString.getBytes("UTF-8"))
+        s"$oldHorizon — compaction horizons only move forward")
+    val newBase = s"lists_base_v$upTo"
+    if (oldBase != newBase) {
+      val zones = listZones(spark, dir)
+      val rows = zones.reduce(_.union(_)).filter(col("batch") <= upTo)
+      // 1. fully materialize into a versioned dir the manifest does not
+      //    yet reference (a crashed prior attempt's leftovers overwrite)
+      rows.repartitionByRange(listFileBudget(rows.count()), col("cell"), col("vec_id"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/$newBase")
+      // 2. the ATOMIC pointer swap — readers flip zones in one rename
+      swapBaseManifest(dir, newBase, upTo)
+      // 3. dead zones: a crash in here only leaves unreferenced files
+      graft.streaming.Streams.deleteRecursively(new java.io.File(s"$dir/$oldBase"))
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(dir, "_compacted_up_to")) // legacy marker
+    }
     val delta = new java.io.File(s"$dir/lists")
     if (delta.isDirectory) delta.listFiles().foreach { f =>
       val m = "batch=(\\d+)".r.findFirstMatchIn(f.getName)
@@ -587,12 +632,14 @@ object PqIndex {
       val f = new java.io.File(p)
       f.isDirectory && f.listFiles().exists(c => c.isDirectory || c.getName.endsWith(".parquet"))
     }
-    // delta (lists/) rows at or below the compaction marker are stale
-    // leftovers of a partial zone swap (marker is written before the
-    // compacted delta trees are deleted) — filter them so the union never
-    // double-counts a batch; partition-pruned, free in the steady state
-    val horizon = compactedUpTo(dir)
-    val zs = Seq(s"$dir/lists", s"$dir/lists_base").filter(nonEmpty)
+    // delta (lists/) rows at or below the compaction horizon are stale
+    // leftovers of a partial zone swap (the compacted delta trees are
+    // deleted only after the manifest swap) — filter them so the union
+    // never double-counts a batch; partition-pruned, free in steady state.
+    // ONE manifest read resolves both the live base dir and the horizon,
+    // so a concurrent swap can't pair a new base with a stale horizon.
+    val (baseName, horizon) = baseState(dir)
+    val zs = Seq(s"$dir/lists", s"$dir/$baseName").filter(nonEmpty)
     require(zs.nonEmpty, s"no inverted lists found under $dir")
     zs.map { p =>
       val df = spark.read.parquet(p).select(cols: _*)

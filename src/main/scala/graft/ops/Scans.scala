@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.data.Tables
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scans / sources (SURVEY §2.B S1–S6).
@@ -46,6 +46,23 @@ object Scans {
   // registered.
   private val layoutDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def layoutDir(path: String): String = { layoutDirs.add(path); path }
+
+  /** s9's two-schema batch pair: write-once (guarded by batch=2's
+    * `_SUCCESS`, the later commit), shared by s9_schema_write (the charged
+    * SETUP line) and s9_schema_evolution (the timed mergeSchema read). */
+  private def s9Dir(s: SparkSession, d: String): String = {
+    val tmp = layoutDir(
+      s"${sys.props("java.io.tmpdir")}/graft_s9_${layoutKey(d, "documents")}")
+    if (!new java.io.File(s"$tmp/batch=2", "_SUCCESS").exists()) {
+      val docs = Tables(s, d, "documents")
+      docs.filter(col("doc_id") % 2 === 1).select("doc_id")
+        .write.mode("overwrite").parquet(s"$tmp/batch=1")
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("doc_id").as("extra"))
+        .write.mode("overwrite").parquet(s"$tmp/batch=2")
+    }
+    tmp
+  }
   def releaseLayouts(): Unit = {
     layoutDirs.forEach(d =>
       graft.streaming.Streams.deleteRecursively(new java.io.File(d)))
@@ -312,11 +329,30 @@ object Scans {
         .agg(count(lit(1)).as("n"), graft.ops.Exact.moneySum(col("l_quantity")).as("sum_qty"))
     },
 
+    // S9 setup: the two differently-schema'd parquet batches s9 reads are
+    // written ONCE here, on a named SETUP line (the s11_orc_write idiom) —
+    // through round 15 they were rewritten inside the timed s9 query every
+    // run (4.9 s of write at sf10 charged to what is semantically a
+    // mergeSchema read). `_SUCCESS` in the LAST-written batch guards the
+    // pair (batch=2 commits after batch=1, so its marker implies both).
+    // Oracle checks the written slice counts read back from the files.
+    QueryDef("s9_schema_write",
+      """SELECT count(*) FILTER (WHERE doc_id % 2 = 1) AS n_old,
+        |       count(*) FILTER (WHERE doc_id % 2 = 0) AS n_new
+        |FROM documents""".stripMargin) { (s, d) =>
+      val tmp = s9Dir(s, d)
+      s.read.parquet(s"$tmp/batch=1")
+        .agg(count(lit(1)).as("n_old"))
+        .crossJoin(s.read.parquet(s"$tmp/batch=2").agg(count(lit(1)).as("n_new")))
+    },
+
     // S9: schema evolution — two parquet batches written with DIFFERENT
     // schemas (the later one adds a column), read back as one dataset with
     // mergeSchema; rows from the old batch surface NULL for the new column.
     // The data-lake reality every long-lived ingestion pipeline hits.
-    // Oracle reconstructs the same union from the source table.
+    // Oracle reconstructs the same union from the source table. The batch
+    // writes are charged to s9_schema_write above (guarded, so this query
+    // stays self-sufficient when run alone).
     QueryDef("s9_schema_evolution",
       """SELECT count(*) AS n,
         |       count(extra) AS n_with_extra,
@@ -325,13 +361,7 @@ object Scans {
         |  SELECT doc_id, NULL AS extra FROM documents WHERE doc_id % 2 = 1
         |  UNION ALL
         |  SELECT doc_id, doc_id AS extra FROM documents WHERE doc_id % 2 = 0)""".stripMargin) { (s, d) =>
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_s9_${math.abs(d.hashCode)}"
-      val docs = Tables(s, d, "documents")
-      docs.filter(col("doc_id") % 2 === 1).select("doc_id")
-        .write.mode("overwrite").parquet(s"$tmp/batch=1")
-      docs.filter(col("doc_id") % 2 === 0)
-        .select(col("doc_id"), col("doc_id").as("extra"))
-        .write.mode("overwrite").parquet(s"$tmp/batch=2")
+      val tmp = s9Dir(s, d)
       s.read.option("mergeSchema", "true").parquet(tmp)
         .agg(count(lit(1)).as("n"),
           count(col("extra")).as("n_with_extra"),

@@ -444,19 +444,35 @@ object Streams {
           col("session_window.end").as("session_end"),
           col("n_events"), col("total"))
       val bigState = Tables(s, d, "events").count() > 5000000L
-      val key = "spark.sql.streaming.stateStore.providerClass"
-      val prev = s.conf.getOption(key)
-      if (bigState) s.conf.set(key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // Bound RocksDB's native memory to a heap-proportional budget when
+      // the big-state dispatch fires: at local[32] the complete-mode
+      // session state opens one RocksDB instance per shuffle partition,
+      // and UNBOUNDED memtables+block caches (the default) compete with a
+      // small JVM for the same RSS — measured 16.4 s at the 8 GiB default
+      // but 96.8 s at 4 GiB (r15 half-heap artifact), memory pressure,
+      // not plan. boundedMemoryUsage shares one LRU budget across every
+      // instance on the executor; a quarter of the heap (floor 512 MB)
+      // keeps the native side proportional to whatever the JVM got.
+      val heapMb = Runtime.getRuntime.maxMemory / (1024L * 1024L)
+      val rocksBudgetMb = math.max(512L, heapMb / 4)
+      val rocksConfs: Seq[(String, String)] = Seq(
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage" -> "true",
+        "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB" ->
+          rocksBudgetMb.toString)
+      val prev: Seq[(String, Option[String])] =
+        rocksConfs.map { case (k, _) => k -> s.conf.getOption(k) }
+      if (bigState) rocksConfs.foreach { case (k, v) => s.conf.set(k, v) }
       // row-per-session output (954k rows at 10x, ~10M at 100x): complete
       // mode re-emits the full session table every micro-batch, and the
       // memory sink put each emission on the driver heap (OOM at 100x) —
       // the parquet drain overwrites per batch, keeping the final state
       // distributed
       try runToParquetTable(s, sess, "complete")
-      finally if (bigState) prev match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
+      finally if (bigState) prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
       }
     },
 

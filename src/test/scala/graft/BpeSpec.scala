@@ -56,10 +56,15 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     out.toSeq
   }
 
-  private def run(texts: Seq[String], nMerges: Int): Seq[(Int, String, String, String, Long)] = {
+  /** localVocabMax = 0 forces the distributed merge loop; the default
+    * exercises the driver-local dispatch path (these corpora are far under
+    * the bound). Both must reproduce the reference identically. */
+  private def run(texts: Seq[String], nMerges: Int,
+      localVocabMax: Int = graft.llm.Bpe.DriverLocalVocabMaxRows): Seq[(Int, String, String, String, Long)] = {
     import spark.implicits._
     val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
-    val got = graft.llm.Bpe.trainBpe(docs, nMerges = nMerges).collect()
+    val got = graft.llm.Bpe.trainBpe(docs, nMerges = nMerges,
+        localVocabMax = localVocabMax).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
       .toSeq.sortBy(_._1)
     graft.data.Frames.releaseTracked()
@@ -87,6 +92,11 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
       val exp = referenceBpe(texts, 15)
       val got = run(texts, 15)
       assert(got == exp, s"round $round: merge tables diverge:\nspark = $got\nref   = $exp")
+      // the distributed loop (forced past the driver-local dispatch) must
+      // produce the identical merge table — the two paths' identity proof
+      val gotDist = run(texts, 15, localVocabMax = 0)
+      assert(gotDist == exp,
+        s"round $round: distributed loop diverges from local/reference:\nspark = $gotDist\nref   = $exp")
     }
   }
 

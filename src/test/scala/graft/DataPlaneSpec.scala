@@ -92,6 +92,26 @@ class DataPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((lsh -- truth).isEmpty, s"false positives: ${(lsh -- truth).take(5)}")
   }
 
+  test("d3 hot-bucket cap: engine slice == the oracle's row_number<=cap semantics (r16, advice #1)") {
+    import spark.implicits._
+    // six identical docs — ONE hot bucket holding {1..6} in every band —
+    // plus two unrelated docs that must stay pair-free either way
+    val docs = ((1L to 6L).map(i => i -> "alpha beta gamma delta epsilon zeta") ++
+      Seq(7L -> "one two three four five six",
+          8L -> "seven eight nine ten eleven twelve")).toDF("doc_id", "text")
+    def pairs(cap: Int): Set[(Long, Long)] =
+      graft.llm.Dedup.bandedLshPairs(docs, jaccardThreshold = 0.8, maxBucketSize = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // capped at 3: pairs only among the 3 SMALLEST doc_ids of the bucket —
+    // exactly what the DuckDB oracle's row_number()<=cap filter recomputes,
+    // so the d3/d6b/x10b hash gates stay exact past a >cap bucket
+    assert(pairs(3) == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"capped pair set diverges from the oracle cap semantics: ${pairs(3)}")
+    // cap 0 = uncapped on BOTH sides: all 15 pairs among the 6 clones
+    val all = (1L to 6L).combinations(2).map(c => (c(0), c(1))).toSet
+    assert(pairs(0) == all, s"uncapped pair set wrong: ${pairs(0)}")
+  }
+
   test("d4b prefix-filtered exact pairs equal the posting-join exact pairs (and the brute force)") {
     val docs = Tables(spark, sf, "documents")
     def ps(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
@@ -599,19 +619,24 @@ class DataPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getOrElse(Array.empty).filter(_.getName.startsWith("batch=")).map(_.getName)
     assert(deltaTrees.isEmpty,
       s"compacted delta trees must be dropped, found: ${deltaTrees.mkString(",")}")
-    val baseCells = new java.io.File(s"$dir/lists_base").listFiles()
+    // the live base resolves through the atomic manifest (r16, advice #2):
+    // compaction writes a versioned dir and swaps the pointer
+    val liveBase = graft.llm.PqIndex.liveListsBaseDir(dir)
+    assert(liveBase.endsWith("lists_base_v1"),
+      s"compaction must swap the manifest to the versioned base dir, got $liveBase")
+    val baseCells = new java.io.File(liveBase).listFiles()
       .filter(_.getName.startsWith("cell="))
     assert(baseCells.length == 8, "base zone must keep the cell= partition layout")
     // consolidation bound: each of the ≤8 range buckets writes one file
     // per cell it straddles, so total files ≤ budget + cells − 1 (a
     // skewed cell may legitimately span several buckets) — and strictly
     // fewer than the two batch trees it replaced
-    val postFiles = parquetFiles(new java.io.File(s"$dir/lists_base"))
+    val postFiles = parquetFiles(new java.io.File(liveBase))
     assert(postFiles <= 15 && postFiles < preFiles,
       s"compaction must consolidate files: $preFiles -> $postFiles")
     // batch column survives as data (the as-of provenance the verdict's
     // "preserving batch_id values" contract requires)
-    val batches = spark.read.parquet(s"$dir/lists_base")
+    val batches = spark.read.parquet(liveBase)
       .select("batch").distinct().collect().map(_.getInt(0)).toSet
     assert(batches == Set(0, 1), s"base must preserve batch values, got $batches")
     val closed = intercept[IllegalStateException](
@@ -1814,13 +1839,21 @@ class DataPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
     val day4Post = stages(SparkEntry.queries("x11d_incremental_pipeline")(spark, dir))
     assert(day4Post == day4, "compaction changed the day-4 manifest")
     val storeDir = graft.llm.Incremental.ledgerDir(spark, dir)
-    assert(new java.io.File(s"$storeDir/base").isDirectory,
+    // the live base is resolved through the atomic manifest (r16,
+    // advice #2): compaction writes a VERSIONED base dir and swaps the
+    // pointer, so the layout assertion must follow the pointer
+    val liveBase = graft.llm.Incremental.liveBaseDir(spark, dir)
+    assert(new java.io.File(liveBase).isDirectory,
       "compaction must land the consolidated base zone")
+    assert(liveBase.endsWith("base_v2"),
+      s"compaction must swap the manifest to the versioned base dir, got $liveBase")
+    assert(!new java.io.File(s"$storeDir/base").exists(),
+      "the superseded legacy base dir must be dropped after the pointer swap")
     val deltaLeft = Option(new java.io.File(s"$storeDir/delta").listFiles())
       .getOrElse(Array.empty).filter(_.getName.startsWith("batch_id=")).map(_.getName)
     assert(deltaLeft.isEmpty,
       s"compacted delta trees must be dropped, found: ${deltaLeft.mkString(",")}")
-    val baseFiles = new java.io.File(s"$storeDir/base").listFiles()
+    val baseFiles = new java.io.File(liveBase).listFiles()
       .count(_.getName.endsWith(".parquet"))
     assert(baseFiles <= 3,
       s"compacted base must be ~one file per batch, found $baseFiles")
