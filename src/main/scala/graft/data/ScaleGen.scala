@@ -114,21 +114,42 @@ object ScaleGen {
     }
 
     // --- facts: replicate with key offsets --------------------------------
+    // Two physical plans for the same logical replication:
+    //   factor <= 100 (the per-boot sf1/sf10 regeneration): broadcast the
+    //   replica ids against the source and repartition the OUTPUT for the
+    //   file-count contract — layout identical to every prior round's
+    //   corpora, so bench numbers stay comparable boot-over-boot.
+    //   factor > 100 (decade-up probes, r16): repartitioning the scaled
+    //   output shuffles the ENTIRE fact table (measured: the factor-1000
+    //   lineitem wrote >47 GB of map output and exhausted local disk
+    //   before finishing). Invert the join instead — shuffle the
+    //   `factor`-row replica list to the target file count and broadcast
+    //   the SOURCE table (sf0.1 lineitem is ~600k rows, well inside the
+    //   broadcast budget): each task emits |source| x its-replicas rows
+    //   directly into its own output file, zero big-data shuffle. Row
+    //   order within files differs from the small-factor path; content is
+    //   identical (offset replication is order-free).
     if (want("orders") || want("lineitem")) {
       val orders = spark.read.parquet(s"$src/orders.parquet")
       val lineitem = spark.read.parquet(s"$src/lineitem.parquet")
       val span = orders.agg(max("o_orderkey")).as[Long].head() + 1L
       val replicas = spark.range(factor).select(col("id").as("rep"))
-      if (want("orders")) write(
-        orders.crossJoin(broadcast(replicas))
-          .withColumn("o_orderkey", col("o_orderkey") + col("rep") * span)
-          .drop("rep").select(orders.columns.map(col).toSeq: _*),
-        "orders", scaled(4, 32))
-      if (want("lineitem")) write(
-        lineitem.crossJoin(broadcast(replicas))
-          .withColumn("l_orderkey", col("l_orderkey") + col("rep") * span)
-          .drop("rep").select(lineitem.columns.map(col).toSeq: _*),
-        "lineitem", scaled(8, 64))
+      def replicated(t: DataFrame, keyCol: String, files: Int): Unit = {
+        val name = if (keyCol == "o_orderkey") "orders" else "lineitem"
+        if (factor <= 100)
+          write(
+            t.crossJoin(broadcast(replicas))
+              .withColumn(keyCol, col(keyCol) + col("rep") * span)
+              .drop("rep").select(t.columns.map(col).toSeq: _*),
+            name, files)
+        else
+          replicas.repartition(files).crossJoin(broadcast(t))
+            .withColumn(keyCol, col(keyCol) + col("rep") * span)
+            .drop("rep").select(t.columns.map(col).toSeq: _*)
+            .write.mode("overwrite").parquet(s"$out/$name.parquet")
+      }
+      if (want("orders")) replicated(orders, "o_orderkey", scaled(4, 32))
+      if (want("lineitem")) replicated(lineitem, "l_orderkey", scaled(8, 64))
     }
 
     // --- documents: synthesize at observed statistics ---------------------
