@@ -137,21 +137,30 @@ object AnnCurve {
       val nRp = recallProbes.count()
       val (truthSet, tTruthR) = timed(pairSet(
         Similarity.bruteForceKnnAgg(recallProbes, emb, k = 10)))
-      val (gotSet, tGot) = timed(pairSet(PqIndex.searchIvfPqResidual(
-        ivf, model, recallProbes, emb, k = 10, shortlist = shortlist, nProbe = nProbe)))
-      val recall = math.rint((truthSet & gotSet).size.toDouble / truthSet.size * 10000) / 10000
+      // The operating point must SCALE with the corpus: nProbe cells at
+      // 20M hold 10× the candidates they hold at 2M, so a fixed ADC
+      // shortlist keeps a shrinking fraction of them and recall decays
+      // (measured: 1.0 at 2M → 0.38 at 20M for nProbe 8 / shortlist 200).
+      // Sweep the declared point plus shortlist/nProbe scaled with the
+      // candidate count — same persisted index, probe-time knobs only.
+      val points = Seq((nProbe, shortlist), (8, 1000), (8, 2000),
+        (16, 2000), (16, 4000), (32, 4000))
+      val rows = points.map { case (np, sl) =>
+        val (gotSet, tGot) = timed(pairSet(PqIndex.searchIvfPqResidual(
+          ivf, model, recallProbes, emb, k = 10, shortlist = sl, nProbe = np)))
+        val recall = math.rint((truthSet & gotSet).size.toDouble / truthSet.size * 10000) / 10000
+        println(s"[ann_recall] n=$nVec nProbe=$np shortlist=$sl recall@10=$recall adc=${tGot}s")
+        s"""{"n_probe":$np,"shortlist":$sl,"recall_at_10":$recall,"adc_probe_s":${math.rint(tGot * 100) / 100}}"""
+      }
       val json =
         s"""{"sf_dir":"$sfDir","n_vectors":$nVec,"n_probes":$nRp,
-           |"operating_point":{"m":$m,"ksub":$ksub,"n_probe":$nProbe,"shortlist":$shortlist,"cells":256},
-           |"recall_at_10":$recall,
+           |"declared_point":{"m":$m,"ksub":$ksub,"n_probe":$nProbe,"shortlist":$shortlist,"cells":256},
+           |"points":[${rows.mkString(",")}],
            |"ivf_build_s":${math.rint(tIvf * 100) / 100},
            |"pq_build_save_s":${math.rint(tBuild * 100) / 100},
            |"exact_truth_s":${math.rint(tTruthR * 100) / 100},
-           |"adc_probe_s":${math.rint(tGot * 100) / 100},
            |"heap_gb":${math.rint(Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024) * 10) / 10}}"""
           .stripMargin.replace("\n", "")
-      println(s"[ann_recall] n=$nVec probes=$nRp recall@10=$recall " +
-        s"truth=${tTruthR}s adc=${tGot}s")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
       spark.stop()
       return
