@@ -570,6 +570,19 @@ object PqIndex {
   /** Highest batch already compacted into the live base (−1 if none). */
   private def compactedUpTo(dir: String): Int = baseState(dir)._2
 
+  /** Scale-correct ADC shortlist (r16, measured at the 20M decade): nProbe
+    * selects ~nVec·nProbe/nCells candidates — a constant FRACTION of the
+    * corpus — so a FIXED shortlist keeps a shrinking share of what the
+    * scan ranks and recall decays as the corpus grows (recall@10 1.0 at
+    * 2M → 0.383 at 20M for shortlist 200, scale_r16/ann_recall_vec20m).
+    * Hold the kept share constant instead: shortlist = candidates/300,
+    * the ratio the 20M sweep measured at recall 0.999, floored at the
+    * small-corpus value so test-scale results are unchanged. */
+  def scaledShortlist(nVec: Long, nProbe: Int, nCells: Int, floor: Int): Int = {
+    val candidates = nVec.toDouble * math.min(nProbe, nCells) / math.max(nCells, 1)
+    math.max(floor, (candidates / 300.0).toInt)
+  }
+
   /** The LIVE base zone path, resolved through the manifest — layout
     * assertions (DataPlaneSpec) go through this, not a hardcoded name. */
   private[graft] def liveListsBaseDir(dir: String): String =

@@ -287,8 +287,11 @@ object Similarity {
     // brute force and proves the rerank cosines exact.
     QueryDef.noOracle("sim_pq_ann") { (s, d) =>
       val emb = Tables(s, d, "embeddings")
+      // plain PQ scans the WHOLE code table → candidates = nVec; the
+      // shortlist scales with it (scaledShortlist scaladoc: recall at a
+      // fixed shortlist decays with corpus growth, measured at 20M)
       PqIndex.searchCached(d, emb.filter(col("vec_id") < 5), emb,
-        k = 10, shortlist = 50)
+        k = 10, shortlist = PqIndex.scaledShortlist(emb.count(), 1, 1, floor = 50))
     },
 
     // OPQ (Ge et al. 2013, "Optimized Product Quantization"): PQ with a
@@ -313,7 +316,8 @@ object Similarity {
     QueryDef.noOracle("sim_opq_ann") { (s, d) =>
       val emb = Tables(s, d, "embeddings")
       PqIndex.searchCached(d, emb.filter(col("vec_id") < 5), emb,
-        k = 10, shortlist = 50, opq = true)
+        k = 10, shortlist = PqIndex.scaledShortlist(emb.count(), 1, 1, floor = 50),
+        opq = true)
     },
 
     // LAION-style alignment filtering (Schuhmann et al. 2021 keep an
@@ -375,7 +379,9 @@ object Similarity {
         IvfIndex.cachedIndexFor(d, emb, nClusters = 8),
         PqIndex.cachedModel(d, emb),
         emb.filter(col("vec_id") < 5), emb,
-        k = 10, shortlist = 50, nProbe = 4)
+        k = 10,
+        shortlist = PqIndex.scaledShortlist(emb.count(), 4, 8, floor = 50),
+        nProbe = 4)
     },
 
     // RESIDUAL IVFPQ (FAISS's IndexIVFPQ / Jégou IVFADC, r12): PQ encodes
@@ -400,7 +406,9 @@ object Similarity {
       PqIndex.searchIvfPqResidual(ivf,
         PqIndex.cachedIvfPq(d, ivf, emb, m = 8, ksub = 16, nClusters = 8),
         emb.filter(col("vec_id") < 5), emb,
-        k = 10, shortlist = 50, nProbe = 4)
+        k = 10,
+        shortlist = PqIndex.scaledShortlist(emb.count(), 4, 8, floor = 50),
+        nProbe = 4)
     },
 
     // INDEX APPEND (r13) — the ANN twin of x11c's ledger append: day-2

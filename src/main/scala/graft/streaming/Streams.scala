@@ -614,7 +614,10 @@ object Streams {
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
           val t0 = System.nanoTime()
           graft.llm.PqIndex.searchIvfPqResidual(ivf, model, batch, emb,
-              k = 10, shortlist = 50, nProbe = 4)
+              k = 10,
+              shortlist = graft.llm.PqIndex.scaledShortlist(
+                emb.count(), 4, 8, floor = 50),
+              nProbe = 4)
             .write.mode("overwrite").parquet(s"$out/batch_$batchId")
           Console.err.println(String.format(java.util.Locale.ROOT,
             "[st_stream_ann] batch %d: %d probes in %.2f s",

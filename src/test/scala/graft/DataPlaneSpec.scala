@@ -112,6 +112,19 @@ class DataPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs(0) == all, s"uncapped pair set wrong: ${pairs(0)}")
   }
 
+  test("scaledShortlist: floor at test scale, candidates/300 at the decades (the 20M recall law)") {
+    import graft.llm.PqIndex.scaledShortlist
+    // sf-scale corpora sit under the floor -> declared results unchanged
+    assert(scaledShortlist(2000, 4, 8, floor = 50) == 50)
+    // 2M at the declared point lands ~at its historical 200 (62500/300)
+    assert(scaledShortlist(2000000, 8, 256, floor = 200) == 208)
+    // 20M: the formula yields the sweep's 0.999 operating point (~2083)
+    assert(scaledShortlist(20000000, 8, 256, floor = 200) == 2083)
+    // nProbe beyond nCells clamps to a full scan, never over-counts
+    assert(scaledShortlist(100000, 16, 8, floor = 50) ==
+      scaledShortlist(100000, 8, 8, floor = 50))
+  }
+
   test("d4b prefix-filtered exact pairs equal the posting-join exact pairs (and the brute force)") {
     val docs = Tables(spark, sf, "documents")
     def ps(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
