@@ -610,14 +610,15 @@ object Streams {
       sinkDirs.add(root)
       val stream = s.readStream.schema(probes.schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$root/probes")
+      // corpus size (→ scaled shortlist) is a property of the SERVED
+      // index, not of any micro-batch: resolve once, outside the loop
+      val servingShortlist =
+        graft.llm.PqIndex.scaledShortlist(emb.count(), 4, 8, floor = 50)
       val q = stream.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
           val t0 = System.nanoTime()
           graft.llm.PqIndex.searchIvfPqResidual(ivf, model, batch, emb,
-              k = 10,
-              shortlist = graft.llm.PqIndex.scaledShortlist(
-                emb.count(), 4, 8, floor = 50),
-              nProbe = 4)
+              k = 10, shortlist = servingShortlist, nProbe = 4)
             .write.mode("overwrite").parquet(s"$out/batch_$batchId")
           Console.err.println(String.format(java.util.Locale.ROOT,
             "[st_stream_ann] batch %d: %d probes in %.2f s",
