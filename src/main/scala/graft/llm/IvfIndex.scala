@@ -371,6 +371,20 @@ object IvfIndex {
       load(corpus.sparkSession, dir)
     })
 
+  /** Scale-correct quantizer size for the IVFPQ tier (r16, the other half
+    * of the 20M-recall law next to [[PqIndex.scaledShortlist]]): with a
+    * FIXED cell count, nProbe selects a constant corpus FRACTION, so the
+    * ADC scan volume — and with it the shortlist a constant kept-share
+    * demands — grows linearly with the corpus (at sf10 the historical
+    * 8-cell quantizer scanned 50% of the corpus per probe). √n/8 cells
+    * (FAISS's nlist ~ √n guidance, conservatively scaled down for the
+    * k-proportional MLlib KMeans build cost) keeps the scanned fraction
+    * shrinking as the corpus grows; floored at the historical 8 so
+    * spec-scale corpora — and every DataPlaneSpec expectation — are
+    * unchanged, capped so the one-time build stays bounded. */
+  def scaledCells(nVec: Long, floor: Int = 8, cap: Int = 256): Int =
+    math.max(floor, math.min(cap, (math.sqrt(nVec.toDouble) / 8).toInt))
+
   /** The persisted per-corpus index, for composed consumers (IVFPQ) that
     * pair it with another index tier. Same build-once semantics as the
     * cached search paths below. */

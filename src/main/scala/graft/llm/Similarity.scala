@@ -366,24 +366,6 @@ object Similarity {
           (col("align_score") >= 0.2 && q).as("keep"))
     },
 
-    // IVFPQ — the two ANN tiers COMPOSED (the production shape at 100 TB:
-    // IVF prunes WHICH cells are scanned, PQ shrinks WHAT a scan reads;
-    // both indexes come from their own declared build/cache lines). A
-    // probe batch reads nProbe/nClusters of the ~64x-compressed code
-    // table and touches full vectors only for the shortlist rerank.
-    // Engine-specific → no SQL oracle; DataPlaneSpec measures recall and
-    // proves the result ⊆ the routed cells with exact rerank cosines.
-    QueryDef.noOracle("sim_ivfpq_ann") { (s, d) =>
-      val emb = Tables(s, d, "embeddings")
-      PqIndex.searchIvfPq(
-        IvfIndex.cachedIndexFor(d, emb, nClusters = 8),
-        PqIndex.cachedModel(d, emb),
-        emb.filter(col("vec_id") < 5), emb,
-        k = 10,
-        shortlist = PqIndex.scaledShortlist(emb.count(), 4, 8, floor = 50),
-        nProbe = 4)
-    },
-
     // RESIDUAL IVFPQ (FAISS's IndexIVFPQ / Jégou IVFADC, r12): PQ encodes
     // v − centroid(cell) so the code budget spends on local structure —
     // the variant that DEMONSTRATED the ANN crossover (2M×256-d corpus:
@@ -394,20 +376,46 @@ object Similarity {
     // only, codegen'd AdcDot + stored exact norms, exact rerank.
     QueryDef.noOracle("sim_ivfpqr_build") { (s, d) =>
       val emb = Tables(s, d, "embeddings")
-      val ivf = IvfIndex.cachedIndexFor(d, emb, nClusters = 8)
-      PqIndex.cachedIvfPq(d, ivf, emb, m = 8, ksub = 16, nClusters = 8)
+      val cells = IvfIndex.scaledCells(emb.count())
+      val ivf = IvfIndex.cachedIndexFor(d, emb, nClusters = cells)
+      PqIndex.cachedIvfPq(d, ivf, emb, m = 8, ksub = 16, nClusters = cells)
         .cellCodes.groupBy("cell")
         .agg(count(lit(1)).as("n_codes"),
           round(sum(col("vnorm")), 6).as("norm_sum"))
     },
-    QueryDef.noOracle("sim_ivfpqr_ann") { (s, d) =>
+    // IVFPQ — the two ANN tiers COMPOSED (the production shape at 100 TB:
+    // IVF prunes WHICH cells are scanned, PQ shrinks WHAT a scan reads;
+    // both indexes come from their own declared build/cache lines —
+    // declared AFTER sim_ivfpqr_build so the shared scaled-cell IVF
+    // quantizer is charged to that named build line, r16). A
+    // probe batch reads nProbe/nClusters of the ~64x-compressed code
+    // table and touches full vectors only for the shortlist rerank.
+    // Engine-specific → no SQL oracle; DataPlaneSpec measures recall and
+    // proves the result ⊆ the routed cells with exact rerank cosines.
+    QueryDef.noOracle("sim_ivfpq_ann") { (s, d) =>
       val emb = Tables(s, d, "embeddings")
-      val ivf = IvfIndex.cachedIndexFor(d, emb, nClusters = 8)
-      PqIndex.searchIvfPqResidual(ivf,
-        PqIndex.cachedIvfPq(d, ivf, emb, m = 8, ksub = 16, nClusters = 8),
+      // cells AND shortlist both scale with the corpus (the 20M recall
+      // law): more cells -> nProbe selects a shrinking fraction, and the
+      // shortlist holds the kept share of what is still scanned
+      val cells = IvfIndex.scaledCells(emb.count())
+      PqIndex.searchIvfPq(
+        IvfIndex.cachedIndexFor(d, emb, nClusters = cells),
+        PqIndex.cachedModel(d, emb),
         emb.filter(col("vec_id") < 5), emb,
         k = 10,
-        shortlist = PqIndex.scaledShortlist(emb.count(), 4, 8, floor = 50),
+        shortlist = PqIndex.scaledShortlist(emb.count(), 4, cells, floor = 50),
+        nProbe = 4)
+    },
+
+    QueryDef.noOracle("sim_ivfpqr_ann") { (s, d) =>
+      val emb = Tables(s, d, "embeddings")
+      val cells = IvfIndex.scaledCells(emb.count())
+      val ivf = IvfIndex.cachedIndexFor(d, emb, nClusters = cells)
+      PqIndex.searchIvfPqResidual(ivf,
+        PqIndex.cachedIvfPq(d, ivf, emb, m = 8, ksub = 16, nClusters = cells),
+        emb.filter(col("vec_id") < 5), emb,
+        k = 10,
+        shortlist = PqIndex.scaledShortlist(emb.count(), 4, cells, floor = 50),
         nProbe = 4)
     },
 
@@ -426,9 +434,10 @@ object Similarity {
       val day1 = emb.filter(col("vec_id") % 10 =!= 9)
       val day2 = emb.filter(col("vec_id") % 10 === 9)
       val key = d + "#ivfpqr-day1"
-      val ivf = IvfIndex.cachedIndexFor(key, day1, nClusters = 8)
+      val cells = IvfIndex.scaledCells(day1.count())
+      val ivf = IvfIndex.cachedIndexFor(key, day1, nClusters = cells)
       PqIndex.cachedIvfPqAppend(key, ivf, day1, day2,
-          m = 8, ksub = 16, nClusters = 8)
+          m = 8, ksub = 16, nClusters = cells)
         .cellCodes.groupBy("cell")
         .agg(sum(when(col("vec_id") % 10 =!= 9, 1L).otherwise(0L)).as("n_day1"),
           sum(when(col("vec_id") % 10 === 9, 1L).otherwise(0L)).as("n_day2"),
@@ -450,9 +459,10 @@ object Similarity {
       val day1 = emb.filter(col("vec_id") % 10 =!= 9)
       val day2 = emb.filter(col("vec_id") % 10 === 9)
       val key = d + "#ivfpqr-day1"
-      val ivf = IvfIndex.cachedIndexFor(key, day1, nClusters = 8)
+      val cells = IvfIndex.scaledCells(day1.count())
+      val ivf = IvfIndex.cachedIndexFor(key, day1, nClusters = cells)
       PqIndex.cachedIvfPqCompact(key, ivf, day1, day2,
-          m = 8, ksub = 16, nClusters = 8, upTo = 1)
+          m = 8, ksub = 16, nClusters = cells, upTo = 1)
         .cellCodes.groupBy("cell")
         .agg(sum(when(col("vec_id") % 10 =!= 9, 1L).otherwise(0L)).as("n_day1"),
           sum(when(col("vec_id") % 10 === 9, 1L).otherwise(0L)).as("n_day2"),

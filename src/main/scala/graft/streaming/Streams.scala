@@ -598,8 +598,11 @@ object Streams {
     // stream == batch (same probes, same k) across ≥2 micro-batches.
     QueryDef.noOracle("st_stream_ann") { (s, d) =>
       val emb = Tables(s, d, "embeddings")
-      val ivf = graft.llm.IvfIndex.cachedIndexFor(d, emb, nClusters = 8)
-      val model = graft.llm.PqIndex.cachedIvfPq(d, ivf, emb, m = 8, ksub = 16, nClusters = 8)
+      // quantizer size and shortlist both scale with the served corpus
+      // (the 20M recall law; IvfIndex.scaledCells scaladoc)
+      val cells = graft.llm.IvfIndex.scaledCells(emb.count())
+      val ivf = graft.llm.IvfIndex.cachedIndexFor(d, emb, nClusters = cells)
+      val model = graft.llm.PqIndex.cachedIvfPq(d, ivf, emb, m = 8, ksub = 16, nClusters = cells)
       val probes = emb.filter(col("vec_id") % 100 === 7)
         .select("vec_id", "embedding")
       // land the probe set as a 4-file dir so the file source genuinely
@@ -613,7 +616,7 @@ object Streams {
       // corpus size (→ scaled shortlist) is a property of the SERVED
       // index, not of any micro-batch: resolve once, outside the loop
       val servingShortlist =
-        graft.llm.PqIndex.scaledShortlist(emb.count(), 4, 8, floor = 50)
+        graft.llm.PqIndex.scaledShortlist(emb.count(), 4, cells, floor = 50)
       val q = stream.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
           val t0 = System.nanoTime()

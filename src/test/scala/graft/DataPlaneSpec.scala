@@ -123,6 +123,14 @@ class DataPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
     // nProbe beyond nCells clamps to a full scan, never over-counts
     assert(scaledShortlist(100000, 16, 8, floor = 50) ==
       scaledShortlist(100000, 8, 8, floor = 50))
+    // the quantizer's other half: cells scale ~sqrt(n)/8 with the same
+    // spec-scale floor, so nProbe selects a SHRINKING corpus fraction
+    import graft.llm.IvfIndex.scaledCells
+    assert(scaledCells(500) == 8)        // spec scale: the historical 8
+    assert(scaledCells(200000) == 55)    // sf10: 7% scanned at nProbe 4
+    assert(scaledCells(20000000) == 256) // capped (build cost bound)
+    // composed: at sf10 the scaled cells pull the shortlist back to floor
+    assert(scaledShortlist(200000, 4, scaledCells(200000), floor = 50) == 50)
   }
 
   test("d4b prefix-filtered exact pairs equal the posting-join exact pairs (and the brute force)") {

@@ -51,11 +51,16 @@ class StreamingSuite extends AnyFunSuite {
     // the batch twin: same persisted index (same cache key), same probes,
     // same k/shortlist/nProbe — serving from a stream must change nothing
     val emb = graft.data.Tables(spark, sf, "embeddings")
-    val ivf = graft.llm.IvfIndex.cachedIndexFor(sf, emb, nClusters = 8)
-    val model = graft.llm.PqIndex.cachedIvfPq(sf, ivf, emb, m = 8, ksub = 16, nClusters = 8)
+    // derive cells/shortlist through the SAME scale-aware helpers the
+    // declared stream uses, so the twin can't silently diverge from it
+    val cells = graft.llm.IvfIndex.scaledCells(emb.count())
+    val ivf = graft.llm.IvfIndex.cachedIndexFor(sf, emb, nClusters = cells)
+    val model = graft.llm.PqIndex.cachedIvfPq(sf, ivf, emb, m = 8, ksub = 16, nClusters = cells)
     val batch = graft.llm.PqIndex.searchIvfPqResidual(ivf, model,
       emb.filter(col("vec_id") % 100 === 7).select("vec_id", "embedding"),
-      emb, k = 10, shortlist = 50, nProbe = 4)
+      emb, k = 10,
+      shortlist = graft.llm.PqIndex.scaledShortlist(emb.count(), 4, cells, floor = 50),
+      nProbe = 4)
     assert(streamed == rows(batch), "streamed ANN results must equal the batch search")
     assert(stream.count() > 0)
     // the probe landing really streamed as multiple micro-batches: each
