@@ -166,6 +166,59 @@ object AnnCurve {
       return
     }
 
+    // preset `scalelaw` (r17, verdict asks #1+#2): the two structural
+    // scale fixes measured against the r16 256-cell comparison point in
+    // ONE matched-condition run on the same persisted corpus —
+    //   (a) the lifted quantizer cap: cells = scaledCells(n) (√n/8 = 559
+    //       at 20M) vs the old cap 256, sampled-KMeans build both times;
+    //   (b) staged rerank: plain exact rerank of the scaled shortlist vs
+    //       fine-ADC refine → constant-width exact rerank (refineKeep).
+    // Acceptance: recall@10 ≥ 0.999 at the scaled-cell point with ADC
+    // s/probes LOWER than the 256-cell point, and staged ≤ plain cost at
+    // equal recall.
+    if (preset == "scalelaw") {
+      val (m, ksub, nProbe) = (32, 64, 8)
+      val recallProbes = emb.filter(col("vec_id") % math.max(2L, nVec / 100L) === 0)
+      val nRp = recallProbes.count()
+      val (truthSet, tTruthR) = timed(pairSet(
+        Similarity.bruteForceKnnAgg(recallProbes, emb, k = 10)))
+      val rows = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (cells <- Seq(256, graft.llm.IvfIndex.scaledCells(nVec))) {
+        val (ivf, tIvf) = timed(IvfIndex.build(emb, cells, maxIter = 10))
+        val dir = s"${sys.props("java.io.tmpdir")}/graft_anncurve_scalelaw_$cells"
+        graft.streaming.Streams.deleteRecursively(new java.io.File(dir))
+        val (_, tBuild) = timed {
+          val built = PqIndex.buildIvfPq(ivf, emb, m, ksub, refineKsub = 256)
+          PqIndex.saveIvfPq(built, dir)
+          built.unpersist()
+        }
+        ivf.assigned.unpersist() // serving never holds the build-time cache
+        val model = PqIndex.loadIvfPq(spark, dir)
+        val sl = PqIndex.scaledShortlist(nVec, nProbe, cells, floor = 200)
+        for (rk <- Seq(0, PqIndex.refineKeep(10))) {
+          val (gotSet, tGot) = timed(pairSet(PqIndex.searchIvfPqResidual(
+            ivf, model, recallProbes, emb, k = 10, shortlist = sl,
+            nProbe = nProbe, refineKeep = rk)))
+          val recall = math.rint(
+            (truthSet & gotSet).size.toDouble / truthSet.size * 10000) / 10000
+          println(s"[ann_scalelaw] cells=$cells shortlist=$sl refineKeep=$rk " +
+            s"recall@10=$recall probe_s=${math.rint(tGot * 100) / 100}")
+          rows += s"""{"cells":$cells,"n_probe":$nProbe,"shortlist":$sl,"refine_keep":$rk,"recall_at_10":$recall,"probe_s":${math.rint(tGot * 100) / 100},"ivf_build_s":${math.rint(tIvf * 100) / 100},"pq_build_save_s":${math.rint(tBuild * 100) / 100}}"""
+        }
+        model.unpersist()
+      }
+      val json =
+        s"""{"sf_dir":"$sfDir","n_vectors":$nVec,"n_probes":$nRp,
+           |"m":$m,"ksub":$ksub,"refine_ksub":256,
+           |"points":[${rows.mkString(",")}],
+           |"exact_truth_s":${math.rint(tTruthR * 100) / 100},
+           |"heap_gb":${math.rint(Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024) * 10) / 10}}"""
+          .stripMargin.replace("\n", "")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+      spark.stop()
+      return
+    }
+
     if (preset == "compact") {
       val day1 = emb.filter(col("vec_id") % 97 =!= 3 && col("vec_id") % 97 =!= 7)
       val day2 = emb.filter(col("vec_id") % 97 === 3)

@@ -132,7 +132,7 @@ object RecallProbe {
     } else {
       import graft.llm.IvfIndex
       // the declared queries' sizing, one source of truth
-      val k = graft.llm.Similarity.semDedupK(emb)
+      val k = graft.llm.Similarity.semDedupK(nVec)
       val (idx, tBuild) = timed(IvfIndex.build(emb, k))
       val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val a = e.select(col("vec_id").as("doc_a"), col("v").as("va"))

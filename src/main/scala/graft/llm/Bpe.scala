@@ -46,6 +46,15 @@ object Bpe {
     * and the distributed path is the right one. */
   private[graft] val DriverLocalVocabMaxRows = 2000000
 
+  /** Byte-budget companion to the row bound (r17, advice #1): the row
+    * bound alone let a corpus of very LONG distinct "words" (space-free
+    * text, minified content) put hundreds of MB of strings on the driver
+    * heap just to make the dispatch decision. Estimated JVM cost —
+    * 2 B/char + ~48 B object overhead per (word, freq) tuple — must stay
+    * under this before the vocab collects; otherwise the distributed
+    * loop takes over regardless of row count. */
+  private[graft] val DriverLocalVocabMaxBytes = 256L * 1024 * 1024
+
   /** Train `nMerges` BPE merges over the corpus word distribution.
     * Symbols start as single characters plus a terminal `eow` marker (so
     * suffix merges are learnable); ties on pair count break
@@ -67,13 +76,26 @@ object Bpe {
       .select(explode_outer(col("ts")).as("word"))
       .where(col("word").isNotNull && length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("freq"))
-    // measured dispatch: limit(bound+1).collect caps driver exposure — a
-    // result within the bound IS the whole vocab and trains locally
+    // measured dispatch (r17, advice #1: gate on BYTES too, not only
+    // rows — the old limit(bound+1).collect shipped up to 2M (word, freq)
+    // rows to the driver to make the decision, unbounded in string
+    // length): one map-side-combined aggregate probes row count AND
+    // estimated heap bytes; the vocab collects only when both bounds
+    // hold. wordFreq is persisted across probe + consumer (the local
+    // collect, or the distributed char-split below) so the corpus is
+    // still scanned once.
     if (localVocabMax > 0) {
-      val head = wordFreq.as[(String, Long)].limit(localVocabMax + 1).collect()
-      if (head.length <= localVocabMax)
+      wordFreq.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val probe = wordFreq
+        .agg(count(lit(1)), coalesce(sum(length(col("word"))), lit(0L))).head()
+      val (nWords, chars) = (probe.getLong(0), probe.getLong(1))
+      if (nWords <= localVocabMax &&
+          chars * 2 + nWords * 48 <= DriverLocalVocabMaxBytes) {
+        val head = wordFreq.as[(String, Long)].collect()
+        wordFreq.unpersist()
         return trainBpeLocal(head, nMerges, minCount, eow)
           .toDF("step", "left", "right", "merged", "pair_count")
+      }
     }
     // char-level start: ["w","o","r","d","</w>"]
     var vocab = graft.data.Frames.trackedCheckpoint(wordFreq.select(
@@ -82,6 +104,8 @@ object Bpe {
         transform(sequence(lit(1), length(col("word"))),
           i => col("word").substr(i, lit(1))),
         array(lit(eow))).as("syms")))
+    // the checkpoint above was wordFreq's last consumer on this path
+    if (localVocabMax > 0) wordFreq.unpersist(blocking = false)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var step = 1
     var done = false

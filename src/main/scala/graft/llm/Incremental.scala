@@ -106,47 +106,13 @@ object Incremental {
   // Both zones expose identical schemas; every consumer reads their union.
   private def deltaDir(dir: String) = s"$dir/delta"
 
-  /** Live-base manifest (r16, advice #2): one small file recording
-    * `<live base dir name> <compacted horizon>`, replaced ATOMICALLY.
-    * Compaction writes each new consolidated base to a VERSIONED dir
-    * (`base_v<horizon>`) and only then swaps this pointer, so no crash
-    * point can lose the base zone (the r15 in-place delete+rename could,
-    * between the delete and the rename) or double-count a batch present
-    * in both zones (between the rename and the old marker write) — the
-    * reader's view flips from {old base, old horizon} to {new base, new
-    * horizon} in one filesystem rename. Legacy stores (plain `base/` +
-    * `_compacted_up_to`) stay readable through the fallback. */
-  private def manifestPath(dir: String) =
-    java.nio.file.Paths.get(dir, "_base_manifest")
+  /** Live-base manifest (r16, advice #2) — see [[ZoneManifest]] for the
+    * crash-safety contract (atomic pointer swap over versioned base
+    * zones; legacy `base/` + `_compacted_up_to` stores stay readable). */
+  private val manifest = new ZoneManifest("_base_manifest", "_compacted_up_to", "base")
 
   /** (live base dir name, compacted horizon). */
-  private def baseState(dir: String): (String, Int) = {
-    val m = manifestPath(dir)
-    if (java.nio.file.Files.exists(m)) {
-      val parts = new String(java.nio.file.Files.readAllBytes(m), "UTF-8")
-        .trim.split(" ")
-      (parts(0), parts(1).toInt)
-    } else {
-      val legacy = java.nio.file.Paths.get(dir, "_compacted_up_to")
-      val h =
-        if (java.nio.file.Files.exists(legacy))
-          new String(java.nio.file.Files.readAllBytes(legacy), "UTF-8").trim.toInt
-        else -1
-      ("base", h)
-    }
-  }
-
-  private def swapBaseManifest(dir: String, baseName: String, horizon: Int): Unit = {
-    val tmp = java.nio.file.Paths.get(dir, "_base_manifest.tmp")
-    java.nio.file.Files.write(tmp, s"$baseName $horizon".getBytes("UTF-8"))
-    try java.nio.file.Files.move(tmp, manifestPath(dir),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
-      java.nio.file.Files.move(tmp, manifestPath(dir),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
-  }
+  private def baseState(dir: String): (String, Int) = manifest.state(dir)
 
   /** The LIVE base zone path, resolved through the manifest — the spec's
     * layout assertions go through this instead of assuming `base/`. */
@@ -349,14 +315,12 @@ object Incremental {
       //    the old view is fully intact, after it the old base and the
       //    compacted deltas are unreferenced garbage (deployment analog:
       //    a metastore/manifest commit)
-      swapBaseManifest(dir, newBase, upTo)
-      // 3. drop the dead zones; a crash anywhere in here only leaves
-      //    unreferenced files (the delta filter is batch_id > horizon, and
-      //    the old base dir is no longer resolved)
-      graft.streaming.Streams.deleteRecursively(new java.io.File(s"$dir/$oldBase"))
-      java.nio.file.Files.deleteIfExists(
-        java.nio.file.Paths.get(dir, "_compacted_up_to")) // legacy marker
+      manifest.swap(dir, newBase, upTo)
     }
+    // 3. drop the dead zones — OUTSIDE the skip guard, so a re-run at the
+    //    same horizon after a crash between swap and delete still sweeps
+    //    the superseded base and the legacy marker (r17, advice #2)
+    manifest.sweepDeadZones(dir, liveBase = newBase)
     val delta = new java.io.File(deltaDir(dir))
     if (delta.isDirectory) delta.listFiles().foreach { f =>
       val m = "batch_id=(\\d+)".r.findFirstMatchIn(f.getName)

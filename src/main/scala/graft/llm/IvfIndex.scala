@@ -378,11 +378,22 @@ object IvfIndex {
     * demands — grows linearly with the corpus (at sf10 the historical
     * 8-cell quantizer scanned 50% of the corpus per probe). √n/8 cells
     * (FAISS's nlist ~ √n guidance, conservatively scaled down for the
-    * k-proportional MLlib KMeans build cost) keeps the scanned fraction
+    * k-proportional quantizer build cost) keeps the scanned fraction
     * shrinking as the corpus grows; floored at the historical 8 so
     * spec-scale corpora — and every DataPlaneSpec expectation — are
-    * unchanged, capped so the one-time build stays bounded. */
-  def scaledCells(nVec: Long, floor: Int = 8, cap: Int = 256): Int =
+    * unchanged.
+    *
+    * r17 lifted the old cap of 256: it silently re-introduced the
+    * linear-scan regime one decade up (√n/8 = 559 at 20M already exceeds
+    * it — the per-probe ADC volume resumed growing linearly past ~4M
+    * vectors, with the shortlist scaling to compensate on COST instead of
+    * recall). The build is sampled-KMeans (train on ≤ max(50·k, 20k)
+    * vectors, assign distributed — [[build]]), so the quantizer fit stays
+    * bounded at any k this law produces; the remaining cap at 4096 bounds
+    * the broadcast centroid table (4096 × dim doubles ≈ 8 MB at 256-d)
+    * and the per-probe routing fan-out — past ~1B vectors (√n/8 > 4096) a
+    * two-level quantizer is the right structure, not a bigger flat one. */
+  def scaledCells(nVec: Long, floor: Int = 8, cap: Int = 4096): Int =
     math.max(floor, math.min(cap, (math.sqrt(nVec.toDouble) / 8).toInt))
 
   /** The persisted per-corpus index, for composed consumers (IVFPQ) that

@@ -32,7 +32,8 @@ final case class PqModel(m: Int, dsub: Int,
   * the first term is per-(probe,cell) — computed once in routing — and
   * the second is the ADC lookup over the residual table. */
 final case class IvfPqModel(m: Int, dsub: Int,
-    codebooks: Seq[Seq[Seq[Double]]], cellCodes: DataFrame) {
+    codebooks: Seq[Seq[Seq[Double]]], cellCodes: DataFrame,
+    refineCodebooks: Option[Seq[Seq[Seq[Double]]]] = None) {
   def unpersist(): Unit = cellCodes.unpersist()
 }
 
@@ -310,15 +311,26 @@ object PqIndex {
     shortRerank(approx, p, corpus, k, shortlist)
   }
 
+  /** Per-probe bounded top-`width` over an `acos`-scored
+    * (probe_id, vec_id, …) frame → exploded (probe_id, cand_id) pairs. */
+  private def topPairs(scored: DataFrame, scoreCol: String, width: Int): DataFrame =
+    scored.groupBy("probe_id")
+      .agg(graft.functions.TopK.topk(width, col("vec_id"), col(scoreCol)).as("top"))
+      .select(col("probe_id"), explode(col("top")).as("s"))
+      .select(col("probe_id"), col("s._1").as("cand_id"))
+
   /** Shared tail: per-probe bounded top-`shortlist` over an `acos`-scored
     * (probe_id, vec_id, acos) frame, then the exact-cosine rerank reading
     * full vectors for shortlist members only. */
   private def shortRerank(approx: DataFrame, p: DataFrame, corpus: DataFrame,
-      k: Int, shortlist: Int): DataFrame = {
-    val short = approx.groupBy("probe_id")
-      .agg(graft.functions.TopK.topk(shortlist, col("vec_id"), col("acos")).as("top"))
-      .select(col("probe_id"), explode(col("top")).as("s"))
-      .select(col("probe_id"), col("s._1").as("cand_id"))
+      k: Int, shortlist: Int): DataFrame =
+    exactRerank(topPairs(approx, "acos", shortlist), p, corpus, k)
+
+  /** Exact-cosine rerank of (probe_id, cand_id) pairs: full vectors are
+    * read ONLY for pair members, bounded top-k per probe out. */
+  private def exactRerank(pairs: DataFrame, p: DataFrame, corpus: DataFrame,
+      k: Int): DataFrame = {
+    val short = pairs
       .join(broadcast(p.select(col("probe_id"), col("pvec"))), "probe_id")
     // exact rerank: full vectors are read ONLY for shortlist members — and
     // (r15) the corpus is RESTRICTED to shortlist ids by a broadcast
@@ -384,7 +396,19 @@ object PqIndex {
     * assignment join is paid ONCE here, never per query (the raw
     * searchIvfPq re-joined assignment⋈codes per probe batch — measured
     * tens of seconds per query at 2M vectors). */
-  def buildIvfPq(ivf: IvfModel, corpus: DataFrame, m: Int, ksub: Int): IvfPqModel = {
+  /** When `refineKsub` > 0, a SECOND, finer residual codebook set is
+    * trained on the same sample and every vector is additionally encoded
+    * to a `codes_fine` column — the staged-rerank tier (FAISS's
+    * IndexRefine idea folded into the inverted lists): stage-2 serving
+    * re-scores the coarse ADC shortlist with the fine codes before the
+    * exact rerank, so the full-vector fetch stays constant-sized while
+    * the coarse shortlist grows with the corpus (see
+    * [[searchIvfPqResidual]]). The fine codes live in the SAME rows /
+    * batches / compaction lifecycle as the coarse ones — parquet is
+    * columnar, so stage-1 scans never read them — and the fine subspace
+    * width is fixed at ≤4 dims (m_f = dim/4), ksub clamped to the sample. */
+  def buildIvfPq(ivf: IvfModel, corpus: DataFrame, m: Int, ksub: Int,
+      refineKsub: Int = 0): IvfPqModel = {
     val spark = corpus.sparkSession
     val centDf = broadcast(spark.createDataFrame(ivf.centroids).toDF("cell", "centroid"))
     val withRes = ivf.assigned
@@ -398,10 +422,38 @@ object PqIndex {
         col("vec_id"), TrainSample)
       .collect().map(_.getSeq[Double](0).toArray)
     val cbs = trainSub(sample, m, ksub)
-    val enc = encode(withRes, cbs, None, keep = Seq("cell", "vnorm"))
+    val fineCbs =
+      if (refineKsub <= 0) None
+      else {
+        val dim = sample.head.length
+        Some(trainSub(sample, refineM(dim), math.min(refineKsub, sample.length)))
+      }
+    // the fine encode needs the residual column through the coarse encode's
+    // projection; it is dropped again right after, so the persisted frame
+    // never carries full-precision vectors
+    val keepCols = Seq("cell", "vnorm") ++ (if (fineCbs.isDefined) Seq("embedding") else Nil)
+    val enc0 = encode(withRes, cbs, None, keep = keepCols)
+    val enc = fineCbs.fold(enc0)(f => enc0
+        .withColumn("codes_fine",
+          graft.functions.PqEncode.of(col("embedding").cast("array<double>"), f))
+        .drop("embedding"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    IvfPqModel(m, cbs.head.head.size, cbs, enc)
+    IvfPqModel(m, cbs.head.head.size, cbs, enc, fineCbs)
   }
+
+  /** Fine-tier subspace count: the widest split with ≤4-dim subspaces
+    * that divides `dim` (dim 256 → 64 subspaces of 4; dim 64 → 16×4;
+    * odd dims fall back to whatever ≤4-dim width divides). */
+  private[graft] def refineM(dim: Int): Int =
+    dim / (1 to math.min(4, dim)).filter(dim % _ == 0).max
+
+  /** Stage-2 keep width for staged serving: how many shortlist members
+    * survive the fine-ADC refine into the exact full-vector rerank.
+    * CONSTANT in corpus size by design — that is the point of the stage:
+    * the coarse shortlist must grow with the candidate volume (the 20M
+    * recall law, [[scaledShortlist]]), but what the exact rerank fetches
+    * only needs to cover top-k plus the fine tier's ranking slack. */
+  def refineKeep(k: Int): Int = math.max(8 * k, 80)
 
   /** Persist a residual-IVFPQ index the way [[IvfIndex.save]] persists the
     * coarse tier: codebooks flattened to one small parquet table
@@ -413,11 +465,18 @@ object PqIndex {
     * now on the ~64×-smaller code table). */
   def saveIvfPq(model: IvfPqModel, dir: String): Unit = {
     val spark = model.cellCodes.sparkSession
-    spark.createDataFrame(
-        model.codebooks.zipWithIndex.flatMap { case (subCb, s) =>
-          subCb.zipWithIndex.map { case (c, ci) => (s, ci, c) } })
-      .toDF("sub", "code", "vec")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    def writeBooks(books: Seq[Seq[Seq[Double]]], sub: String): Unit =
+      spark.createDataFrame(
+          books.zipWithIndex.flatMap { case (subCb, s) =>
+            subCb.zipWithIndex.map { case (c, ci) => (s, ci, c) } })
+        .toDF("sub", "code", "vec")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/$sub")
+    writeBooks(model.codebooks, "codebooks")
+    model.refineCodebooks match {
+      case Some(f) => writeBooks(f, "codebooks_fine")
+      case None => graft.streaming.Streams.deleteRecursively(
+        new java.io.File(s"$dir/codebooks_fine")) // a re-save without the tier owns the dir
+    }
     // `batch` above `cell` in the layout: appendIvfPq lands each new crawl
     // batch as its own partition tree (batch=N/cell=*), so re-running an
     // append replaces exactly that batch (dynamic partition overwrite) and
@@ -505,7 +564,16 @@ object PqIndex {
       .select(col("vec_id"), col("cell"),
         sqrt(Similarity.dotNative(col("v"), col("v"))).as("vnorm"),
         zip_with(col("v"), col("centroid"), (x, y) => x - y).as("embedding"))
-    val encoded = encode(withRes, model.codebooks, None, keep = Seq("cell", "vnorm"))
+    // the appended rows mirror the base schema: fine codes are encoded
+    // with the FROZEN fine codebooks iff the store carries them (a store
+    // without the refine tier must not gain a column mid-life)
+    val keepCols = Seq("cell", "vnorm") ++
+      (if (model.refineCodebooks.isDefined) Seq("embedding") else Nil)
+    val encoded0 = encode(withRes, model.codebooks, None, keep = keepCols)
+    val encoded = model.refineCodebooks.fold(encoded0)(f => encoded0
+      .withColumn("codes_fine",
+        graft.functions.PqEncode.of(col("embedding").cast("array<double>"), f))
+      .drop("embedding"))
     // ATOMIC batch visibility (r15, serve-while-append): the batch is fully
     // materialized under a staging dir, then ONE directory rename publishes
     // it as lists/batch=N. A concurrent prober listing the zones sees the
@@ -529,43 +597,17 @@ object PqIndex {
   }
 
   /** Live-base manifest (r16, advice #2 — the Incremental.compactLedger
-    * twin): one small file `_lists_manifest` recording `<live base dir
-    * name> <compacted horizon>`, replaced atomically. Compaction writes
-    * each new consolidated base to a VERSIONED dir (lists_base_v<horizon>)
-    * and then swaps the pointer — no crash point loses the base zone or
-    * pairs a new base with a stale horizon. Legacy stores (lists_base/ +
-    * _compacted_up_to) stay readable through the fallback. */
+    * twin): `_lists_manifest` over versioned lists_base_v<horizon> dirs.
+    * See [[ZoneManifest]] for the shared crash-safety contract; legacy
+    * stores (lists_base/ + _compacted_up_to) read through the fallback. */
+  private val manifest =
+    new ZoneManifest("_lists_manifest", "_compacted_up_to", "lists_base")
+
   private def manifestPath(dir: String) =
     java.nio.file.Paths.get(dir, "_lists_manifest")
 
   /** (live base dir name, compacted horizon). */
-  private def baseState(dir: String): (String, Int) = {
-    val m = manifestPath(dir)
-    if (java.nio.file.Files.exists(m)) {
-      val parts = new String(java.nio.file.Files.readAllBytes(m), "UTF-8")
-        .trim.split(" ")
-      (parts(0), parts(1).toInt)
-    } else {
-      val legacy = java.nio.file.Paths.get(dir, "_compacted_up_to")
-      val h =
-        if (java.nio.file.Files.exists(legacy))
-          new String(java.nio.file.Files.readAllBytes(legacy), "UTF-8").trim.toInt
-        else -1
-      ("lists_base", h)
-    }
-  }
-
-  private def swapBaseManifest(dir: String, baseName: String, horizon: Int): Unit = {
-    val tmp = java.nio.file.Paths.get(dir, "_lists_manifest.tmp")
-    java.nio.file.Files.write(tmp, s"$baseName $horizon".getBytes("UTF-8"))
-    try java.nio.file.Files.move(tmp, manifestPath(dir),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
-      java.nio.file.Files.move(tmp, manifestPath(dir),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
-  }
+  private def baseState(dir: String): (String, Int) = manifest.state(dir)
 
   /** Highest batch already compacted into the live base (−1 if none). */
   private def compactedUpTo(dir: String): Int = baseState(dir)._2
@@ -617,12 +659,12 @@ object PqIndex {
       rows.repartitionByRange(listFileBudget(rows.count()), col("cell"), col("vec_id"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/$newBase")
       // 2. the ATOMIC pointer swap — readers flip zones in one rename
-      swapBaseManifest(dir, newBase, upTo)
-      // 3. dead zones: a crash in here only leaves unreferenced files
-      graft.streaming.Streams.deleteRecursively(new java.io.File(s"$dir/$oldBase"))
-      java.nio.file.Files.deleteIfExists(
-        java.nio.file.Paths.get(dir, "_compacted_up_to")) // legacy marker
+      manifest.swap(dir, newBase, upTo)
     }
+    // 3. dead zones, swept OUTSIDE the skip guard: a re-run at the same
+    //    horizon after a crash between swap and delete still removes the
+    //    superseded base and the legacy marker (r17, advice #2)
+    manifest.sweepDeadZones(dir, liveBase = newBase)
     val delta = new java.io.File(s"$dir/lists")
     if (delta.isDirectory) delta.listFiles().foreach { f =>
       val m = "batch=(\\d+)".r.findFirstMatchIn(f.getName)
@@ -639,8 +681,13 @@ object PqIndex {
     * by compaction. */
   private def listZones(spark: org.apache.spark.sql.SparkSession,
       dir: String): Seq[DataFrame] = {
+    // codes_fine (the staged-rerank tier) rides along when the store has
+    // it — zones always agree on schema because appends mirror the base
+    val fineCols =
+      if (new java.io.File(s"$dir/codebooks_fine").isDirectory) Seq(col("codes_fine"))
+      else Seq.empty
     val cols = Seq(col("vec_id"), col("cell").cast("int").as("cell"),
-      col("vnorm"), col("codes"), col("batch").cast("int").as("batch"))
+      col("vnorm"), col("codes")) ++ fineCols :+ col("batch").cast("int").as("batch")
     def nonEmpty(p: String) = {
       val f = new java.io.File(p)
       f.isDirectory && f.listFiles().exists(c => c.isDirectory || c.getName.endsWith(".parquet"))
@@ -666,14 +713,20 @@ object PqIndex {
     * inverted lists stay a lazy parquet scan over the cell-partitioned
     * layout, so a probe batch reads only routed cells' files. */
   def loadIvfPq(spark: org.apache.spark.sql.SparkSession, dir: String): IvfPqModel = {
-    val cb = spark.read.parquet(s"$dir/codebooks").collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
-      .groupBy(_._1).toSeq.sortBy(_._1)
-      .map { case (_, rows) => rows.sortBy(_._2).map(_._3).toSeq }
-    val lists = listZones(spark, dir)
-      .map(_.select(col("vec_id"), col("cell"), col("vnorm"), col("codes")))
-      .reduce(_.union(_))
-    IvfPqModel(cb.size, cb.head.head.size, cb, lists)
+    def readBooks(sub: String): Seq[Seq[Seq[Double]]] =
+      spark.read.parquet(s"$dir/$sub").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (_, rows) => rows.sortBy(_._2).map(_._3).toSeq }
+    val cb = readBooks("codebooks")
+    val fine =
+      if (new java.io.File(s"$dir/codebooks_fine").isDirectory)
+        Some(readBooks("codebooks_fine"))
+      else None
+    val listCols = Seq(col("vec_id"), col("cell"), col("vnorm"), col("codes")) ++
+      fine.map(_ => col("codes_fine"))
+    val lists = listZones(spark, dir).map(_.select(listCols: _*)).reduce(_.union(_))
+    IvfPqModel(cb.size, cb.head.head.size, cb, lists, fine)
   }
 
   /** Residual IVFADC search (the production composition): route each probe
@@ -682,24 +735,34 @@ object PqIndex {
     * lists and scores each candidate as
     * (⟨c_cell,p⟩ + AdcDot(residual codes, probe table)) / (‖p‖·vnorm) —
     * m codegen'd adds per candidate against a STORED exact norm; exact
-    * rerank reads full vectors for shortlist members only. */
+    * rerank reads full vectors for shortlist members only.
+    *
+    * STAGED rerank (r17, the scale answer to the growing shortlist): when
+    * `refineKeep` > 0 and the store carries the fine tier
+    * ([[buildIvfPq]]'s refineKsub) and the scaled shortlist actually
+    * exceeds it, the coarse ADC top-`shortlist` is RE-SCORED with the
+    * fine codes (fetched by id from routed cells' `codes_fine` column —
+    * a code-sized read, never full vectors) and only the top-`refineKeep`
+    * reach the exact full-vector rerank. The coarse shortlist grows with
+    * the corpus (the 20M recall law); what the exact stage fetches stays
+    * constant. When the shortlist is already at or under `refineKeep`
+    * (every test-scale corpus) the staged path is a no-op by dispatch and
+    * results are the plain path's. */
   def searchIvfPqResidual(ivf: IvfModel, model: IvfPqModel, probes: DataFrame,
-      corpus: DataFrame, k: Int, shortlist: Int, nProbe: Int): DataFrame = {
+      corpus: DataFrame, k: Int, shortlist: Int, nProbe: Int,
+      refineKeep: Int = 0): DataFrame = {
     val spark = probes.sparkSession
-    val (dsub, ksub) = (model.dsub, model.codebooks.head.size)
+    val ksub = model.codebooks.head.size
     val pv = col("embedding").cast("array<double>")
-    val tbl = flatten(transform(typedLit(model.codebooks), (subCb, s) =>
-      transform(subCb, c =>
-        aggregate(zip_with(slice(pv, s * dsub + 1, lit(dsub)), c,
-          (x, y) => x * y), lit(0.0), (a, v) => a + v))))
     val p = probes.select(col("vec_id").as("probe_id"), pv.as("pvec"),
-      tbl.as("tbl"), sqrt(Similarity.dotProduct(pv, pv)).as("pnorm"))
+      adcTable(pv, model.codebooks).as("tbl"),
+      sqrt(Similarity.dotProduct(pv, pv)).as("pnorm"))
     val centDf = broadcast(spark.createDataFrame(ivf.centroids).toDF("cell", "centroid"))
-    val routed = IvfIndex.route(ivf, probes, nProbe)
+    val routedCd = IvfIndex.route(ivf, probes, nProbe)
       .join(centDf, Seq("cell"))
       .select(col("probe_id"), col("cell"),
         Similarity.dotNative(col("pv"), col("centroid")).as("cdot"))
-      .join(p.drop("pvec"), "probe_id")
+    val routed = routedCd.join(p.drop("pvec"), "probe_id")
     // ADC-scan parallelism guard (the Dedup.fanOut idiom): the row-sized
     // list layout can land a small corpus in fewer files than the session
     // has cores, and the per-candidate join work (ADC + shortlist agg) is
@@ -717,7 +780,44 @@ object PqIndex {
       .withColumn("acos",
         (col("cdot") + adcDot(col("codes"), col("tbl"), ksub)) /
           (col("pnorm") * col("vnorm")))
-    shortRerank(approx, p, corpus, k, shortlist)
+    val staged = refineKeep > 0 && refineKeep < shortlist &&
+      model.refineCodebooks.isDefined
+    if (!staged) shortRerank(approx, p, corpus, k, shortlist)
+    else {
+      val fcbs = model.refineCodebooks.get
+      val fksub = fcbs.head.size
+      // stage 2: fetch ONLY the shortlist members' fine codes — a
+      // columnar read of routed cells' codes_fine chunks (the coarse scan
+      // above never touches that column; Catalyst prunes it), keyed back
+      // to (probe, cand) pairs by the broadcast shortlist
+      val shortIds = topPairs(approx, "acos", shortlist)
+      val pf = probes.select(col("vec_id").as("probe_id"),
+        adcTable(pv, fcbs).as("ftbl"),
+        sqrt(Similarity.dotProduct(pv, pv)).as("pnorm"))
+      val fineScored = codes
+        .select(col("vec_id"), col("cell"), col("vnorm"), col("codes_fine"))
+        .join(broadcast(routedCd.select("cell").distinct()), Seq("cell"), "left_semi")
+        .join(broadcast(shortIds.withColumnRenamed("cand_id", "vec_id")), Seq("vec_id"))
+        .join(broadcast(routedCd), Seq("probe_id", "cell"))
+        .join(broadcast(pf), Seq("probe_id"))
+        .withColumn("facos",
+          (col("cdot") + adcDot(col("codes_fine"), col("ftbl"), fksub)) /
+            (col("pnorm") * col("vnorm")))
+      // stage 3: the exact rerank sees refineKeep ids per probe, not the
+      // corpus-scaled shortlist
+      exactRerank(topPairs(fineScored, "facos", refineKeep), p, corpus, k)
+    }
+  }
+
+  /** Flattened per-probe ADC lookup table (m·ksub subspace dots, row s at
+    * offset s·ksub) for an arbitrary codebook set — shared by the coarse
+    * and fine (staged-rerank) tiers. */
+  private def adcTable(pv: Column, cbs: Seq[Seq[Seq[Double]]]): Column = {
+    val dsub = cbs.head.head.size
+    flatten(transform(typedLit(cbs), (subCb, s) =>
+      transform(subCb, c =>
+        aggregate(zip_with(slice(pv, s * dsub + 1, lit(dsub)), c,
+          (x, y) => x * y), lit(0.0), (a, v) => a + v))))
   }
 
   // per-corpus residual-IVFPQ cache of LOADED indexes (build+save once,
@@ -725,14 +825,18 @@ object PqIndex {
   // parquet-backed, not session memory, so the demonstrated ANN crossover
   // survives a restart and the probe plan prunes routed cells' files)
   private val ivfPqCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int, Int, Int), IvfPqModel]
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int, Int, Int), IvfPqModel]
 
   // md5 of the key, not hashCode: distinct corpora must never collide
   // on one on-disk path (the IvfIndex.cachedIndex rationale)
-  private def ivfPqDir(cacheKey: String, m: Int, ksub: Int, nClusters: Int): String = {
+  private def ivfPqDir(cacheKey: String, m: Int, ksub: Int, nClusters: Int,
+      refineKsub: Int = 0): String = {
     val keyHex = java.security.MessageDigest.getInstance("MD5")
       .digest(cacheKey.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    s"${sys.props("java.io.tmpdir")}/graft_ivfpq_${keyHex}_${m}_${ksub}_$nClusters"
+    // the refine tier changes the persisted schema — a refined store must
+    // never collide with a pre-r17 cross-session dir lacking codes_fine
+    val rSuffix = if (refineKsub > 0) s"_r$refineKsub" else ""
+    s"${sys.props("java.io.tmpdir")}/graft_ivfpq_${keyHex}_${m}_${ksub}_$nClusters$rSuffix"
   }
 
   /** MUTATION CONTRACT: `cacheKey` names a persisted STORE, not a frozen
@@ -744,10 +848,10 @@ object PqIndex {
     * sim_ivfpqr_append query keys its day-1 base as `d + "#ivfpqr-day1"`
     * for precisely this reason — a suffixed key is a different dir). */
   def cachedIvfPq(cacheKey: String, ivf: IvfModel, corpus: DataFrame,
-      m: Int, ksub: Int, nClusters: Int): IvfPqModel =
-    ivfPqCache.getOrElseUpdate((cacheKey, m, ksub, nClusters), {
-      val dir = ivfPqDir(cacheKey, m, ksub, nClusters)
-      val built = buildIvfPq(ivf, corpus, m, ksub)
+      m: Int, ksub: Int, nClusters: Int, refineKsub: Int = 0): IvfPqModel =
+    ivfPqCache.getOrElseUpdate((cacheKey, m, ksub, nClusters, refineKsub), {
+      val dir = ivfPqDir(cacheKey, m, ksub, nClusters, refineKsub)
+      val built = buildIvfPq(ivf, corpus, m, ksub, refineKsub)
       saveIvfPq(built, dir)
       built.unpersist()
       loadIvfPq(corpus.sparkSession, dir)
@@ -759,16 +863,16 @@ object PqIndex {
     * Idempotent per batchId — see [[appendIvfPq]]. */
   def cachedIvfPqAppend(cacheKey: String, ivf: IvfModel, baseCorpus: DataFrame,
       newVecs: DataFrame, m: Int, ksub: Int, nClusters: Int,
-      batchId: Int = 1): IvfPqModel = {
-    val base = cachedIvfPq(cacheKey, ivf, baseCorpus, m, ksub, nClusters)
-    val dir = ivfPqDir(cacheKey, m, ksub, nClusters)
+      batchId: Int = 1, refineKsub: Int = 0): IvfPqModel = {
+    val base = cachedIvfPq(cacheKey, ivf, baseCorpus, m, ksub, nClusters, refineKsub)
+    val dir = ivfPqDir(cacheKey, m, ksub, nClusters, refineKsub)
     // a batch already compacted into lists_base/ is already IN the store —
     // the append's idempotent outcome — so re-applying it would both fail
     // the closed-batch guard and be pointless: just reload
     val appended =
       if (batchId <= compactedUpTo(dir)) loadIvfPq(baseCorpus.sparkSession, dir)
       else appendIvfPq(ivf, base, newVecs, dir, batchId)
-    ivfPqCache.put((cacheKey, m, ksub, nClusters), appended)
+    ivfPqCache.put((cacheKey, m, ksub, nClusters, refineKsub), appended)
     appended
   }
 
@@ -777,12 +881,13 @@ object PqIndex {
     * reloaded consolidated view — the declared sim_ivfpqr_compact path. */
   def cachedIvfPqCompact(cacheKey: String, ivf: IvfModel, baseCorpus: DataFrame,
       newVecs: DataFrame, m: Int, ksub: Int, nClusters: Int,
-      upTo: Int = 1): IvfPqModel = {
-    cachedIvfPqAppend(cacheKey, ivf, baseCorpus, newVecs, m, ksub, nClusters)
-    val dir = ivfPqDir(cacheKey, m, ksub, nClusters)
+      upTo: Int = 1, refineKsub: Int = 0): IvfPqModel = {
+    cachedIvfPqAppend(cacheKey, ivf, baseCorpus, newVecs, m, ksub, nClusters,
+      refineKsub = refineKsub)
+    val dir = ivfPqDir(cacheKey, m, ksub, nClusters, refineKsub)
     compactIvfPq(baseCorpus.sparkSession, dir, upTo)
     val reloaded = loadIvfPq(baseCorpus.sparkSession, dir)
-    ivfPqCache.put((cacheKey, m, ksub, nClusters), reloaded)
+    ivfPqCache.put((cacheKey, m, ksub, nClusters, refineKsub), reloaded)
     reloaded
   }
 

@@ -122,8 +122,8 @@ object Similarity {
     * pair scan did 2.5B cosines (229 s); sized cells do ~100M. Clamped so
     * testdata keeps the spec-pinned 8. Shared by sim_semdedup_build,
     * sim_semdedup, and RecallProbe so all three declare the SAME index. */
-  private[graft] def semDedupK(emb: DataFrame): Int =
-    math.max(8, math.min(4096, (emb.count() / SemDedupCellTarget).toInt))
+  private[graft] def semDedupK(nVec: Long): Int =
+    math.max(8, math.min(4096, (nVec / SemDedupCellTarget).toInt))
 
   val entries: Seq[QueryDef] = Seq(
     // J9: brute-force top-10 cosine neighbors for 5 probe vectors; exact
@@ -206,13 +206,13 @@ object Similarity {
     // (same k, cells cover the corpus, decision unchanged).
     QueryDef.noOracle("sim_semdedup_build") { (s, d) =>
       val emb = Tables(s, d, "embeddings")
-      val model = IvfIndex.cachedIndexFor(d, emb, nClusters = semDedupK(emb))
+      val model = IvfIndex.cachedIndexFor(d, emb, nClusters = semDedupK(Tables.cachedCount(s, d, "embeddings")))
       model.assigned.groupBy("cell").agg(count(lit(1)).as("n_vectors"))
     },
 
     QueryDef.noOracle("sim_semdedup") { (s, d) =>
       val emb = Tables(s, d, "embeddings")
-      IvfIndex.semDedupCached(d, emb, threshold = 0.3, nClusters = semDedupK(emb))
+      IvfIndex.semDedupCached(d, emb, threshold = 0.3, nClusters = semDedupK(Tables.cachedCount(s, d, "embeddings")))
     },
 
     // Per-label embedding centroids: element-wise mean via posexplode +
@@ -291,7 +291,7 @@ object Similarity {
       // shortlist scales with it (scaledShortlist scaladoc: recall at a
       // fixed shortlist decays with corpus growth, measured at 20M)
       PqIndex.searchCached(d, emb.filter(col("vec_id") < 5), emb,
-        k = 10, shortlist = PqIndex.scaledShortlist(emb.count(), 1, 1, floor = 50))
+        k = 10, shortlist = PqIndex.scaledShortlist(Tables.cachedCount(s, d, "embeddings"), 1, 1, floor = 50))
     },
 
     // OPQ (Ge et al. 2013, "Optimized Product Quantization"): PQ with a
@@ -316,7 +316,7 @@ object Similarity {
     QueryDef.noOracle("sim_opq_ann") { (s, d) =>
       val emb = Tables(s, d, "embeddings")
       PqIndex.searchCached(d, emb.filter(col("vec_id") < 5), emb,
-        k = 10, shortlist = PqIndex.scaledShortlist(emb.count(), 1, 1, floor = 50),
+        k = 10, shortlist = PqIndex.scaledShortlist(Tables.cachedCount(s, d, "embeddings"), 1, 1, floor = 50),
         opq = true)
     },
 
@@ -376,9 +376,10 @@ object Similarity {
     // only, codegen'd AdcDot + stored exact norms, exact rerank.
     QueryDef.noOracle("sim_ivfpqr_build") { (s, d) =>
       val emb = Tables(s, d, "embeddings")
-      val cells = IvfIndex.scaledCells(emb.count())
+      val cells = IvfIndex.scaledCells(Tables.cachedCount(s, d, "embeddings"))
       val ivf = IvfIndex.cachedIndexFor(d, emb, nClusters = cells)
-      PqIndex.cachedIvfPq(d, ivf, emb, m = 8, ksub = 16, nClusters = cells)
+      PqIndex.cachedIvfPq(d, ivf, emb, m = 8, ksub = 16, nClusters = cells,
+          refineKsub = 256)
         .cellCodes.groupBy("cell")
         .agg(count(lit(1)).as("n_codes"),
           round(sum(col("vnorm")), 6).as("norm_sum"))
@@ -397,26 +398,28 @@ object Similarity {
       // cells AND shortlist both scale with the corpus (the 20M recall
       // law): more cells -> nProbe selects a shrinking fraction, and the
       // shortlist holds the kept share of what is still scanned
-      val cells = IvfIndex.scaledCells(emb.count())
+      val cells = IvfIndex.scaledCells(Tables.cachedCount(s, d, "embeddings"))
       PqIndex.searchIvfPq(
         IvfIndex.cachedIndexFor(d, emb, nClusters = cells),
         PqIndex.cachedModel(d, emb),
         emb.filter(col("vec_id") < 5), emb,
         k = 10,
-        shortlist = PqIndex.scaledShortlist(emb.count(), 4, cells, floor = 50),
+        shortlist = PqIndex.scaledShortlist(Tables.cachedCount(s, d, "embeddings"), 4, cells, floor = 50),
         nProbe = 4)
     },
 
     QueryDef.noOracle("sim_ivfpqr_ann") { (s, d) =>
       val emb = Tables(s, d, "embeddings")
-      val cells = IvfIndex.scaledCells(emb.count())
+      val cells = IvfIndex.scaledCells(Tables.cachedCount(s, d, "embeddings"))
       val ivf = IvfIndex.cachedIndexFor(d, emb, nClusters = cells)
       PqIndex.searchIvfPqResidual(ivf,
-        PqIndex.cachedIvfPq(d, ivf, emb, m = 8, ksub = 16, nClusters = cells),
+        PqIndex.cachedIvfPq(d, ivf, emb, m = 8, ksub = 16, nClusters = cells,
+          refineKsub = 256),
         emb.filter(col("vec_id") < 5), emb,
         k = 10,
-        shortlist = PqIndex.scaledShortlist(emb.count(), 4, cells, floor = 50),
-        nProbe = 4)
+        shortlist = PqIndex.scaledShortlist(Tables.cachedCount(s, d, "embeddings"), 4, cells, floor = 50),
+        nProbe = 4,
+        refineKeep = PqIndex.refineKeep(10))
     },
 
     // INDEX APPEND (r13) — the ANN twin of x11c's ledger append: day-2
@@ -434,10 +437,10 @@ object Similarity {
       val day1 = emb.filter(col("vec_id") % 10 =!= 9)
       val day2 = emb.filter(col("vec_id") % 10 === 9)
       val key = d + "#ivfpqr-day1"
-      val cells = IvfIndex.scaledCells(day1.count())
+      val cells = IvfIndex.scaledCells(Tables.cachedCountOf(d, "embeddings#day1")(day1))
       val ivf = IvfIndex.cachedIndexFor(key, day1, nClusters = cells)
       PqIndex.cachedIvfPqAppend(key, ivf, day1, day2,
-          m = 8, ksub = 16, nClusters = cells)
+          m = 8, ksub = 16, nClusters = cells, refineKsub = 256)
         .cellCodes.groupBy("cell")
         .agg(sum(when(col("vec_id") % 10 =!= 9, 1L).otherwise(0L)).as("n_day1"),
           sum(when(col("vec_id") % 10 === 9, 1L).otherwise(0L)).as("n_day2"),
@@ -459,10 +462,10 @@ object Similarity {
       val day1 = emb.filter(col("vec_id") % 10 =!= 9)
       val day2 = emb.filter(col("vec_id") % 10 === 9)
       val key = d + "#ivfpqr-day1"
-      val cells = IvfIndex.scaledCells(day1.count())
+      val cells = IvfIndex.scaledCells(Tables.cachedCountOf(d, "embeddings#day1")(day1))
       val ivf = IvfIndex.cachedIndexFor(key, day1, nClusters = cells)
       PqIndex.cachedIvfPqCompact(key, ivf, day1, day2,
-          m = 8, ksub = 16, nClusters = cells, upTo = 1)
+          m = 8, ksub = 16, nClusters = cells, upTo = 1, refineKsub = 256)
         .cellCodes.groupBy("cell")
         .agg(sum(when(col("vec_id") % 10 =!= 9, 1L).otherwise(0L)).as("n_day1"),
           sum(when(col("vec_id") % 10 === 9, 1L).otherwise(0L)).as("n_day2"),

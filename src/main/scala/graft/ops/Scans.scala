@@ -41,9 +41,10 @@ object Scans {
   // every session would leak its copies (s13's is a full lineitem
   // projection, GBs at 100×) unless released. Registered here; Verify/Bench/
   // Run call releaseLayouts() at end of run (the Streams.releaseSinks
-  // idiom). The d.hashCode-keyed dirs (s4/s5/s7/s9/s10/s12, j12's buckets)
+  // idiom). The d.hashCode-keyed dirs (s4/s5/s7/s10/s12, j12's buckets)
   // are deliberate cross-session caches, bounded at one per corpus — not
-  // registered.
+  // registered. (s9 moved to the per-JVM layoutKey idiom in r16 and IS
+  // registered.)
   private val layoutDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def layoutDir(path: String): String = { layoutDirs.add(path); path }
 

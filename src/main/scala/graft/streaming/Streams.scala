@@ -443,7 +443,7 @@ object Streams {
           col("session_window.start").as("session_start"),
           col("session_window.end").as("session_end"),
           col("n_events"), col("total"))
-      val bigState = Tables(s, d, "events").count() > 5000000L
+      val bigState = Tables.cachedCount(s, d, "events") > 5000000L
       // Bound RocksDB's native memory to a heap-proportional budget when
       // the big-state dispatch fires: at local[32] the complete-mode
       // session state opens one RocksDB instance per shuffle partition,
@@ -600,9 +600,10 @@ object Streams {
       val emb = Tables(s, d, "embeddings")
       // quantizer size and shortlist both scale with the served corpus
       // (the 20M recall law; IvfIndex.scaledCells scaladoc)
-      val cells = graft.llm.IvfIndex.scaledCells(emb.count())
+      val cells = graft.llm.IvfIndex.scaledCells(Tables.cachedCount(s, d, "embeddings"))
       val ivf = graft.llm.IvfIndex.cachedIndexFor(d, emb, nClusters = cells)
-      val model = graft.llm.PqIndex.cachedIvfPq(d, ivf, emb, m = 8, ksub = 16, nClusters = cells)
+      val model = graft.llm.PqIndex.cachedIvfPq(d, ivf, emb, m = 8, ksub = 16,
+        nClusters = cells, refineKsub = 256)
       val probes = emb.filter(col("vec_id") % 100 === 7)
         .select("vec_id", "embedding")
       // land the probe set as a 4-file dir so the file source genuinely
@@ -616,12 +617,13 @@ object Streams {
       // corpus size (→ scaled shortlist) is a property of the SERVED
       // index, not of any micro-batch: resolve once, outside the loop
       val servingShortlist =
-        graft.llm.PqIndex.scaledShortlist(emb.count(), 4, cells, floor = 50)
+        graft.llm.PqIndex.scaledShortlist(Tables.cachedCount(s, d, "embeddings"), 4, cells, floor = 50)
       val q = stream.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
           val t0 = System.nanoTime()
           graft.llm.PqIndex.searchIvfPqResidual(ivf, model, batch, emb,
-              k = 10, shortlist = servingShortlist, nProbe = 4)
+              k = 10, shortlist = servingShortlist, nProbe = 4,
+              refineKeep = graft.llm.PqIndex.refineKeep(10))
             .write.mode("overwrite").parquet(s"$out/batch_$batchId")
           Console.err.println(String.format(java.util.Locale.ROOT,
             "[st_stream_ann] batch %d: %d probes in %.2f s",

@@ -128,7 +128,10 @@ class DataPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
     import graft.llm.IvfIndex.scaledCells
     assert(scaledCells(500) == 8)        // spec scale: the historical 8
     assert(scaledCells(200000) == 55)    // sf10: 7% scanned at nProbe 4
-    assert(scaledCells(20000000) == 256) // capped (build cost bound)
+    assert(scaledCells(20000000) == 559)   // √n/8 uncapped at the 20M decade (r17)
+    assert(scaledCells(2000000000L) == 4096) // flat-quantizer ceiling: past ~1B
+                                             // vectors a two-level quantizer is
+                                             // the right structure
     // composed: at sf10 the scaled cells pull the shortlist back to floor
     assert(scaledShortlist(200000, 4, scaledCells(200000), floor = 50) == 50)
   }
@@ -548,6 +551,60 @@ class DataPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= rawRecall - 1e-9,
       s"residual recall $recall must not trail raw $rawRecall")
     ivf.unpersist(); res.unpersist(); pq.unpersist()
+  }
+
+  test("staged rerank (r17): fine tier roundtrips the persisted store, full-depth " +
+      "staged == plain pair-for-pair, small refineKeep keeps exact cosines and recall") {
+    val emb = Tables(spark, sf, "embeddings")
+    val n = emb.count().toInt
+    val probes = emb.filter(col("vec_id") < 5)
+    val ivf = IvfIndex.build(emb, nClusters = 8)
+    val res = graft.llm.PqIndex.buildIvfPq(ivf, emb, m = 8, ksub = 16, refineKsub = 256)
+    assert(res.refineCodebooks.isDefined, "refineKsub > 0 must train the fine tier")
+    assert(res.cellCodes.columns.contains("codes_fine"),
+      "the fine codes ride in the same inverted-list rows")
+    // roundtrip: save → load preserves both codebook tiers and the column
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_spec_staged_${math.abs(sf.hashCode)}"
+    graft.llm.PqIndex.saveIvfPq(res, dir)
+    val loaded = graft.llm.PqIndex.loadIvfPq(spark, dir)
+    assert(loaded.refineCodebooks == res.refineCodebooks,
+      "fine codebooks must survive the store roundtrip bit-for-bit")
+    assert(loaded.cellCodes.columns.contains("codes_fine"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // full-depth staged (refineKeep keeps the whole shortlist) must equal
+    // the plain path pair-for-pair — the staged plumbing adds a stage, not
+    // a semantics change
+    val plain = pairs(graft.llm.PqIndex.searchIvfPqResidual(
+      ivf, loaded, probes, emb, k = 10, shortlist = n + 1, nProbe = 8))
+    val fullDepth = pairs(graft.llm.PqIndex.searchIvfPqResidual(
+      ivf, loaded, probes, emb, k = 10, shortlist = n + 1, nProbe = 8, refineKeep = n))
+    assert(fullDepth == plain,
+      s"full-depth staged diverged: ${(plain.toSet diff fullDepth.toSet).take(3)}")
+    // a genuinely small refineKeep (the production shape): returned pairs
+    // still carry EXACT cosines, and the 256-code ≤4-dim fine tier ranks
+    // well enough that top-10 recall vs the plain path stays high
+    val staged = pairs(graft.llm.PqIndex.searchIvfPqResidual(
+      ivf, loaded, probes, emb, k = 10, shortlist = n + 1, nProbe = 8, refineKeep = 20))
+    val exact = Similarity.bruteForceKnn(probes, emb, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for ((pair, c) <- staged if exact.contains(pair))
+      assert(c == exact(pair), s"$pair: staged rerank cosine $c != brute ${exact(pair)}")
+    val recall = staged.keySet.count(plain.contains).toDouble / plain.size
+    info(f"staged(refineKeep=20) recall vs plain = $recall%.2f")
+    assert(recall >= 0.9, s"staged recall $recall < 0.9 vs the plain shortlist path")
+    // dispatch: refineKeep >= shortlist must take the plain path (the
+    // test-scale no-op contract every declared query relies on)
+    val dispatched = pairs(graft.llm.PqIndex.searchIvfPqResidual(
+      ivf, loaded, probes, emb, k = 10, shortlist = 50, nProbe = 8, refineKeep = 50))
+    val plain50 = pairs(graft.llm.PqIndex.searchIvfPqResidual(
+      ivf, loaded, probes, emb, k = 10, shortlist = 50, nProbe = 8))
+    assert(dispatched == plain50, "refineKeep >= shortlist must be the plain path")
+    // fine subspace sizing: widest ≤4-dim split that divides dim
+    assert(graft.llm.PqIndex.refineM(256) == 64 && graft.llm.PqIndex.refineM(64) == 16 &&
+      graft.llm.PqIndex.refineM(6) == 2 && graft.llm.PqIndex.refineM(7) == 7)
+    graft.streaming.Streams.deleteRecursively(new java.io.File(dir))
+    ivf.unpersist(); res.unpersist()
   }
 
   test("sim_ivfpqr_append: day-2 vectors enter the persisted lists idempotently, " +
@@ -1619,7 +1676,7 @@ class DataPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
     // cells partition the corpus exactly; KMeans trained on a capped
     // subsample may leave a cell empty at other sizes/seeds, so bound
     // rather than pin the occupied-cell count
-    assert(cells.size <= Similarity.semDedupK(emb) && cells.nonEmpty,
+    assert(cells.size <= Similarity.semDedupK(emb.count()) && cells.nonEmpty,
       s"build must use at most the shared sized k: got ${cells.size}")
     assert(cells.values.sum == n, "cell occupancies must cover every vector")
     // the decision query run AFTER the build is served from the persisted
@@ -1629,7 +1686,7 @@ class DataPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("grp"), r.getAs[Boolean]("keep")))
       .sortBy(_._1).toSeq
     val direct = IvfIndex.semDedupCached(sf, emb, threshold = 0.3,
-        nClusters = Similarity.semDedupK(emb)).collect()
+        nClusters = Similarity.semDedupK(emb.count())).collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("grp"), r.getAs[Boolean]("keep")))
       .sortBy(_._1).toSeq
     assert(viaQuery == direct, "decision must be identical through the shared persisted index")
@@ -1739,7 +1796,7 @@ class DataPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("withinCellPairs: per-cell typed scan and join formulation produce the identical pair set") {
     val emb = Tables(spark, sf, "embeddings")
-    val idx = IvfIndex.cachedIndexFor(sf, emb, nClusters = Similarity.semDedupK(emb))
+    val idx = IvfIndex.cachedIndexFor(sf, emb, nClusters = Similarity.semDedupK(emb.count()))
     def pairs(forceJoin: Boolean, window: Option[Int]) =
       IvfIndex.withinCellPairs(idx, 0.3, window, forceJoin).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
