@@ -85,10 +85,17 @@ object PqIndex {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     require(sample.length >= ksub, s"${sample.length} vectors < $ksub codes")
     val dsub = dim / m
-    (0 until m).map { s =>
+    // subspaces train INDEPENDENTLY (each lloyd is seeded per-subspace), so
+    // the driver-local fit parallelizes bit-for-bit across cores (r17:
+    // single-threaded it was ~0.4 Gflop per trainSub and the whole OPQ
+    // alternation ran serially on one of 32 cores — sim_opq_build measured
+    // 3.7 s; the fine refine tier's 16×256 fit costs ~16× a coarse fit and
+    // rides the same path at the scales the dispatch builds it)
+    import scala.collection.parallel.CollectionConverters._
+    (0 until m).par.map { s =>
       val pts = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
       lloyd(pts, ksub, seed = 42L + s).map(_.toSeq).toSeq
-    }
+    }.seq
   }
 
   /** OPQ rotation training (Ge et al. 2013, "Optimized Product
@@ -117,7 +124,10 @@ object PqIndex {
       // PQ reconstruction of the rotated sample: per subspace, snap to the
       // nearest code (same argmin/tiebreak as the distributed encode)
       val y = DenseMatrix.zeros[Double](n, dim)
-      for (i <- 0 until n; s <- 0 until m) {
+      // rows are independent and write disjoint cells of y — parallelize
+      // the per-sample snap across cores (deterministic: pure argmin)
+      import scala.collection.parallel.CollectionConverters._
+      for (i <- (0 until n).par; s <- 0 until m) {
         val sub = java.util.Arrays.copyOfRange(rows(i), s * dsub, (s + 1) * dsub)
         var best = 0; var bd = Double.MaxValue; var c = 0
         while (c < ksub) {
@@ -454,6 +464,26 @@ object PqIndex {
     * recall law, [[scaledShortlist]]), but what the exact rerank fetches
     * only needs to cover top-k plus the fine tier's ranking slack. */
   def refineKeep(k: Int): Int = math.max(8 * k, 80)
+
+  /** Scale dispatch for BUILDING the refine tier (r17): train/encode/store
+    * fine codes only when the index's serving shape will actually use them
+    * — i.e. when the corpus-scaled shortlist exceeds the constant
+    * exact-fetch budget ([[refineKeep]]), which is exactly the condition
+    * [[searchIvfPqResidual]] stages on. Below that (every corpus under
+    * ~560k vectors at the declared nProbe=4 shape) the tier is dead
+    * weight: the fine encode is ~16× the coarse encode's ADC work
+    * (m_f=dim/4 subspaces × ksub 256 vs m=8 × 16) paid at build/append/
+    * compact time for codes no probe ever reads. Measured at sf0.1:
+    * sim_ivfpqr_build 3.95 → ~2 s, sim_ivfpqr_append 7.6 → ~5.6 s with
+    * the tier dispatched off; at sf10 and the 20M study corpus the
+    * dispatch turns it on and the staged path carries the win
+    * (AnnCurve scalelaw). Same inputs ⇒ same answer at every scale:
+    * serving stages only when the tier exists AND the shortlist exceeds
+    * refineKeep, and the staged path is pair-identical at full depth
+    * (DataPlaneSpec staged-rerank pin). */
+  def refineKsubFor(nVec: Long, nProbe: Int, nCells: Int, k: Int,
+      floor: Int = 50, ksub: Int = 256): Int =
+    if (scaledShortlist(nVec, nProbe, nCells, floor) > refineKeep(k)) ksub else 0
 
   /** Persist a residual-IVFPQ index the way [[IvfIndex.save]] persists the
     * coarse tier: codebooks flattened to one small parquet table

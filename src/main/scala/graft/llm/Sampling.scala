@@ -116,7 +116,7 @@ object Sampling {
       import graft.ops.Ranks
       val h = md5(concat(lit("ep1-"), col("doc_id").cast("string")))
       val docs = Tables(s, d, "documents").select(col("doc_id"), h.as("ekey"))
-      val total = docs.count()
+      val total = graft.data.Tables.cachedCount(s, d, "documents")
       val posed =
         if (total <= Ranks.WindowMaxGroupRows) {
           val w = org.apache.spark.sql.expressions.Window
@@ -181,7 +181,8 @@ object Sampling {
         |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS slot
         |  FROM documents)
         |WHERE slot <= 20""".stripMargin) { (s, d) =>
-      sourceSlots(Tables(s, d, "documents"), s)
+      sourceSlots(Tables(s, d, "documents"), s,
+          knownCount = Some(graft.data.Tables.cachedCount(s, d, "documents")))
         .filter(col("slot") <= 20)
         .select(col("doc_id"), col("source"), col("slot"))
     }
@@ -225,12 +226,15 @@ object Sampling {
   }
 
   private[graft] def sourceSlots(in: org.apache.spark.sql.DataFrame,
-      s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+      s: org.apache.spark.sql.SparkSession,
+      knownCount: Option[Long] = None): org.apache.spark.sql.DataFrame = {
     import graft.ops.Ranks
     val docs = in.select(col("doc_id"), col("source"),
       md5(col("doc_id").cast("string")).as("h"))
     val maxGroup = {
-      val total = docs.count()
+      // knownCount: the p9 declaration passes the memoized base-table
+      // count so the dispatch probe costs no job (r17)
+      val total = knownCount.getOrElse(docs.count())
       if (total <= Ranks.WindowMaxGroupRows) total
       else docs.groupBy("source").count().agg(max("count")).head().getLong(0)
     }

@@ -376,10 +376,13 @@ object Similarity {
     // only, codegen'd AdcDot + stored exact norms, exact rerank.
     QueryDef.noOracle("sim_ivfpqr_build") { (s, d) =>
       val emb = Tables(s, d, "embeddings")
-      val cells = IvfIndex.scaledCells(Tables.cachedCount(s, d, "embeddings"))
+      val n = Tables.cachedCount(s, d, "embeddings")
+      val cells = IvfIndex.scaledCells(n)
       val ivf = IvfIndex.cachedIndexFor(d, emb, nClusters = cells)
+      // refine tier is scale-dispatched (r17): built only when the serving
+      // shape's scaled shortlist exceeds refineKeep — see refineKsubFor
       PqIndex.cachedIvfPq(d, ivf, emb, m = 8, ksub = 16, nClusters = cells,
-          refineKsub = 256)
+          refineKsub = PqIndex.refineKsubFor(n, 4, cells, k = 10))
         .cellCodes.groupBy("cell")
         .agg(count(lit(1)).as("n_codes"),
           round(sum(col("vnorm")), 6).as("norm_sum"))
@@ -410,14 +413,15 @@ object Similarity {
 
     QueryDef.noOracle("sim_ivfpqr_ann") { (s, d) =>
       val emb = Tables(s, d, "embeddings")
-      val cells = IvfIndex.scaledCells(Tables.cachedCount(s, d, "embeddings"))
+      val n = Tables.cachedCount(s, d, "embeddings")
+      val cells = IvfIndex.scaledCells(n)
       val ivf = IvfIndex.cachedIndexFor(d, emb, nClusters = cells)
       PqIndex.searchIvfPqResidual(ivf,
         PqIndex.cachedIvfPq(d, ivf, emb, m = 8, ksub = 16, nClusters = cells,
-          refineKsub = 256),
+          refineKsub = PqIndex.refineKsubFor(n, 4, cells, k = 10)),
         emb.filter(col("vec_id") < 5), emb,
         k = 10,
-        shortlist = PqIndex.scaledShortlist(Tables.cachedCount(s, d, "embeddings"), 4, cells, floor = 50),
+        shortlist = PqIndex.scaledShortlist(n, 4, cells, floor = 50),
         nProbe = 4,
         refineKeep = PqIndex.refineKeep(10))
     },
@@ -437,10 +441,12 @@ object Similarity {
       val day1 = emb.filter(col("vec_id") % 10 =!= 9)
       val day2 = emb.filter(col("vec_id") % 10 === 9)
       val key = d + "#ivfpqr-day1"
-      val cells = IvfIndex.scaledCells(Tables.cachedCountOf(d, "embeddings#day1")(day1))
+      val n1 = Tables.cachedCountOf(d, "embeddings#day1")(day1)
+      val cells = IvfIndex.scaledCells(n1)
       val ivf = IvfIndex.cachedIndexFor(key, day1, nClusters = cells)
       PqIndex.cachedIvfPqAppend(key, ivf, day1, day2,
-          m = 8, ksub = 16, nClusters = cells, refineKsub = 256)
+          m = 8, ksub = 16, nClusters = cells,
+          refineKsub = PqIndex.refineKsubFor(n1, 4, cells, k = 10))
         .cellCodes.groupBy("cell")
         .agg(sum(when(col("vec_id") % 10 =!= 9, 1L).otherwise(0L)).as("n_day1"),
           sum(when(col("vec_id") % 10 === 9, 1L).otherwise(0L)).as("n_day2"),
@@ -462,10 +468,12 @@ object Similarity {
       val day1 = emb.filter(col("vec_id") % 10 =!= 9)
       val day2 = emb.filter(col("vec_id") % 10 === 9)
       val key = d + "#ivfpqr-day1"
-      val cells = IvfIndex.scaledCells(Tables.cachedCountOf(d, "embeddings#day1")(day1))
+      val n1 = Tables.cachedCountOf(d, "embeddings#day1")(day1)
+      val cells = IvfIndex.scaledCells(n1)
       val ivf = IvfIndex.cachedIndexFor(key, day1, nClusters = cells)
       PqIndex.cachedIvfPqCompact(key, ivf, day1, day2,
-          m = 8, ksub = 16, nClusters = cells, upTo = 1, refineKsub = 256)
+          m = 8, ksub = 16, nClusters = cells, upTo = 1,
+          refineKsub = PqIndex.refineKsubFor(n1, 4, cells, k = 10))
         .cellCodes.groupBy("cell")
         .agg(sum(when(col("vec_id") % 10 =!= 9, 1L).otherwise(0L)).as("n_day1"),
           sum(when(col("vec_id") % 10 === 9, 1L).otherwise(0L)).as("n_day2"),

@@ -107,7 +107,7 @@ object Scans {
       "SELECT count(*) AS n, count(DISTINCT l_orderkey) AS n_orders FROM lineitem") { (s, d) =>
       val li = Tables(s, d, "lineitem")
       val sharded =
-        if (li.count() <= ShardReshardMaxRows) li.repartition(32)
+        if (Tables.cachedCount(s, d, "lineitem") <= ShardReshardMaxRows) li.repartition(32)
         else {
           // xxhash64, not md5: the slice is internal (the oracle sees only
           // the union's aggregate, identical either way), and md5 here cost

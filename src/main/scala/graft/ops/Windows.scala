@@ -65,7 +65,10 @@ object Windows {
       // |groups|-row count aggregate run (negligible relative to the
       // query at that size)
       val maxGroup = {
-        val total = orders.count()
+        // memoized base-table count (r17): the probe fired a fresh count
+        // job on every declaration of this query — same immutable parquet
+        // dir, same answer
+        val total = Tables.cachedCount(s, d, "orders")
         if (total <= Ranks.WindowMaxGroupRows) total
         else orders.groupBy("o_orderpriority").count()
           .agg(max("count")).head().getLong(0)

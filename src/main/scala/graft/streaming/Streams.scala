@@ -600,10 +600,13 @@ object Streams {
       val emb = Tables(s, d, "embeddings")
       // quantizer size and shortlist both scale with the served corpus
       // (the 20M recall law; IvfIndex.scaledCells scaladoc)
-      val cells = graft.llm.IvfIndex.scaledCells(Tables.cachedCount(s, d, "embeddings"))
+      val nVec = Tables.cachedCount(s, d, "embeddings")
+      val cells = graft.llm.IvfIndex.scaledCells(nVec)
       val ivf = graft.llm.IvfIndex.cachedIndexFor(d, emb, nClusters = cells)
+      // refine tier scale-dispatched exactly as the batch twin
+      // (sim_ivfpqr_*): same corpus ⇒ same refineKsub ⇒ same cached model
       val model = graft.llm.PqIndex.cachedIvfPq(d, ivf, emb, m = 8, ksub = 16,
-        nClusters = cells, refineKsub = 256)
+        nClusters = cells, refineKsub = graft.llm.PqIndex.refineKsubFor(nVec, 4, cells, k = 10))
       val probes = emb.filter(col("vec_id") % 100 === 7)
         .select("vec_id", "embedding")
       // land the probe set as a 4-file dir so the file source genuinely
@@ -617,7 +620,7 @@ object Streams {
       // corpus size (→ scaled shortlist) is a property of the SERVED
       // index, not of any micro-batch: resolve once, outside the loop
       val servingShortlist =
-        graft.llm.PqIndex.scaledShortlist(Tables.cachedCount(s, d, "embeddings"), 4, cells, floor = 50)
+        graft.llm.PqIndex.scaledShortlist(nVec, 4, cells, floor = 50)
       val q = stream.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
           val t0 = System.nanoTime()
