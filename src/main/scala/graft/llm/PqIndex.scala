@@ -800,11 +800,7 @@ object PqIndex {
     // 100+ s-cpu at sf10. The shuffle only fires when the layout is
     // narrower than the parallelism, and moves only the packed code rows
     // (~50 B each); production layouts (thousands of buckets) never pay it.
-    val par = model.cellCodes.sparkSession.sparkContext.defaultParallelism
-    val codes =
-      if (model.cellCodes.rdd.getNumPartitions < par)
-        model.cellCodes.repartition(par)
-      else model.cellCodes
+    val codes = fannedCodes(model.cellCodes)
     val approx = codes.join(broadcast(routed), Seq("cell"))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("acos",
@@ -940,6 +936,25 @@ object PqIndex {
       opq: Boolean = false): DataFrame =
     search(cachedModel(cacheKey, corpus, m, ksub, opq), probes, corpus, k, shortlist)
 
+  // Fanned-out code tables, keyed by (canonical plan, input files): the
+  // ADC-scan parallelism guard's repartition is a full shuffle of the code
+  // table, and a LOADED store's lazy scan re-ran it on EVERY probe query
+  // and every micro-batch of the streaming twin (r17: 4× per st_stream_ann
+  // run; at sf10 that is 4 shuffles of a 2M-row table to serve 4 probe
+  // batches). The store is immutable between appends — input files key the
+  // cache, so an append/compact (new file set) naturally invalidates.
+  private val fanOutCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def fannedCodes(cellCodes: DataFrame): DataFrame = {
+    val par = cellCodes.sparkSession.sparkContext.defaultParallelism
+    if (cellCodes.rdd.getNumPartitions >= par) cellCodes
+    else fanOutCache.getOrElseUpdate(
+      (cellCodes.queryExecution.analyzed.canonicalized.toString,
+        cellCodes.inputFiles.toSeq.sorted.mkString(",")),
+      cellCodes.repartition(par).persist(StorageLevel.MEMORY_AND_DISK))
+  }
+
   /** Unpersist every cached model's encoded frame and clear the cache —
     * the Dedup.releaseCaches / Scans.releaseLayouts idiom, called from the
     * same end-of-run release blocks so a long-lived shared JVM (test
@@ -949,5 +964,7 @@ object PqIndex {
     modelCache.clear()
     ivfPqCache.values.foreach(_.unpersist())
     ivfPqCache.clear()
+    fanOutCache.values.foreach(_.unpersist(blocking = false))
+    fanOutCache.clear()
   }
 }
