@@ -426,7 +426,7 @@ object PqIndex {
       .join(centDf, Seq("cell"))
       .select(col("vec_id"), col("cell"),
         sqrt(Similarity.dotNative(col("v"), col("v"))).as("vnorm"),
-        zip_with(col("v"), col("centroid"), (x, y) => x - y).as("embedding"))
+        graft.functions.VecSub.of(col("v"), col("centroid")).as("embedding"))
     val sample = Sampling.hashReservoir(
         withRes.select(col("embedding").cast("array<double>").as("e"), col("vec_id")),
         col("vec_id"), TrainSample)
@@ -593,7 +593,7 @@ object PqIndex {
     val withRes = assigned.join(centDf, Seq("cell"))
       .select(col("vec_id"), col("cell"),
         sqrt(Similarity.dotNative(col("v"), col("v"))).as("vnorm"),
-        zip_with(col("v"), col("centroid"), (x, y) => x - y).as("embedding"))
+        graft.functions.VecSub.of(col("v"), col("centroid")).as("embedding"))
     // the appended rows mirror the base schema: fine codes are encoded
     // with the FROZEN fine codebooks iff the store carries them (a store
     // without the refine tier must not gain a column mid-life)
@@ -613,11 +613,18 @@ object PqIndex {
     // preserved: the stage write is mode("overwrite") and the publish
     // replaces any prior batch=N tree wholesale.
     val stage = new java.io.File(s"$dir/lists_stage_$batchId")
-    encoded
-      .repartitionByRange(listFileBudget(newVecs.count()), col("cell"), col("vec_id"))
-      .write.mode("overwrite")
-      .partitionBy("cell")
-      .parquet(stage.getPath)
+    // persist the encoded batch before the range write (r17): the range
+    // partitioner SAMPLES its input in a separate pass, so an unpersisted
+    // frame pays the route+residual+PqEncode lineage twice — and its row
+    // count prices the file budget for free (no separate newVecs scan)
+    val encPersisted = encoded.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      encPersisted
+        .repartitionByRange(listFileBudget(encPersisted.count()), col("cell"), col("vec_id"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(stage.getPath)
+    } finally encPersisted.unpersist(blocking = false)
     val target = new java.io.File(s"$dir/lists/batch=$batchId")
     target.getParentFile.mkdirs()
     graft.streaming.Streams.deleteRecursively(target)
