@@ -1163,6 +1163,19 @@ object Dedup {
   // contract as pairCache above; released with it.
   private val lshPairCache =
     scala.collection.concurrent.TrieMap.empty[(String, Double, Int), DataFrame]
+  // Per-corpus minhash signature table (doc_id, m0..m63) — the third shared
+  // cache (r17): signatures are a doc-LOCAL function of the doc's shingles,
+  // so every consumer over the same corpus (the inline LSH pair path, the
+  // incremental batch-signature path, and any SUBSET of the corpus via a
+  // doc_id semi-join) reads one persisted table instead of re-running the
+  // 64-permutation aggregation per query. First consumer pays (the
+  // fingerprint-store design: a deployment materializes exactly this).
+  private val sigCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private[graft] def sharedMinhashSigs(docs: DataFrame): DataFrame =
+    sigCache.getOrElseUpdate(corpusKey(docs),
+      minhashAgg(sharedTokens(docs))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Cache key for a corpus frame. The naive canonicalized-plan string is
     * NOT sufficient: an unresolved parquet read prints "paths: 1 provided"
@@ -1241,6 +1254,8 @@ object Dedup {
     pairCache.clear()
     lshPairCache.values.foreach(_.unpersist(blocking = false))
     lshPairCache.clear()
+    sigCache.values.foreach(_.unpersist(blocking = false))
+    sigCache.clear()
   }
 
   /** Release only the caches keyed to `docs`' corpus — for operators that
@@ -1253,6 +1268,7 @@ object Dedup {
     pairCache.remove(k).foreach(_.unpersist(blocking = false))
     lshPairCache.keys.filter(_._1 == k).foreach(
       lshPairCache.remove(_).foreach(_.unpersist(blocking = false)))
+    sigCache.remove(k).foreach(_.unpersist(blocking = false))
   }
 
   /** Connected components by min-label propagation WITH pointer doubling:
@@ -1673,11 +1689,50 @@ object Dedup {
       bandedLshPairsImpl(docs, jaccardThreshold, maxBucketSize)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** [[bandedLshPairs]] among a SUBSET of an already-shingled corpus:
+    * shingles and minhash signatures are doc-LOCAL functions of each doc's
+    * text, so the cached full-corpus frames restricted by a doc_id
+    * semi-join are bit-identical to re-deriving them from the subset's
+    * text — the banding, bucket cap and verification then run over subset
+    * rows only, exactly as if the subset were shingled fresh (r17: x10b's
+    * stage-03b re-tokenized and re-aggregated ~90% of the corpus it had
+    * already fingerprinted). */
+  /** [[minhashSignatures]] for a SUBSET of an already-cached corpus — the
+    * sig cache restricted by a doc_id semi-join (signatures are doc-local;
+    * see [[bandedLshPairsAmong]]). */
+  def minhashSignaturesAmong(corpus: DataFrame, memberIds: DataFrame): DataFrame =
+    sharedMinhashSigs(corpus).join(memberIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
+
+  /** [[shingleSets]] for a SUBSET of an already-cached corpus — the cached
+    * per-doc shingle arrays restricted by a doc_id semi-join, avoiding a
+    * text re-scan for point lookups (candidate verification). */
+  def shingleSetsAmong(corpus: DataFrame, memberIds: DataFrame): DataFrame =
+    sharedShingles(corpus).join(memberIds, Seq("doc_id"), "left_semi")
+
+  def bandedLshPairsAmong(
+      corpus: DataFrame,
+      memberIds: DataFrame,
+      jaccardThreshold: Double,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    bandedLshPairsFrom(
+      sharedMinhashSigs(corpus).join(memberIds, Seq("doc_id"), "left_semi"),
+      sharedShingles(corpus).join(memberIds, Seq("doc_id"), "left_semi"),
+      jaccardThreshold, maxBucketSize)
+
   private def bandedLshPairsImpl(
       docs: DataFrame,
       jaccardThreshold: Double,
+      maxBucketSize: Int): DataFrame =
+    bandedLshPairsFrom(sharedMinhashSigs(docs), sharedShingles(docs),
+      jaccardThreshold, maxBucketSize)
+
+  private def bandedLshPairsFrom(
+      sig: DataFrame,
+      sh: DataFrame,
+      jaccardThreshold: Double,
       maxBucketSize: Int): DataFrame = {
-    val sig = minhashAgg(sharedTokens(docs))
     val bandCols = (0 until Bands).map { b =>
       bandKeyCol((b * BandRows until (b + 1) * BandRows).map(i => col(s"m$i")))
     }
@@ -1696,7 +1751,6 @@ object Dedup {
           b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
-    val sh = sharedShingles(docs)
     cands
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))

@@ -408,19 +408,22 @@ object Incremental {
       if (!lshNearCheck) withKeep.withColumn("in3c", col("in3"))
       else {
         val b3Ids = withKeep.filter(col("in3")).select("doc_id")
-        val batchSig = Dedup.minhashSignatures(
-          batch.join(b3Ids, Seq("doc_id"), "left_semi"))
+        // signatures are doc-local: restrict the corpus sig cache to the
+        // stage-3 batch survivors instead of re-tokenizing them (r17;
+        // batch ⊂ docs, so the cache covers every batch doc)
+        val batchSig = Dedup.minhashSignaturesAmong(docs, b3Ids)
         val corpusBands = Dedup.bandsFromSignature(
           led.filter(col("in4") && col("sig").isNotNull).select("doc_id", "sig"))
         val batchBands = Dedup.bandsFromSignature(batchSig)
         val cands = batchBands.join(
             corpusBands.withColumnRenamed("doc_id", "corpus_id"), Seq("band", "bh"))
           .select("doc_id", "corpus_id").distinct()
-        val candB = Dedup.shingleSets(batch.join(
-            cands.select("doc_id"), Seq("doc_id"), "left_semi"))
+        // candidate shingle arrays from the corpus cache (point lookups —
+        // no text re-scan; shingles are doc-local and batch ⊂ docs)
+        val candB = Dedup.shingleSetsAmong(docs, cands.select("doc_id"))
           .select(col("doc_id"), col("sh").as("sh_b"))
-        val candC = Dedup.shingleSets(docs.join(
-            cands.select(col("corpus_id").as("doc_id")), Seq("doc_id"), "left_semi"))
+        val candC = Dedup.shingleSetsAmong(docs,
+            cands.select(col("corpus_id").as("doc_id")))
           .select(col("doc_id").as("corpus_id"), col("sh").as("sh_c"))
         val nearIds = cands.join(candB, Seq("doc_id")).join(candC, Seq("corpus_id"))
           .withColumn("n_inter",

@@ -117,12 +117,15 @@ object Pipeline {
     val withKeep =
       if (!lshNearDup) withKeep0.withColumn("in3b", col("in3"))
       else {
-        val s3Docs = docs.join(
-          withKeep0.filter(col("in3")).select("doc_id"), Seq("doc_id"), "left_semi")
-        val pairs = Dedup.bandedLshPairs(s3Docs, jaccardThreshold = 0.8)
+        val s3Ids = withKeep0.filter(col("in3")).select("doc_id")
+        // shingles/signatures are doc-local: the stage reuses the corpus
+        // caches restricted to stage-3 survivors instead of re-tokenizing
+        // ~90% of the corpus it already fingerprinted (r17; identical
+        // pairs — bandedLshPairsAmong scaladoc)
+        val pairs = Dedup.bandedLshPairsAmong(docs, s3Ids, jaccardThreshold = 0.8)
           .select("doc_a", "doc_b")
         val nonKeepers = Dedup.connectedComponents(
-            pairs, s3Docs.select(col("doc_id").as("node")))
+            pairs, s3Ids.select(col("doc_id").as("node")))
           .filter(col("node") =!= col("label"))
           .select(col("node").as("doc_id"), lit(true).as("nd_drop"))
         withKeep0.join(nonKeepers, Seq("doc_id"), "left_outer")
