@@ -1172,10 +1172,31 @@ object Dedup {
   // fingerprint-store design: a deployment materializes exactly this).
   private val sigCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
+  /** Row bound for PERSISTING the shared signature table (the
+    * IvfIndex.AssignedCacheMaxRows rule: never pin what a map stage
+    * rebuilds from an already-cached input for less than the cache's IO).
+    * A sig row is ~0.5 KB (64 longs); past ~2M docs the persist pins GBs
+    * of the heap's storage region against every later suite line —
+    * measured at the 5M-doc sf100 slice: d6b 59.8 → 120 s and the x11
+    * ledger build OOMed outright with the unconditional persist. Above
+    * the bound the shared PLAN still serves every consumer (one
+    * aggregation over the cached token table per materialization, no
+    * re-tokenize), it just isn't pinned. */
+  private[graft] val SigCacheMaxRows = 2000000L
+
+  // one shingle-count probe per corpus (drives the sig-persist and the
+  // subset-sharing dispatches below)
+  private val shingleCountCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def cachedShingleCount(docs: DataFrame): Long =
+    shingleCountCache.getOrElseUpdate(corpusKey(docs), sharedShingles(docs).count())
+
   private[graft] def sharedMinhashSigs(docs: DataFrame): DataFrame =
-    sigCache.getOrElseUpdate(corpusKey(docs),
-      minhashAgg(sharedTokens(docs))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    sigCache.getOrElseUpdate(corpusKey(docs), {
+      val sig = minhashAgg(sharedTokens(docs))
+      if (cachedShingleCount(docs) <= SigCacheMaxRows)
+        sig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sig
+    })
 
   /** Cache key for a corpus frame. The naive canonicalized-plan string is
     * NOT sufficient: an unresolved parquet read prints "paths: 1 provided"
@@ -1256,6 +1277,7 @@ object Dedup {
     lshPairCache.clear()
     sigCache.values.foreach(_.unpersist(blocking = false))
     sigCache.clear()
+    shingleCountCache.clear()
   }
 
   /** Release only the caches keyed to `docs`' corpus — for operators that
@@ -1269,6 +1291,7 @@ object Dedup {
     lshPairCache.keys.filter(_._1 == k).foreach(
       lshPairCache.remove(_).foreach(_.unpersist(blocking = false)))
     sigCache.remove(k).foreach(_.unpersist(blocking = false))
+    shingleCountCache.remove(k): Unit
   }
 
   /** Connected components by min-label propagation WITH pointer doubling:
@@ -1699,11 +1722,17 @@ object Dedup {
     * already fingerprinted). */
   /** [[minhashSignatures]] for a SUBSET of an already-cached corpus — the
     * sig cache restricted by a doc_id semi-join (signatures are doc-local;
-    * see [[bandedLshPairsAmong]]). */
+    * see [[bandedLshPairsAmong]]). Above [[SigCacheMaxRows]] the sig cache
+    * is unpersisted by dispatch, and inlining a corpus-wide aggregation
+    * subtree into the composed consumer's plan measured as an OOM at the
+    * 5M-doc sf100 slice — fall back to deriving the subset fresh (the
+    * pre-r17 shape), whose aggregation materializes standalone. */
   def minhashSignaturesAmong(corpus: DataFrame, memberIds: DataFrame): DataFrame =
-    sharedMinhashSigs(corpus).join(memberIds, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"),
-        array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
+    if (cachedShingleCount(corpus) <= SigCacheMaxRows)
+      sharedMinhashSigs(corpus).join(memberIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
+    else minhashSignatures(corpus.join(memberIds, Seq("doc_id"), "left_semi"))
 
   /** [[shingleSets]] for a SUBSET of an already-cached corpus — the cached
     * per-doc shingle arrays restricted by a doc_id semi-join, avoiding a
@@ -1716,10 +1745,16 @@ object Dedup {
       memberIds: DataFrame,
       jaccardThreshold: Double,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
-    bandedLshPairsFrom(
-      sharedMinhashSigs(corpus).join(memberIds, Seq("doc_id"), "left_semi"),
-      sharedShingles(corpus).join(memberIds, Seq("doc_id"), "left_semi"),
-      jaccardThreshold, maxBucketSize)
+    if (cachedShingleCount(corpus) <= SigCacheMaxRows)
+      bandedLshPairsFrom(
+        sharedMinhashSigs(corpus).join(memberIds, Seq("doc_id"), "left_semi"),
+        sharedShingles(corpus).join(memberIds, Seq("doc_id"), "left_semi"),
+        jaccardThreshold, maxBucketSize)
+    else // above the sig-cache bound: the pre-r17 shape (subset re-derived
+         // from text; its sig agg materializes standalone — see
+         // minhashSignaturesAmong scaladoc for the sf100 OOM this avoids)
+      bandedLshPairs(corpus.join(memberIds, Seq("doc_id"), "left_semi"),
+        jaccardThreshold, maxBucketSize)
 
   private def bandedLshPairsImpl(
       docs: DataFrame,
