@@ -30,15 +30,30 @@ final case class VecSub(left: Expression, right: Expression)
       s"$prettyName requires two array<double> inputs, got " +
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  // element nullability follows the inputs (the zip_with contract this
+  // expression replaces): a null element in either input yields a null
+  // output element, never a garbage double (r18, advice — previously
+  // ArrayData.getDouble on a null slot read an arbitrary value)
+  override def dataType: DataType = {
+    val cn = Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, n) => n
+      case _ => false
+    })
+    ArrayType(DoubleType, containsNull = cn)
+  }
   override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any =
     VecSub.sub(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
+  // the generated guard mirrors the interpreted eval: sub() returns null on
+  // a length mismatch, and without the isNull assignment whole-stage codegen
+  // would write the null ArrayData into the output row and NPE (r18,
+  // advice — the DotProductExpr/SqDist isNull contract)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.VecSub.sub($a, $b);")
+      s"""${ev.value} = graft.functions.VecSub.sub($a, $b);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VecSub =
@@ -53,7 +68,13 @@ object VecSub {
     if (n != b.numElements()) return null
     val out = new Array[Any](n)
     var i = 0
-    while (i < n) { out(i) = a.getDouble(i) - b.getDouble(i); i += 1 }
+    while (i < n) {
+      // null elements propagate (zip_with's `x - y` lambda semantics);
+      // isNullAt is a bitmask probe — no cost on the dense hot path
+      out(i) = if (a.isNullAt(i) || b.isNullAt(i)) null
+               else a.getDouble(i) - b.getDouble(i)
+      i += 1
+    }
     new GenericArrayData(out)
   }
 

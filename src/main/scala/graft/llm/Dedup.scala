@@ -1,6 +1,6 @@
 package graft.llm
 
-import graft.data.Tables
+import graft.data.{Frames, Tables}
 import graft.ops.QueryDef
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -893,6 +893,24 @@ object Dedup {
     * distinct xxhash64-chained k-grams, one row per (doc, gram). Stateless
     * narrow plan, so it applies unchanged to a STREAMING documents frame —
     * graft.streaming.Streams uses it for decontamination-at-ingest. */
+  // Distinct wide-gram PROBE sets (the d7b holdout index), one persisted
+  // copy per probe frame: before r18 the x10/x10b/x11-family pipelines and
+  // the ledger build each rebuilt the identical holdout gram index — seven
+  // full holdout text scans (tokenize + 8-gram explode + distinct) per
+  // bench run, growing with the holdout. The probe is an eval benchmark —
+  // bounded as the corpus grows (the d7b broadcast argument) — so the
+  // persisted copy is KB–MB at any scale; released with the other caches.
+  private val gramProbeCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** The distinct width-`k` gram hash set of `probeDocs`, shared across
+    * every decontamination stage probing the same frame (§2.4 — remove
+    * repeated passes; the pairCache contract: first consumer pays inside
+    * its timed line, releaseCaches reclaims). */
+  def probeGramSet(probeDocs: DataFrame, k: Int = 8): DataFrame =
+    gramProbeCache.getOrElseUpdate((corpusKey(probeDocs), k).toString,
+      wideGrams(probeDocs, k).select("h").distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   private[graft] def wideGrams(docs: DataFrame, k: Int = 8): DataFrame =
     docs.filter(size(tokens) >= k)
       .select(col("doc_id"), tokens.as("toks"))
@@ -962,11 +980,15 @@ object Dedup {
     val dfTab = tok.groupBy("h").agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("h"))
     val perDoc = Window.partitionBy("doc_id")
-    val prefix = tok.join(dfTab, "h")
+    // materialized once (r18): prefA and prefB below both derive from this
+    // frame — without lineage truncation the posting explode + df agg +
+    // rank window planned as TWO full copies, one under the broadcast and
+    // one streaming (the exactPairsPrefix finding, cross-side variant)
+    val prefix = Frames.trackedCheckpoint(tok.join(dfTab, "h")
       .select(col("doc_id"), col("h"),
         row_number().over(byRarity).as("rk"),
         count(lit(1)).over(perDoc).as("n"))
-      .filter(col("rk") <= col("n") - ceil(col("n") * threshold) + 1)
+      .filter(col("rk") <= col("n") - ceil(col("n") * threshold) + 1))
     val prefA = prefix.join(aIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("h"), col("rk").as("rk_a"), col("n").as("n_a"))
     val prefB = prefix.join(bIds, Seq("doc_id"), "left_semi")
@@ -1031,11 +1053,19 @@ object Dedup {
     val dfTab = tok.groupBy("h").agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("h"))
     val perDoc = Window.partitionBy("doc_id")
-    val prefix = tok.join(dfTab, "h")
+    // MATERIALIZED once (r18, §2.4/§1.2): the self-join below references
+    // the prefix table twice, and without lineage truncation the whole
+    // pipeline above it — posting explode, the df aggregation (itself a
+    // second posting explode), the rank/size window sort — planned as TWO
+    // full copies, one per join side (plans/r18/d4b_jaccard_prefix_before:
+    // nodes 1-22 and 23-44 are byte-identical subtrees). The checkpointed
+    // table is the (1−t)·n prefix rows only — ~20% of the posting table —
+    // and releases with the query's tracked frames.
+    val prefix = Frames.trackedCheckpoint(tok.join(dfTab, "h")
       .select(col("doc_id"), col("h"),
         row_number().over(byRarity).as("rk"),
         count(lit(1)).over(perDoc).as("n"))
-      .filter(col("rk") <= col("n") - ceil(col("n") * threshold) + 1)
+      .filter(col("rk") <= col("n") - ceil(col("n") * threshold) + 1))
     val a = prefix.select(col("doc_id").as("doc_a"), col("h"),
       col("rk").as("rk_a"), col("n").as("n_a"))
     val b = prefix.select(col("doc_id").as("doc_b"), col("h"),
@@ -1179,23 +1209,52 @@ object Dedup {
     * of the heap's storage region against every later suite line —
     * measured at the 5M-doc sf100 slice: d6b 59.8 → 120 s and the x11
     * ledger build OOMed outright with the unconditional persist. Above
-    * the bound the shared PLAN still serves every consumer (one
-    * aggregation over the cached token table per materialization, no
-    * re-tokenize), it just isn't pinned. */
+    * the bound the store is DISK-BACKED (r18): one standalone
+    * materialization writes the aggregation to a per-corpus parquet under
+    * java.io.tmpdir and every consumer reads that flat scan — sharing
+    * without the heap pin, rebuilt per JVM and deleted at release. */
   private[graft] val SigCacheMaxRows = 2000000L
 
-  // one shingle-count probe per corpus (drives the sig-persist and the
-  // subset-sharing dispatches below)
+  // one doc-count probe per corpus (drives the sig-persist and the
+  // subset-sharing dispatches below). docs.count() — an upper bound on
+  // shingle rows (under-3-token docs drop out) and a cheap count-agg /
+  // metadata scan — NOT sharedShingles(docs).count(): that probe
+  // materialized the FULL corpus shingle checkpoint (tokenize + pin the
+  // arrays) just to learn the row count, even when the dispatch then
+  // rejected the cache (r18, advice — the >2M-doc path paid the exact
+  // cost the bound exists to avoid).
   private val shingleCountCache = scala.collection.concurrent.TrieMap.empty[String, Long]
   private def cachedShingleCount(docs: DataFrame): Long =
-    shingleCountCache.getOrElseUpdate(corpusKey(docs), sharedShingles(docs).count())
+    shingleCountCache.getOrElseUpdate(corpusKey(docs), docs.count())
+
+  // per-corpus parquet spill dirs backing the ABOVE-BOUND sig store —
+  // deleted with the caches they shadow (releaseCaches/releaseCorpusCaches)
+  private val sigSpillDirs = scala.collection.concurrent.TrieMap.empty[String, String]
 
   private[graft] def sharedMinhashSigs(docs: DataFrame): DataFrame =
     sigCache.getOrElseUpdate(corpusKey(docs), {
       val sig = minhashAgg(sharedTokens(docs))
       if (cachedShingleCount(docs) <= SigCacheMaxRows)
         sig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else sig
+      else {
+        // DISK-BACKED signature store above the bound (r18, verdict #3):
+        // the x11-ledger idiom applied to the shared sig table. One
+        // standalone materialization writes the 64-min aggregation to a
+        // per-corpus parquet; every consumer then reads a flat parquet
+        // scan — the sharing survives 100 TB corpora without pinning the
+        // storage region (the r17 unconditional persist pushed the 5M-doc
+        // sf100 slice into OOM), and composed consumers never inline the
+        // corpus-wide agg subtree into their own plans (the other half of
+        // that OOM). Rebuilt per JVM (overwrite-on-miss), deleted at
+        // release — never a cross-run result cache.
+        val key = corpusKey(docs)
+        val keyHex = java.security.MessageDigest.getInstance("MD5")
+          .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val dir = s"${sys.props("java.io.tmpdir")}/graft_sigstore_$keyHex"
+        sig.write.mode("overwrite").parquet(dir)
+        sigSpillDirs.put(key, dir)
+        docs.sparkSession.read.parquet(dir)
+      }
     })
 
   /** Cache key for a corpus frame. The naive canonicalized-plan string is
@@ -1271,12 +1330,17 @@ object Dedup {
   def releaseCaches(): Unit = {
     tokenCache.values.foreach(graft.data.Frames.release)
     tokenCache.clear()
+    gramProbeCache.values.foreach(_.unpersist(blocking = false))
+    gramProbeCache.clear()
     pairCache.values.foreach(_.unpersist(blocking = false))
     pairCache.clear()
     lshPairCache.values.foreach(_.unpersist(blocking = false))
     lshPairCache.clear()
     sigCache.values.foreach(_.unpersist(blocking = false))
     sigCache.clear()
+    sigSpillDirs.values.foreach(d =>
+      graft.streaming.Streams.deleteRecursively(new java.io.File(d)))
+    sigSpillDirs.clear()
     shingleCountCache.clear()
   }
 
@@ -1291,6 +1355,8 @@ object Dedup {
     lshPairCache.keys.filter(_._1 == k).foreach(
       lshPairCache.remove(_).foreach(_.unpersist(blocking = false)))
     sigCache.remove(k).foreach(_.unpersist(blocking = false))
+    sigSpillDirs.remove(k).foreach(d =>
+      graft.streaming.Streams.deleteRecursively(new java.io.File(d)))
     shingleCountCache.remove(k): Unit
   }
 
@@ -1332,11 +1398,29 @@ object Dedup {
     // propagation fixpoint). Above the bound the distributed loop runs
     // unchanged: at 100 TB the edge set need not fit any driver.
     if (nEdges <= DriverCcMaxEdges) {
-      val labelOf = unionFindMinLabel(
-        edges.collect().map(r => (r.getLong(0), r.getLong(1))))
+      // Primitive driver path (r18, advice): the boxed formulation this
+      // replaces collected ~4M Row objects, unioned through a
+      // HashMap<Long,Long> of up to 8M boxed entries (~0.5-1 GB near the
+      // bound), and embedded the result as a LocalRelation re-serialized
+      // into EVERY action's task binaries. executeCollect keeps rows
+      // internal (UnsafeRow, primitive getLong), the union-find runs on an
+      // open-addressed long→long table (16 B/slot, no boxing), and the
+      // label frame ships as a parallelized RDD — each row serialized to
+      // exactly one task, once.
+      val internal = edges.queryExecution.executedPlan.executeCollect()
+      val m = internal.length
+      val srcA = new Array[Long](m); val dstA = new Array[Long](m)
+      var i = 0
+      while (i < m) { srcA(i) = internal(i).getLong(0); dstA(i) = internal(i).getLong(1); i += 1 }
       graft.data.Frames.release(edges)
+      val (nodeArr, labelArr) = unionFindMinLabel(srcA, dstA)
       import spark.implicits._
-      val labelDf = labelOf.toSeq.toDF("node", "label")
+      val nOut = nodeArr.length
+      val parts = math.max(1, math.min(
+        spark.sparkContext.defaultParallelism, nOut / 250000 + 1))
+      val labelDf = spark.sparkContext
+        .parallelize(nodeArr.indices.map(j => (nodeArr(j), labelArr(j))), parts)
+        .toDF("node", "label")
       val isolated = nodes.join(labelDf.select("node"), Seq("node"), "left_anti")
         .select(col("node"), col("node").as("label"))
       return labelDf.union(isolated)
@@ -1354,15 +1438,67 @@ object Dedup {
   }
 
   /** Driver-CC dispatch bound, in ORIENTED edges (2× the undirected pair
-    * count): 4M edges collect as ~64 MB of longs — the same
-    * bounded-driver-work budget as Bpe's localVocabMax. */
+    * count). Honest peak-memory budget at the bound on the primitive path
+    * (r18): 64 MB of edge longs + ~160 MB of transient executeCollect rows
+    * + ≤16M open-addressed parent slots ≈ 0.5 GB — comfortably inside the
+    * canonical 8 GiB driver, same bounded-driver-work budget class as
+    * Bpe's localVocabMax. */
   private[graft] val DriverCcMaxEdges = 4000000L
 
-  /** Driver-side union-find with path halving; returns node → min node id
-    * of its component (exactly the distributed loop's fixpoint). */
+  /** Open-addressed long→long table (linear probing, power-of-two
+    * capacity, grow at 0.6 load) — the union-find's parent store. 16 B per
+    * slot and zero boxing; a java.util.HashMap<Long,Long> at 8M nodes held
+    * ~0.5-1 GB of Entry/boxed-Long objects for the same content. */
+  private final class LongLongMap(expected: Int) {
+    private var cap = java.lang.Integer.highestOneBit(
+      math.max(16, expected * 2 - 1)) << 1
+    private var keys = new Array[Long](cap)
+    private var vals = new Array[Long](cap)
+    private var used = new Array[Boolean](cap)
+    private var n = 0
+    def size: Int = n
+    private def idx(k: Long): Int = {
+      // 64-bit mix (splitmix64 finalizer) → slot; linear probe from there
+      var h = k * -7046029254386353131L
+      h ^= (h >>> 32)
+      var i = (h & (cap - 1)).toInt
+      while (used(i) && keys(i) != k) i = (i + 1) & (cap - 1)
+      i
+    }
+    def getOrDefault(k: Long, d: Long): Long = {
+      val i = idx(k); if (used(i)) vals(i) else d
+    }
+    def put(k: Long, v: Long): Unit = {
+      var i = idx(k)
+      if (!used(i)) {
+        if ((n + 1) * 5 > cap * 3) { grow(); i = idx(k) } // grow BEFORE insert; re-probe
+        used(i) = true; keys(i) = k; n += 1
+      }
+      vals(i) = v
+    }
+    private def grow(): Unit = {
+      val ok = keys; val ov = vals; val ou = used; val oc = cap
+      cap <<= 1
+      keys = new Array[Long](cap); vals = new Array[Long](cap)
+      used = new Array[Boolean](cap)
+      var i = 0
+      while (i < oc) {
+        if (ou(i)) { val j = idx(ok(i)); used(j) = true; keys(j) = ok(i); vals(j) = ov(i) }
+        i += 1
+      }
+    }
+    def foreachKey(f: Long => Unit): Unit = {
+      var i = 0
+      while (i < cap) { if (used(i)) f(keys(i)); i += 1 }
+    }
+  }
+
+  /** Driver-side union-find with path halving over primitive arrays;
+    * returns parallel (node, label) arrays where label = min node id of
+    * the component (exactly the distributed loop's fixpoint). */
   private[graft] def unionFindMinLabel(
-      edges: Array[(Long, Long)]): scala.collection.Map[Long, Long] = {
-    val parent = new java.util.HashMap[Long, Long]()
+      src: Array[Long], dst: Array[Long]): (Array[Long], Array[Long]) = {
+    val parent = new LongLongMap(math.min(src.length.toLong * 2, 1L << 27).toInt)
     def find(x0: Long): Long = {
       var x = x0
       var p = parent.getOrDefault(x, x)
@@ -1374,16 +1510,24 @@ object Dedup {
       }
       x
     }
-    edges.foreach { case (a, b) =>
-      parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+    var e = 0
+    while (e < src.length) {
+      val a = src(e); val b = dst(e)
+      if (parent.getOrDefault(a, a) == a) parent.put(a, a)
+      if (parent.getOrDefault(b, b) == b) parent.put(b, b)
       val ra = find(a); val rb = find(b)
       if (ra != rb) { // union by min id keeps roots = component minima
         if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
       }
+      e += 1
     }
-    val out = scala.collection.mutable.HashMap.empty[Long, Long]
-    parent.keySet().forEach(n => out.put(n, find(n)))
-    out
+    val nodes = new Array[Long](parent.size)
+    val labels = new Array[Long](parent.size)
+    var i = 0
+    parent.foreachKey { k => nodes(i) = k; i += 1 }
+    var j = 0
+    while (j < nodes.length) { labels(j) = find(nodes(j)); j += 1 }
+    (nodes, labels)
   }
 
   private def connectedComponentsImpl(
@@ -1720,15 +1864,28 @@ object Dedup {
     * rows only, exactly as if the subset were shingled fresh (r17: x10b's
     * stage-03b re-tokenized and re-aggregated ~90% of the corpus it had
     * already fingerprinted). */
+  /** Whether subset consumers should read THROUGH the shared corpus sig
+    * store: always below the persist bound (the r17 dispatch), and above
+    * it whenever the corpus-wide caches are already warm — the sig store
+    * is then one aggregation over cached tokens spilled to parquet
+    * ([[sharedMinhashSigs]]' disk-backed branch), after which every
+    * consumer reads a flat scan. Cold + above-bound stays subset-fresh: an
+    * isolated day-N append must never pay a full-corpus pass to
+    * fingerprint a 1% batch. */
+  private def sigShareable(corpus: DataFrame): Boolean = {
+    val k = corpusKey(corpus)
+    sigCache.contains(k) || tokenCache.contains(k) ||
+      cachedShingleCount(corpus) <= SigCacheMaxRows
+  }
+
   /** [[minhashSignatures]] for a SUBSET of an already-cached corpus — the
-    * sig cache restricted by a doc_id semi-join (signatures are doc-local;
-    * see [[bandedLshPairsAmong]]). Above [[SigCacheMaxRows]] the sig cache
-    * is unpersisted by dispatch, and inlining a corpus-wide aggregation
-    * subtree into the composed consumer's plan measured as an OOM at the
-    * 5M-doc sf100 slice — fall back to deriving the subset fresh (the
-    * pre-r17 shape), whose aggregation materializes standalone. */
+    * sig store restricted by a doc_id semi-join (signatures are doc-local;
+    * see [[bandedLshPairsAmong]]). Above [[SigCacheMaxRows]] the store is
+    * parquet-backed (r18), so the consumer's plan stays a flat scan —
+    * inlining a corpus-wide aggregation subtree into the composed
+    * consumer's plan measured as an OOM at the 5M-doc sf100 slice. */
   def minhashSignaturesAmong(corpus: DataFrame, memberIds: DataFrame): DataFrame =
-    if (cachedShingleCount(corpus) <= SigCacheMaxRows)
+    if (sigShareable(corpus))
       sharedMinhashSigs(corpus).join(memberIds, Seq("doc_id"), "left_semi")
         .select(col("doc_id"),
           array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
@@ -1745,14 +1902,15 @@ object Dedup {
       memberIds: DataFrame,
       jaccardThreshold: Double,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
-    if (cachedShingleCount(corpus) <= SigCacheMaxRows)
+    if (sigShareable(corpus))
       bandedLshPairsFrom(
         sharedMinhashSigs(corpus).join(memberIds, Seq("doc_id"), "left_semi"),
         sharedShingles(corpus).join(memberIds, Seq("doc_id"), "left_semi"),
         jaccardThreshold, maxBucketSize)
-    else // above the sig-cache bound: the pre-r17 shape (subset re-derived
-         // from text; its sig agg materializes standalone — see
-         // minhashSignaturesAmong scaladoc for the sf100 OOM this avoids)
+    else // above the bound with cold corpus caches: the pre-r17 shape
+         // (subset re-derived from text; its sig agg materializes
+         // standalone — an isolated subset consumer never pays a
+         // full-corpus pass)
       bandedLshPairs(corpus.join(memberIds, Seq("doc_id"), "left_semi"),
         jaccardThreshold, maxBucketSize)
 

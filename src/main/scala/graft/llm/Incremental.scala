@@ -191,14 +191,17 @@ object Incremental {
     // decontamination restricted to keepers (the x10 stage-4 contract)
     val dedDocs = day1.join(
       withKeep.filter(col("in3")).select("doc_id"), Seq("doc_id"), "left_semi")
-    val probeGrams = Dedup.wideGrams(
-        Tables(s, d, "documents").filter(isHoldout))
-      .select("h").distinct()
+    val probeGrams = Dedup.probeGramSet(
+      Tables(s, d, "documents").filter(isHoldout))
     val contamIds = Dedup.wideGrams(dedDocs)
       .join(broadcast(probeGrams), "h")
       .select("doc_id").distinct()
       .withColumn("contam", lit(true))
-    val sig = Dedup.minhashSignatures(day1)
+    // day1 ⊂ documents: read the corpus sig store ⋉ day-1 ids when warm
+    // (the bench/Verify session has built it by d0/d6b time) instead of
+    // re-tokenizing 80% of the corpus for the ledger's sig column
+    val sig = Dedup.minhashSignaturesAmong(
+      Tables(s, d, "documents"), day1.select("doc_id"))
     withKeep.join(contamIds, Seq("doc_id"), "left_outer")
       .withColumn("in4", col("in3") && !coalesce(col("contam"), lit(false)))
       .drop("contam")
@@ -254,7 +257,13 @@ object Incremental {
     val batch = Tables(s, d, "documents").filter(batchPredFor(n))
     val dec = batchDecisions(s, d, batch, ledgerAsOf(s, d, n - 1),
       lshNearCheck = false)
-    val sig = Dedup.minhashSignatures(batch)
+    // signatures are doc-local: batch ⊂ documents, so the appended sig
+    // column reads the corpus sig store ⋉ batch ids when the store is warm
+    // (r18, verdict #5 — the x11b stage-03c sharing extended to the append
+    // path; bit-identical by doc-locality, and the Among dispatch keeps an
+    // isolated cold append batch-local)
+    val sig = Dedup.minhashSignaturesAmong(
+      Tables(s, d, "documents"), batch.select("doc_id"))
     dec.select("doc_id", "source", "n_tok", "q", "h", "in3", "in4")
       .join(sig, Seq("doc_id"), "left_outer")
       .withColumn("batch_id", lit(n))
@@ -373,13 +382,15 @@ object Incremental {
     // answer, Bloom is purely the shuffle prefilter
     import graft.functions.BloomMembership
     val corpusH = led.filter(col("q")).select("h")
-    // size the Bloom from the ledger's actual quality count (a metadata-
-    // cheap one-column store scan), not a constant: a fixed 1M/8Mbit
-    // filter silently degrades its fpp at exactly the corpus sizes the
-    // prefilter exists for, pushing far more batch rows into the exact
-    // semi-join verify. ~10 bits/key keeps fpp ~1%; floors preserve the
-    // small-scale shape.
-    val nQuality = math.max(1000000L, corpusH.count())
+    // size the Bloom from the MEMOIZED corpus doc count (Tables.cachedCount
+    // — one metadata probe per run), an upper bound on the ledger's quality
+    // count: ~10 bits/key keeps fpp ≤1% (the bound only over-provisions by
+    // the quality-fail fraction), floors preserve the small-scale shape,
+    // and the answer stays exact either way (Bloom is purely the shuffle
+    // prefilter; positives exact-verify). Replaces a per-batchDecisions
+    // ledger count job — SIX store scans per bench run just to size a
+    // filter (r18, §1.2).
+    val nQuality = math.max(1000000L, Tables.cachedCount(s, d, "documents"))
     val bloom = corpusH.agg(
       BloomMembership.bloomAgg(col("h"), nQuality,
         math.max(8388608L, 10L * nQuality)).as("bf"))
@@ -446,8 +457,9 @@ object Incremental {
     // restricted by semi-join to the current survivors
     val survDocs = batch.join(
       withNear.filter(col("in3c")).select("doc_id"), Seq("doc_id"), "left_semi")
-    val probeGrams = Dedup.wideGrams(docs.filter(isHoldout))
-      .select("h").distinct()
+    // shared persisted holdout gram index (r18, §2.4): six batchDecisions
+    // calls per run re-scanned the same holdout text for the same set
+    val probeGrams = Dedup.probeGramSet(docs.filter(isHoldout))
     val contamIds = Dedup.wideGrams(survDocs)
       .join(broadcast(probeGrams), "h")
       .select("doc_id").distinct()

@@ -137,8 +137,10 @@ object Pipeline {
     // corpus side re-scans text RESTRICTED to current survivors
     val dedDocs = docs.join(
       withKeep.filter(col("in3b")).select("doc_id"), Seq("doc_id"), "left_semi")
-    val probeGrams = Dedup.wideGrams(docs.filter(col("doc_id") % 10 === 0))
-      .select("h").distinct()
+    // shared persisted holdout gram index (r18): x10/x10b/x11-family
+    // stages probing the same holdout read one cached set instead of each
+    // re-scanning holdout text (§2.4)
+    val probeGrams = Dedup.probeGramSet(docs.filter(col("doc_id") % 10 === 0))
     val contamIds = Dedup.wideGrams(dedDocs)
       .join(broadcast(probeGrams), "h")
       .select("doc_id").distinct()

@@ -272,25 +272,22 @@ object PqIndex {
     * see backRotate); `pvec`/`pnorm` stay ORIGINAL — the exact rerank
     * never sees the rotation. */
   private def probePrep(model: PqModel, probes: DataFrame): DataFrame = {
-    val dsub = model.dsub
     val pv = col("embedding").cast("array<double>")
+    // the table is built by the codegen'd AdcTable expression (r18 — the
+    // nested transform/zip_with/aggregate HOF ran interpreted per probe
+    // row; same ascending-j fold, bit-identical) and ships FLATTENED
+    // (m·ksub doubles, row s at offset s·ksub) for the AdcDot scan side
     val tbl = model.rotation match {
-      case None =>
-        transform(typedLit(model.codebooks), (subCb, s) =>
-          transform(subCb, c =>
-            aggregate(zip_with(slice(pv, s * dsub + 1, lit(dsub)), c,
-              (x, y) => x * y), lit(0.0), (a, v) => a + v)))
+      case None => graft.functions.AdcTable.of(pv, model.codebooks)
       case Some(rot) =>
-        transform(typedLit(backRotate(model.codebooks, rot)), subU =>
-          transform(subU, uc =>
-            aggregate(zip_with(pv, uc, (x, y) => x * y),
-              lit(0.0), (a, v) => a + v)))
+        // OPQ: each entry dots the FULL vector against a back-rotated
+        // codebook column (= the rotated-space subspace dot)
+        val u = backRotate(model.codebooks, rot)
+        graft.functions.AdcTable.ofWidths(pv, u,
+          width = u.head.head.size, step = 0)
     }
-    // the table ships FLATTENED (m·ksub doubles, row s at offset s·ksub):
-    // the scan-side lookup is the codegen'd AdcDot expression, which wants
-    // one flat array read per subspace instead of nested-array navigation
     probes.select(col("vec_id").as("probe_id"), pv.as("pvec"),
-      flatten(tbl).as("tbl"), sqrt(Similarity.dotProduct(pv, pv)).as("pnorm"))
+      tbl.as("tbl"), sqrt(Similarity.dotProduct(pv, pv)).as("pnorm"))
   }
 
   private def adcDot(codes: Column, tbl: Column, ksub: Int): Column =
@@ -844,14 +841,11 @@ object PqIndex {
 
   /** Flattened per-probe ADC lookup table (m·ksub subspace dots, row s at
     * offset s·ksub) for an arbitrary codebook set — shared by the coarse
-    * and fine (staged-rerank) tiers. */
-  private def adcTable(pv: Column, cbs: Seq[Seq[Seq[Double]]]): Column = {
-    val dsub = cbs.head.head.size
-    flatten(transform(typedLit(cbs), (subCb, s) =>
-      transform(subCb, c =>
-        aggregate(zip_with(slice(pv, s * dsub + 1, lit(dsub)), c,
-          (x, y) => x * y), lit(0.0), (a, v) => a + v))))
-  }
+    * and fine (staged-rerank) tiers. Codegen'd (r18): the interpreted HOF
+    * build was multiplied by ~500-probe micro-batches in st_stream_ann and
+    * by the fine tier's ~16× larger table. */
+  private def adcTable(pv: Column, cbs: Seq[Seq[Seq[Double]]]): Column =
+    graft.functions.AdcTable.of(pv, cbs)
 
   // per-corpus residual-IVFPQ cache of LOADED indexes (build+save once,
   // probe-many — the IvfIndex.cachedIndex idiom: the cached model is
@@ -956,10 +950,21 @@ object PqIndex {
   private def fannedCodes(cellCodes: DataFrame): DataFrame = {
     val par = cellCodes.sparkSession.sparkContext.defaultParallelism
     if (cellCodes.rdd.getNumPartitions >= par) cellCodes
-    else fanOutCache.getOrElseUpdate(
-      (cellCodes.queryExecution.analyzed.canonicalized.toString,
-        cellCodes.inputFiles.toSeq.sorted.mkString(",")),
-      cellCodes.repartition(par).persist(StorageLevel.MEMORY_AND_DISK))
+    else {
+      val planKey = cellCodes.queryExecution.analyzed.canonicalized.toString
+      val fileKey = cellCodes.inputFiles.toSeq.sorted.mkString(",")
+      fanOutCache.getOrElseUpdate((planKey, fileKey), {
+        // evict superseded fan-outs of the SAME store before inserting
+        // (r18, advice): an append lands a new file set under the same
+        // plan shape, and the prior entry's persisted full copy of the
+        // code table would otherwise stay pinned until releaseModels —
+        // repeated appends accumulated duplicate copies in the storage
+        // region
+        fanOutCache.keys.filter(_._1 == planKey).toSeq.foreach(k =>
+          fanOutCache.remove(k).foreach(_.unpersist(blocking = false)))
+        cellCodes.repartition(par).persist(StorageLevel.MEMORY_AND_DISK)
+      })
+    }
   }
 
   /** Unpersist every cached model's encoded frame and clear the cache —
