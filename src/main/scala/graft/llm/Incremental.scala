@@ -207,9 +207,41 @@ object Incremental {
       .drop("contam")
       .join(sig, Seq("doc_id"), "left_outer")
       .withColumn("batch_id", lit(0))
-      .write.mode("overwrite").partitionBy("batch_id").parquet(deltaDir(dir))
+      // byte-budgeted landing (§5/§6): without the exchange the day-1 write
+      // fuses three sort-merge joins with the parquet write into one
+      // parallelism-wide stage — each task holding sorter pages PLUS an
+      // unmanaged row-group buffer for the ~600 B/row sig-array schema,
+      // which OOMed the 5M-doc sf100 slice outright once the suite's warm
+      // corpus caches were pinned (scale_r18, stage 232). The doc_id hash
+      // repartition decouples join memory from writer memory and sizes the
+      // store's files to the row-group budget instead of one shard per
+      // core — the as-of reads that scan this store on every later line
+      // then open a bounded, row-group-aligned file set.
+      .repartition(ledgerWritePartitions(s, fp.count()), col("doc_id"))
+      .write.mode("overwrite")
+      .option("parquet.block.size", LedgerRowGroupBytes.toString)
+      .partitionBy("batch_id").parquet(deltaDir(dir))
     Frames.release(fp)
     Dedup.releaseCorpusCaches(day1)
+  }
+
+  /** Ledger landing row-group size: 32 MB instead of the 128 MB default.
+    * A parquet writer buffers the open row group on the JVM heap — at the
+    * default, `parallelism × 128 MB` of unmanaged buffer can coexist with
+    * the write stage's other memory; 32 MB keeps the per-writer buffer
+    * bounded while still holding ~50k ledger rows per group, plenty for
+    * row-group stat pruning on the (batch_id, doc_id)-clustered reads. */
+  private val LedgerRowGroupBytes: Long = 32L * 1024 * 1024
+
+  /** Partition count for a ledger landing write: ~128 MB of ~600 B rows
+    * (fingerprint columns + the 64-long sig array) per output file, at
+    * least one, never more than the session's parallelism (beyond it the
+    * extra tasks only queue and fragment the store's file set). */
+  private def ledgerWritePartitions(s: SparkSession, rows: Long): Int = {
+    val bytesPerRow = 600L
+    val targetBytes = 128L * 1024 * 1024
+    val byBudget = math.ceil(rows.toDouble * bytesPerRow / targetBytes).toInt
+    math.max(1, math.min(s.sparkContext.defaultParallelism, byBudget))
   }
 
   // ---------------------------------------------------------------------
@@ -268,6 +300,11 @@ object Incremental {
       .join(sig, Seq("doc_id"), "left_outer")
       .withColumn("batch_id", lit(n))
       .write.mode("overwrite")
+      // bounded writer buffers (the buildLedger rationale): batch-sized
+      // appends never hit the day-1 OOM, but the same ~600 B/row schema
+      // gets the same row-group budget so append landings stay bounded
+      // at any batch size
+      .option("parquet.block.size", LedgerRowGroupBytes.toString)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(deltaDir(dir))
     Dedup.releaseCorpusCaches(batch)

@@ -162,6 +162,7 @@ object Streams {
     // this to keys × state-bytes / executor-memory before first start.
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", statePartitions(s))
+    val restoreNoData = disableNoDataBatch(s)
     try {
       val q = stream.writeStream
         .format("memory").queryName(name)
@@ -172,11 +173,33 @@ object Streams {
       q.awaitTermination()
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", prev)
+      restoreNoData()
       // in finally, not after: a failed/interrupted replay must not leak
       // its checkpoint (safe either way — one-shot replays never restart)
       deleteRecursively(new java.io.File(ckpt))
     }
     s.table(name)
+  }
+
+  /** Skip the trailing no-data micro-batch on these bounded drains. With a
+    * watermark or stateful operator present, AvailableNow appends one extra
+    * empty batch after the data to advance the watermark and evict state —
+    * a full plan + state-load + commit cycle, and in complete mode a full
+    * RE-EMISSION of the final state (at the 10× corpus that is the 9.5M-row
+    * session table written twice). No declared drain's CONTENT depends on
+    * it: complete mode re-emits unchanged state, the inner interval join and
+    * the watermark dedup emit rows in the batch the rows arrive, and the
+    * update-mode FSMs use NoTimeout/TimeMode.None so no timer can fire in
+    * an input-less batch. Eviction-only work is pointless on a drain whose
+    * query stops immediately after. Returns the restore thunk. */
+  private def disableNoDataBatch(s: SparkSession): () => Unit = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "false")
+    () => prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
   }
 
   /** Explicit `graft.stream.statePartitions` knob, else the source-derived
@@ -203,6 +226,7 @@ object Streams {
     val ckpt = s"${out}_ckpt"
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", statePartitions(s))
+    val restoreNoData = disableNoDataBatch(s)
     // register the sink dir for end-of-session cleanup BEFORE the run: a
     // stream that fails mid-way has already landed batches there, and a
     // post-run registration would leak exactly the failed runs' output
@@ -220,6 +244,7 @@ object Streams {
       q.awaitTermination()
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", prev)
+      restoreNoData()
       deleteRecursively(new java.io.File(ckpt))
     }
     // the sink dir is read back LAZILY by the caller — it cannot be
